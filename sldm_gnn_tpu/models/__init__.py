@@ -1,0 +1,5 @@
+"""Flax model zoo: GraphSAGE blocks, map encoder/attention, GruSage."""
+
+from .blocks import SageConv, SageBlock, MLPStack  # noqa: F401
+from .map_modules import MapData, MapEncoder, MapSpatialAttention, map_zscore_norm  # noqa: F401
+from .grusage import GruSage, GruSageConfig  # noqa: F401

@@ -1,0 +1,79 @@
+"""Reusable flax blocks: SAGE convolution, SAGE stacks, MLP stacks.
+
+Numerical parity targets:
+  * ``SageConv`` == PyG ``SAGEConv(in, out)`` defaults (aggr='mean',
+    root_weight=True, project=False, normalize=False, bias on the neighbor
+    branch) as used at /root/reference/src/models/blocks/sageblock.py:8.
+  * ``SageBlock`` == SAGEConv -> LayerNorm(eps 1e-5) -> (Leaky)ReLU -> Dropout
+    per layer (sageblock.py:9-20).
+  * ``MLPStack`` == Linear -> (Leaky)ReLU -> Dropout stacks
+    (grusage.py:64-71, 126-133).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.segment import masked_mean_aggregate
+
+
+def _activation(x: jax.Array, negative_slope: float | None) -> jax.Array:
+    if negative_slope is None:
+        return nn.relu(x)
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+class SageConv(nn.Module):
+    """GraphSAGE mean-aggregation convolution.
+
+    ``out = lin_l(mean_{j->i} x_j) + lin_r(x_i)`` with bias only on ``lin_l``
+    (PyG layout, so torch state dicts map 1:1 for parity tests).
+    """
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int):
+        agg = masked_mean_aggregate(x, edge_src, edge_dst, edge_mask, num_nodes)
+        out = nn.Dense(self.out_dim, use_bias=True, name="lin_l")(agg)
+        out = out + nn.Dense(self.out_dim, use_bias=False, name="lin_r")(x)
+        return out
+
+
+class SageBlock(nn.Module):
+    """Stack of SAGE layers, each followed by LayerNorm -> act -> dropout."""
+
+    hidden_dims: Sequence[int]
+    dropout: float | None = None
+    negative_slope: float | None = None
+
+    @nn.compact
+    def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int, *, train: bool = False):
+        for i, h in enumerate(self.hidden_dims):
+            x = SageConv(h, name=f"conv{i}")(x, edge_src, edge_dst, edge_mask, num_nodes)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+            x = _activation(x, self.negative_slope)
+            if self.dropout is not None:
+                x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        return x
+
+
+class MLPStack(nn.Module):
+    """Linear -> (Leaky)ReLU -> Dropout stack."""
+
+    dims: Sequence[int]
+    dropout: float | None = None
+    negative_slope: float | None = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        for i, d in enumerate(self.dims):
+            x = nn.Dense(d, name=f"fc{i}")(x)
+            x = _activation(x, self.negative_slope)
+            if self.dropout is not None:
+                x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        return x

@@ -1,0 +1,198 @@
+"""GruSage — the flagship model: per-node GRU temporal encoder -> feature
+concat -> MLP -> optional map context (map GNN + KNN attention) -> GraphSAGE
+message passing -> global pooling -> MLP -> multi-label logits.
+
+Forward parity with /root/reference/src/models/grusage.py:152-192, step for
+step:
+  1 station-type embedding                 (:156)
+  2 GRU over frames, last hidden state     (:160-161)
+  3 concat [gru_h, xdims, st_emb]          (:164-165)
+  4 FC1 stack                              (:168-169)
+  4b map encode + spatial attention concat (:171-179)
+  5 SageBlock over inter-vehicle edges     (:182)
+  6 global mean/max/double pooling         (:185, :113-122)
+  7 FC2 stack                              (:188-189)
+  8 linear head -> [G, out_dim] logits     (:191)
+
+Differences by design (TPU-first): operates on a :class:`PaddedGraphBatch`
+with static shapes and masks instead of ragged PyG batches; the map branch
+takes either live ``MapData`` (training — encoder recomputed under jit, XLA
+hoists the constant parts) or pre-baked ``(map_embeddings, map_centroids)``
+(inference — the reference's snapshot trick, grusage.py:144-149).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..graph.containers import PaddedGraphBatch
+from ..ops.gru import GRUParams, gru_forward, init_gru_params
+from ..ops.segment import global_max_pool, global_mean_pool
+from .blocks import MLPStack, SageBlock
+from .map_modules import MapData, MapEncoder, MapSpatialAttention
+
+
+@dataclass(frozen=True)
+class GruSageConfig:
+    """Constructor-argument parity with GruSage.__init__ (grusage.py:13).
+
+    This doubles as the serialized model config stored in snapshots
+    (the reference's ``config_dict``/``ip_dict``, grusage.py:23-42).
+    """
+
+    dynamic_features_num: int = 6
+    frames_num: int = 100
+    gru_hidden_size: int = 96
+    gru_num_layers: int = 1
+    fc1dims: tuple[int, ...] = (96,)
+    sage_hidden_dims: tuple[int, ...] = (96, 96)
+    fc2dims: tuple[int, ...] = (32,)
+    out_dim: int = 1
+    num_st_types: int = 256
+    emb_dim: int = 8
+    dropout: float | None = 0.25
+    negative_slope: float | None = 0.1
+    global_pooling: str = "double"  # 'mean' | 'max' | 'double'
+    map_included: bool = False
+    num_lane_types: int = 8
+    mapenc_sage_hdims: tuple[int, ...] = (8, 8)
+    mapenc_lane_embdim: int = 2
+    map_attention_topk: int = 5
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "GruSageConfig":
+        d = dict(d)
+        for k in ("fc1dims", "sage_hidden_dims", "fc2dims", "mapenc_sage_hdims"):
+            if k in d and d[k] is not None:
+                d[k] = tuple(d[k])
+        return GruSageConfig(**d)
+
+
+class GruSage(nn.Module):
+    cfg: GruSageConfig
+
+    def setup(self):
+        c = self.cfg
+        self.st_emb = nn.Embed(c.num_st_types, c.emb_dim, name="st_emb")
+        self.gru = GRUCell(
+            input_size=c.dynamic_features_num,
+            hidden_size=c.gru_hidden_size,
+            num_layers=c.gru_num_layers,
+        )
+        self.fc1s = MLPStack(c.fc1dims, dropout=c.dropout, negative_slope=c.negative_slope)
+        if c.map_included:
+            self.map_encoder = MapEncoder(
+                num_lane_types=c.num_lane_types,
+                lane_embed_dim=c.mapenc_lane_embdim,
+                sage_hidden_dims=c.mapenc_sage_hdims,
+                dropout=c.dropout,
+                negative_slope=c.negative_slope,
+            )
+            self.map_attention = MapSpatialAttention(k_neighbors=c.map_attention_topk)
+        self.sage = SageBlock(
+            c.sage_hidden_dims, dropout=c.dropout, negative_slope=c.negative_slope
+        )
+        self.fc2s = MLPStack(c.fc2dims, dropout=c.dropout, negative_slope=c.negative_slope)
+        self.linout = nn.Dense(c.out_dim, name="linout")
+
+    def encode_map(self, map_data: MapData, *, train: bool = False) -> jax.Array:
+        """Run just the map GNN — used to bake embeddings into snapshots."""
+        return self.map_encoder(map_data, train=train)
+
+    def __call__(
+        self,
+        batch: PaddedGraphBatch,
+        *,
+        map_data: MapData | None = None,
+        map_embeddings: jax.Array | None = None,
+        map_centroids: jax.Array | None = None,
+        train: bool = False,
+    ) -> jax.Array:
+        c = self.cfg
+        N = batch.node_capacity
+        G = batch.graph_capacity
+
+        # 1 - station type embedding
+        st = self.st_emb(batch.xsttype)
+
+        # 2 - GRU over frames; last hidden state of top layer
+        _, h = self.gru(batch.x)
+
+        # 3 - concat static dims + embedding
+        x = jnp.concatenate([h, batch.xdims, st], axis=1)
+
+        # 4 - FC1 stack
+        x = self.fc1s(x, train=train)
+
+        # 4b - map context
+        if c.map_included:
+            last_pos = batch.pos_raw[:, -1, :]
+            if map_embeddings is None:
+                assert map_data is not None, "map_included model needs map_data or baked embeddings"
+                map_embeddings = self.map_encoder(map_data, train=train)
+                map_centroids = map_data.centroids
+            ctx = self.map_attention(last_pos, map_centroids, map_embeddings)
+            x = jnp.concatenate([x, ctx], axis=1)
+
+        # 5 - GraphSAGE over inter-vehicle edges
+        x = self.sage(x, batch.edge_src, batch.edge_dst, batch.edge_mask, N, train=train)
+
+        # 6 - graph readout
+        if c.global_pooling == "mean":
+            x = global_mean_pool(x, batch.node_graph, batch.node_mask, G)
+        elif c.global_pooling == "max":
+            x = global_max_pool(x, batch.node_graph, batch.node_mask, G)
+        elif c.global_pooling == "double":
+            x = jnp.concatenate(
+                [
+                    global_mean_pool(x, batch.node_graph, batch.node_mask, G),
+                    global_max_pool(x, batch.node_graph, batch.node_mask, G),
+                ],
+                axis=1,
+            )
+        else:
+            raise ValueError(f"Unsupported global_pooling: {c.global_pooling}")
+
+        # 7/8 - FC2 stack + linear head
+        x = self.fc2s(x, train=train)
+        return self.linout(x)
+
+
+class GRUCell(nn.Module):
+    """Flax wrapper owning the stacked GRU parameters (ops/gru.py math)."""
+
+    input_size: int
+    hidden_size: int
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        shapes = init_gru_params(jax.random.PRNGKey(0), self.input_size, self.hidden_size, self.num_layers)
+
+        def mk(name, template):
+            bound = 1.0 / (self.hidden_size**0.5)
+            return self.param(
+                name,
+                lambda k, s: jax.random.uniform(k, s, minval=-bound, maxval=bound),
+                template.shape,
+            )
+
+        params = GRUParams(
+            w_ih0=mk("w_ih0", shapes.w_ih0),
+            w_hh0=mk("w_hh0", shapes.w_hh0),
+            b_ih0=mk("b_ih0", shapes.b_ih0),
+            b_hh0=mk("b_hh0", shapes.b_hh0),
+            w_ih=mk("w_ih", shapes.w_ih),
+            w_hh=mk("w_hh", shapes.w_hh),
+            b_ih=mk("b_ih", shapes.b_ih),
+            b_hh=mk("b_hh", shapes.b_hh),
+        )
+        return gru_forward(params, x)

@@ -1,0 +1,17 @@
+"""TPU compute kernels: XLA-native reference paths + Pallas hot paths.
+
+Every Pallas kernel in this package ships with a pure-``jnp`` reference
+implementation used for correctness tests and CPU execution; the dispatching
+wrappers pick the Pallas path on TPU backends and fall back to XLA elsewhere.
+"""
+
+from .segment import (  # noqa: F401
+    segment_sum,
+    segment_mean,
+    segment_max,
+    masked_mean_aggregate,
+    global_mean_pool,
+    global_max_pool,
+)
+from .gru import gru_forward, GRUParams, init_gru_params  # noqa: F401
+from .knn import knn_topk  # noqa: F401

@@ -1,0 +1,121 @@
+"""GRU temporal encoder as a ``jax.lax.scan`` over frames.
+
+Gate-for-gate parity with the cuDNN/torch GRU the reference uses
+(/root/reference/src/models/grusage.py:53-58, ``nn.GRU(batch_first=True)``,
+gate order r,z,n):
+
+    r  = sigmoid(x W_ir^T + b_ir + h W_hr^T + b_hr)
+    z  = sigmoid(x W_iz^T + b_iz + h W_hz^T + b_hz)
+    n  = tanh  (x W_in^T + b_in + r * (h W_hn^T + b_hn))
+    h' = (1 - z) * n + z * h
+
+The scan carries the hidden state over the (static-length) frame axis; the
+three gates of one layer are computed as two fused matmuls ([B,in]x[in,3H]
+and [B,H]x[H,3H]) so the MXU sees large batched GEMMs instead of six small
+ones. Multi-layer stacking runs layers sequentially, matching torch.
+
+TPU note: on TPU the whole scan body fuses into two GEMMs + elementwise VPU
+work per step; with hidden sizes that are multiples of 128 the MXU tiles
+perfectly. A Pallas fused variant is unnecessary — XLA already keeps h in
+registers/VMEM between steps under jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GRUParams(NamedTuple):
+    """Per-layer stacked GRU parameters.
+
+    w_ih: [L, in_or_H, 3H]  (input->hidden, pre-transposed for x @ w)
+    w_hh: [L, H, 3H]
+    b_ih: [L, 3H]
+    b_hh: [L, 3H]
+
+    Layer 0 consumes ``input_size`` features; layers 1.. consume H. To keep a
+    single stacked array, layer 0's w_ih is stored separately.
+    """
+
+    w_ih0: jax.Array  # [input_size, 3H]
+    w_hh0: jax.Array  # [H, 3H]
+    b_ih0: jax.Array  # [3H]
+    b_hh0: jax.Array  # [3H]
+    w_ih: jax.Array  # [L-1, H, 3H] (possibly L-1 == 0)
+    w_hh: jax.Array  # [L-1, H, 3H]
+    b_ih: jax.Array  # [L-1, 3H]
+    b_hh: jax.Array  # [L-1, 3H]
+
+
+def init_gru_params(
+    key: jax.Array, input_size: int, hidden_size: int, num_layers: int, dtype=jnp.float32
+) -> GRUParams:
+    """Uniform(-1/sqrt(H), 1/sqrt(H)) init, matching torch's GRU reset."""
+    bound = 1.0 / (hidden_size**0.5)
+    ks = jax.random.split(key, 8)
+
+    def u(k, shape):
+        return jax.random.uniform(k, shape, dtype=dtype, minval=-bound, maxval=bound)
+
+    lrest = max(num_layers - 1, 0)
+    return GRUParams(
+        w_ih0=u(ks[0], (input_size, 3 * hidden_size)),
+        w_hh0=u(ks[1], (hidden_size, 3 * hidden_size)),
+        b_ih0=u(ks[2], (3 * hidden_size,)),
+        b_hh0=u(ks[3], (3 * hidden_size,)),
+        w_ih=u(ks[4], (lrest, hidden_size, 3 * hidden_size)),
+        w_hh=u(ks[5], (lrest, hidden_size, 3 * hidden_size)),
+        b_ih=u(ks[6], (lrest, 3 * hidden_size)),
+        b_hh=u(ks[7], (lrest, 3 * hidden_size)),
+    )
+
+
+def _gru_layer(x_seq: jax.Array, w_ih, w_hh, b_ih, b_hh, h0: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Run one GRU layer over [B, T, D] -> (outputs [B, T, H], h_last [B, H])."""
+    hidden = w_hh.shape[0]
+
+    # Precompute all input projections in one big GEMM: [B, T, 3H]
+    xproj = jnp.einsum("btd,dh->bth", x_seq, w_ih) + b_ih
+
+    def step(h, xp_t):
+        hproj = h @ w_hh + b_hh
+        xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hproj, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    xproj_t = jnp.moveaxis(xproj, 1, 0)  # [T, B, 3H]
+    h_last, hs = jax.lax.scan(step, h0, xproj_t)
+    return jnp.moveaxis(hs, 0, 1), h_last
+
+
+def gru_forward(params: GRUParams, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Multi-layer GRU over ``x [B, T, D]``.
+
+    Returns ``(outputs [B, T, H], h_last [B, H])`` where ``h_last`` is the
+    final hidden state of the *top* layer — the reference's
+    ``hlast[-1,:,:]`` (grusage.py:160-161).
+    """
+    batch = x.shape[0]
+    hidden = params.w_hh0.shape[0]
+    h0 = jnp.zeros((batch, hidden), dtype=x.dtype)
+
+    out, h_last = _gru_layer(x, params.w_ih0, params.w_hh0, params.b_ih0, params.b_hh0, h0)
+
+    num_rest = params.w_ih.shape[0]
+    for layer in range(num_rest):  # static unroll; num_layers is tiny (1-2)
+        out, h_last = _gru_layer(
+            out,
+            params.w_ih[layer],
+            params.w_hh[layer],
+            params.b_ih[layer],
+            params.b_hh[layer],
+            h0,
+        )
+    return out, h_last

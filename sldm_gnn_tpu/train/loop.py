@@ -1,0 +1,327 @@
+"""Jitted training and evaluation loops.
+
+Parity target: /root/reference/src/utils.py:176-308 ``train_model`` —
+Adam (torch semantics: L2 folded into the gradient, not decoupled), BCE with
+pos_weight = neg/pos or focal loss, per-epoch train + eval phases with
+0.5-threshold accuracy, best-validation-accuracy snapshotting, and per-label
+accuracy curves (plus confusion-matrix/ROC-AUC stats for single-label runs).
+
+TPU-first differences: the whole step (fwd + bwd + optimizer update) is one
+jitted function over a static-shape :class:`PaddedGraphBatch`; metrics are
+accumulated as device scalars and fetched once per epoch.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..graph.containers import PaddedGraphBatch
+from ..models.grusage import GruSage, GruSageConfig
+from ..models.map_modules import MapData
+from .losses import masked_graph_loss
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) equivalent: L2 is added to the
+    gradient *before* the Adam moments (reference: src/utils.py:178)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-lr),
+    )
+
+
+@dataclass
+class StepFns:
+    train_step: Callable
+    eval_step: Callable
+    init: Callable
+
+
+def build_step_fns(
+    model: GruSage,
+    optimizer: optax.GradientTransformation,
+    *,
+    loss_type: str = "bce",
+    pos_weight: float = 1.0,
+    focal_alpha: float = 0.75,
+    focal_gamma: float = 2.0,
+    map_data: MapData | None = None,
+) -> StepFns:
+    """Build jitted train/eval step closures for a model instance."""
+
+    def loss_fn(params, batch: PaddedGraphBatch, rng):
+        logits = model.apply(
+            {"params": params},
+            batch,
+            map_data=map_data,
+            train=True,
+            rngs={"dropout": rng},
+        )
+        loss = masked_graph_loss(
+            logits,
+            batch.y,
+            batch.graph_mask,
+            loss_type=loss_type,
+            pos_weight=pos_weight,
+            focal_alpha=focal_alpha,
+            focal_gamma=focal_gamma,
+        )
+        return loss, logits
+
+    @jax.jit
+    def train_step(state: TrainState, batch: PaddedGraphBatch, rng):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        scores = jax.nn.sigmoid(logits)
+        preds = (scores >= 0.5).astype(jnp.float32)
+        correct = jnp.sum(
+            (preds == batch.y).astype(jnp.int32) * batch.graph_mask[:, None].astype(jnp.int32),
+            axis=0,
+        )
+        n_graphs = jnp.sum(batch.graph_mask.astype(jnp.int32))
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {
+            "loss": loss,
+            "correct": correct,
+            "n_graphs": n_graphs,
+        }
+
+    @jax.jit
+    def eval_step(params, batch: PaddedGraphBatch):
+        logits = model.apply({"params": params}, batch, map_data=map_data, train=False)
+        loss = masked_graph_loss(
+            logits,
+            batch.y,
+            batch.graph_mask,
+            loss_type=loss_type,
+            pos_weight=pos_weight,
+            focal_alpha=focal_alpha,
+            focal_gamma=focal_gamma,
+        )
+        scores = jax.nn.sigmoid(logits)
+        preds = (scores >= 0.5).astype(jnp.float32)
+        correct = jnp.sum(
+            (preds == batch.y).astype(jnp.int32) * batch.graph_mask[:, None].astype(jnp.int32),
+            axis=0,
+        )
+        n_graphs = jnp.sum(batch.graph_mask.astype(jnp.int32))
+        return {
+            "loss": loss,
+            "correct": correct,
+            "n_graphs": n_graphs,
+            "scores": scores,
+            "preds": preds,
+        }
+
+    def init(rng, example_batch: PaddedGraphBatch) -> TrainState:
+        variables = model.init(
+            {"params": rng, "dropout": rng}, example_batch, map_data=map_data, train=False
+        )
+        params = variables["params"]
+        return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
+
+    return StepFns(train_step=train_step, eval_step=eval_step, init=init)
+
+
+@dataclass
+class TrainResult:
+    """Accuracy curves, mirroring the reference's return tuple
+    (src/utils.py:308): per-label and total train/val accuracy per epoch,
+    plus binary CM/ROC-AUC stats for single-label runs."""
+
+    per_label_train_acc: np.ndarray  # [L, epochs]
+    total_train_acc: np.ndarray  # [1, epochs]
+    per_label_val_acc: np.ndarray  # [L, epochs]
+    total_val_acc: np.ndarray  # [1, epochs]
+    bin_cm: np.ndarray | None = None  # [4, epochs] tn,fp,fn,tp
+    bin_rocauc: np.ndarray | None = None  # [1, epochs]
+    best_val_acc: float = 0.0
+    train_loss: np.ndarray | None = None
+    val_loss: np.ndarray | None = None
+
+
+def _roc_auc(gt: np.ndarray, scores: np.ndarray) -> float:
+    """Rank-based ROC-AUC (ties averaged) — matches sklearn.roc_auc_score."""
+    pos = scores[gt == 1]
+    neg = scores[gt == 0]
+    if len(pos) == 0 or len(neg) == 0:
+        return float("nan")
+    order = np.argsort(np.concatenate([pos, neg]), kind="mergesort")
+    ranks = np.empty(len(order), dtype=np.float64)
+    sorted_scores = np.concatenate([pos, neg])[order]
+    # average ranks for ties
+    i = 0
+    r = np.arange(1, len(order) + 1, dtype=np.float64)
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        r[i : j + 1] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    ranks[order] = r
+    rank_pos = ranks[: len(pos)].sum()
+    auc = (rank_pos - len(pos) * (len(pos) + 1) / 2.0) / (len(pos) * len(neg))
+    return float(auc)
+
+
+def train_model(
+    model: GruSage,
+    train_batches: Callable[[], Iterable[PaddedGraphBatch]],
+    eval_batches: Callable[[], Iterable[PaddedGraphBatch]],
+    *,
+    epochs: int = 10,
+    lr: float = 1e-3,
+    weight_decay: float = 1e-5,
+    active_labels: Sequence[int] = (0,),
+    neg_over_pos_ratio: float = 1.0,
+    focal_alpha: float | None = None,
+    focal_gamma: float = 0.0,
+    map_data: MapData | None = None,
+    seed: int = 0,
+    best_state_callback: Callable[[Any, dict], None] | None = None,
+    epoch_callback: Callable[[int, dict], None] | None = None,
+    init_state: TrainState | None = None,
+) -> tuple[TrainState, TrainResult]:
+    """Full training run. ``train_batches``/``eval_batches`` are zero-arg
+    callables returning fresh per-epoch iterators (the loader re-shuffles).
+
+    Loss selection parity (src/utils.py:180-196): focal when focal_gamma>0
+    with auto alpha = neg_frac, else BCE with pos_weight=neg/pos.
+    """
+    L = len(active_labels)
+    if focal_gamma > 0:
+        if focal_alpha is None:
+            focal_alpha = neg_over_pos_ratio / (1.0 + neg_over_pos_ratio)
+        loss_kw = dict(loss_type="focal", focal_alpha=focal_alpha, focal_gamma=focal_gamma)
+        loss_info = {"type": "focal", "alpha": focal_alpha, "gamma": focal_gamma}
+    else:
+        loss_kw = dict(loss_type="bce", pos_weight=float(neg_over_pos_ratio))
+        loss_info = {"type": "BCEWithLogits", "pos_weight": float(neg_over_pos_ratio)}
+
+    optimizer = make_optimizer(lr, weight_decay)
+    fns = build_step_fns(model, optimizer, map_data=map_data, **loss_kw)
+
+    rng = jax.random.PRNGKey(seed)
+    first = next(iter(train_batches()))
+    if init_state is None:
+        rng, init_rng = jax.random.split(rng)
+        state = fns.init(init_rng, jax.tree.map(jnp.asarray, first))
+    else:
+        state = init_state
+
+    pl_tracc = np.zeros((L, epochs), np.float32)
+    tot_tracc = np.zeros((1, epochs), np.float32)
+    pl_vacc = np.zeros((L, epochs), np.float32)
+    tot_vacc = np.zeros((1, epochs), np.float32)
+    tr_loss_curve = np.zeros((epochs,), np.float32)
+    vl_loss_curve = np.zeros((epochs,), np.float32)
+    bin_cm = np.zeros((4, epochs), np.int64) if L == 1 else None
+    bin_auc = np.zeros((1, epochs), np.float32) if L == 1 else None
+    best_vacc = 0.0
+
+    for epoch in range(epochs):
+        # ---- train phase
+        correct = np.zeros((L,), np.int64)
+        n = 0
+        loss_sum = 0.0
+        nb = 0
+        for batch in train_batches():
+            rng, step_rng = jax.random.split(rng)
+            state, m = fns.train_step(state, jax.tree.map(jnp.asarray, batch), step_rng)
+            correct += np.asarray(m["correct"])
+            n += int(m["n_graphs"])
+            loss_sum += float(m["loss"])
+            nb += 1
+        tot_tracc[0, epoch] = correct.sum() / max(n * L, 1)
+        pl_tracc[:, epoch] = correct / max(n, 1)
+        tr_loss_curve[epoch] = loss_sum / max(nb, 1)
+
+        # ---- eval phase
+        correct = np.zeros((L,), np.int64)
+        n = 0
+        loss_sum = 0.0
+        nb = 0
+        all_scores, all_preds, all_gt, all_mask = [], [], [], []
+        for batch in eval_batches():
+            m = fns.eval_step(state.params, jax.tree.map(jnp.asarray, batch))
+            correct += np.asarray(m["correct"])
+            n += int(m["n_graphs"])
+            loss_sum += float(m["loss"])
+            nb += 1
+            if L == 1:
+                gm = np.asarray(batch.graph_mask)
+                all_scores.append(np.asarray(m["scores"])[gm])
+                all_preds.append(np.asarray(m["preds"])[gm])
+                all_gt.append(np.asarray(batch.y)[gm])
+        tot_vacc[0, epoch] = correct.sum() / max(n * L, 1)
+        pl_vacc[:, epoch] = correct / max(n, 1)
+        vl_loss_curve[epoch] = loss_sum / max(nb, 1)
+
+        if tot_vacc[0, epoch] > best_vacc:
+            best_vacc = float(tot_vacc[0, epoch])
+            if best_state_callback is not None:
+                best_state_callback(state, {"val_acc": best_vacc, "epoch": epoch, "loss_info": loss_info})
+
+        if L == 1 and all_scores:
+            scr = np.concatenate(all_scores).ravel()
+            prd = np.concatenate(all_preds).ravel()
+            gt = np.concatenate(all_gt).ravel().astype(np.int32)
+            tp = int(((prd == 1) & (gt == 1)).sum())
+            tn = int(((prd == 0) & (gt == 0)).sum())
+            fp = int(((prd == 1) & (gt == 0)).sum())
+            fn = int(((prd == 0) & (gt == 1)).sum())
+            bin_cm[:, epoch] = [tn, fp, fn, tp]
+            bin_auc[0, epoch] = _roc_auc(gt, scr)
+
+        if epoch_callback is not None:
+            epoch_callback(
+                epoch,
+                {
+                    "train_acc": float(tot_tracc[0, epoch]),
+                    "val_acc": float(tot_vacc[0, epoch]),
+                    "train_loss": float(tr_loss_curve[epoch]),
+                    "val_loss": float(vl_loss_curve[epoch]),
+                },
+            )
+
+    result = TrainResult(
+        per_label_train_acc=pl_tracc,
+        total_train_acc=tot_tracc,
+        per_label_val_acc=pl_vacc,
+        total_val_acc=tot_vacc,
+        bin_cm=bin_cm,
+        bin_rocauc=bin_auc,
+        best_val_acc=best_vacc,
+        train_loss=tr_loss_curve,
+        val_loss=vl_loss_curve,
+    )
+    return state, result
+
+
+def make_train_step(model, optimizer, **kw):
+    return build_step_fns(model, optimizer, **kw).train_step
+
+
+def make_eval_step(model, optimizer=None, **kw):
+    opt = optimizer or make_optimizer(1e-3, 0.0)
+    return build_step_fns(model, opt, **kw).eval_step

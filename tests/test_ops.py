@@ -1,0 +1,121 @@
+"""Kernel unit tests: segment ops, GRU scan vs torch GRU, KNN vs torch.topk."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from sldm_gnn_tpu.ops.segment import (
+    masked_mean_aggregate,
+    global_mean_pool,
+    global_max_pool,
+    segment_mean,
+    segment_max,
+)
+from sldm_gnn_tpu.ops.gru import GRUParams, gru_forward
+from sldm_gnn_tpu.ops.knn import knn_topk
+
+
+def test_masked_mean_aggregate_matches_scatter_mean(rng):
+    N, E, D = 13, 40, 7
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    src = rng.integers(0, N, E).astype(np.int32)
+    dst = rng.integers(0, N, E).astype(np.int32)
+    mask = rng.random(E) > 0.3
+
+    out = np.asarray(masked_mean_aggregate(jnp.array(x), jnp.array(src), jnp.array(dst), jnp.array(mask), N))
+
+    expect = np.zeros((N, D), np.float32)
+    deg = np.zeros(N, np.float32)
+    for e in range(E):
+        if mask[e]:
+            expect[dst[e]] += x[src[e]]
+            deg[dst[e]] += 1
+    expect = expect / np.maximum(deg, 1)[:, None]
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_padded_edges_dropped(rng):
+    """Edges with dst == num_nodes (padding convention) must not contribute."""
+    N, D = 5, 3
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    src = np.array([0, 1, 0], np.int32)
+    dst = np.array([2, 2, N], np.int32)  # last edge is padding
+    mask = np.array([True, True, False])
+    out = np.asarray(masked_mean_aggregate(jnp.array(x), jnp.array(src), jnp.array(dst), jnp.array(mask), N))
+    np.testing.assert_allclose(out[2], (x[0] + x[1]) / 2, rtol=1e-5)
+    np.testing.assert_allclose(out[0], 0.0)
+
+
+def test_global_pools(rng):
+    N, D, G = 11, 4, 3
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    node_graph = np.array([0] * 4 + [1] * 3 + [2] * 2 + [G] * 2, np.int32)
+    node_mask = node_graph < G
+    mean = np.asarray(global_mean_pool(jnp.array(x), jnp.array(node_graph), jnp.array(node_mask), G))
+    mx = np.asarray(global_max_pool(jnp.array(x), jnp.array(node_graph), jnp.array(node_mask), G))
+    np.testing.assert_allclose(mean[0], x[:4].mean(0), rtol=1e-5)
+    np.testing.assert_allclose(mean[1], x[4:7].mean(0), rtol=1e-5)
+    np.testing.assert_allclose(mx[2], x[7:9].max(0), rtol=1e-5)
+
+
+def _torch_gru_to_params(gru: torch.nn.GRU) -> GRUParams:
+    sd = {k: v.detach().numpy() for k, v in gru.state_dict().items()}
+    L = gru.num_layers
+    H = gru.hidden_size
+
+    def t(a):
+        return jnp.array(a.T)
+
+    rest_wih = np.stack([sd[f"weight_ih_l{l}"].T for l in range(1, L)]) if L > 1 else np.zeros((0, H, 3 * H), np.float32)
+    rest_whh = np.stack([sd[f"weight_hh_l{l}"].T for l in range(1, L)]) if L > 1 else np.zeros((0, H, 3 * H), np.float32)
+    rest_bih = np.stack([sd[f"bias_ih_l{l}"] for l in range(1, L)]) if L > 1 else np.zeros((0, 3 * H), np.float32)
+    rest_bhh = np.stack([sd[f"bias_hh_l{l}"] for l in range(1, L)]) if L > 1 else np.zeros((0, 3 * H), np.float32)
+    return GRUParams(
+        w_ih0=t(sd["weight_ih_l0"]),
+        w_hh0=t(sd["weight_hh_l0"]),
+        b_ih0=jnp.array(sd["bias_ih_l0"]),
+        b_hh0=jnp.array(sd["bias_hh_l0"]),
+        w_ih=jnp.array(rest_wih),
+        w_hh=jnp.array(rest_whh),
+        b_ih=jnp.array(rest_bih),
+        b_hh=jnp.array(rest_bhh),
+    )
+
+
+def test_gru_matches_torch_single_layer(rng):
+    torch.manual_seed(0)
+    B, T, D, H = 9, 17, 6, 24
+    gru = torch.nn.GRU(D, H, num_layers=1, batch_first=True)
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    with torch.no_grad():
+        out_t, h_t = gru(torch.tensor(x))
+    params = _torch_gru_to_params(gru)
+    out_j, h_j = gru_forward(params, jnp.array(x))
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_j), h_t[-1].numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_gru_matches_torch_two_layers(rng):
+    torch.manual_seed(1)
+    B, T, D, H = 4, 12, 5, 16
+    gru = torch.nn.GRU(D, H, num_layers=2, batch_first=True)
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    with torch.no_grad():
+        out_t, h_t = gru(torch.tensor(x))
+    params = _torch_gru_to_params(gru)
+    out_j, h_j = gru_forward(params, jnp.array(x))
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_j), h_t[-1].numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_knn_matches_torch_topk(rng):
+    V, S, K = 20, 57, 5
+    pts = rng.standard_normal((V, 2)).astype(np.float32)
+    cents = rng.standard_normal((S, 2)).astype(np.float32)
+    d_j, idx_j = knn_topk(jnp.array(pts), jnp.array(cents), K)
+
+    d_t = torch.cdist(torch.tensor(pts), torch.tensor(cents))
+    neg, idx_t = torch.topk(-d_t, k=K, dim=1)
+    np.testing.assert_allclose(np.asarray(d_j), (-neg).numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx_j), idx_t.numpy())
