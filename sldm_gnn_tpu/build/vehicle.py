@@ -1,0 +1,175 @@
+"""Offline pack→graph ETL (the reference's GraphsBuilder,
+/root/reference/src/gbuilder.py:432-624, re-designed).
+
+Reads the parquet triplet of a split directory
+(``packs.parquet`` per-frame rows [PackId, VehicleId, FrameId, X, Y, Speed,
+Angle], ``vinfo.parquet`` [VehicleId, Width, Length, StationType],
+``labels.parquet`` [PackId, MLBEncoded] bitmask — gbuilder.py:452-476),
+tensorizes each pack (vectorized; no per-row DataFrame concat), builds
+trajectory-proximity edges, decodes the label bitmask, and writes one
+``pack_<pid>.npz`` per pack plus ``metadata.json``
+(fields parity: gbuilder.py:615-622).
+
+Process parallelism: a ``multiprocessing`` pool over packs mirrors the
+reference's worker/queue ETL (§2.4.2) but with row-group streaming kept in
+the parent. When the native C++ edge kernel (native/libgraphbuild.so) is
+present it is used per worker for the O(V²F) edge computation.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from multiprocessing import Pool
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..labels import ALL_LABELS, decode_bitmask
+from ..utils.metadata import MetaData
+from .tensorize import build_trajectory_edges, tensorize_pack
+
+
+def pack_to_graph(
+    pack_df: pd.DataFrame,
+    vinfo_df: pd.DataFrame | None,
+    *,
+    frames_num: int,
+    m_radius: float,
+    mlb: int | None,
+    active_labels: list[int],
+) -> dict[str, np.ndarray]:
+    """Build one pack graph as a dict of arrays (npz payload)."""
+    x, xsttype, xdims = tensorize_pack(pack_df, vinfo_df, frames_num)
+    edge_index, edge_attr = build_trajectory_edges(x, m_radius)
+    out = {
+        "x": x,
+        "xsttype": xsttype,
+        "xdims": xdims,
+        "edge_index": edge_index,
+        "edge_attr": edge_attr,
+    }
+    if mlb is not None:
+        out["y"] = np.array(decode_bitmask(mlb, active_labels), dtype=np.float32)
+    return out
+
+
+def _worker(args):
+    pid, pack_records, vinfo_records, frames_num, m_radius, mlb, active_labels, gpath = args
+    pack_df = pd.DataFrame(pack_records)
+    vinfo_df = pd.DataFrame(vinfo_records) if vinfo_records is not None else None
+    g = pack_to_graph(
+        pack_df,
+        vinfo_df,
+        frames_num=frames_num,
+        m_radius=m_radius,
+        mlb=mlb,
+        active_labels=active_labels,
+    )
+    np.savez(Path(gpath) / f"pack_{pid}.npz", **g)
+    return pid
+
+
+class GraphsBuilder:
+    def __init__(
+        self,
+        dirpath: Path | str,
+        *,
+        frames_num: int,
+        m_radius: float,
+        active_labels: list[int] | None = None,
+        n_workers: int = 1,
+    ):
+        self.dirpath = Path(dirpath).resolve()
+        self.gpath = self.dirpath / ".graphs"
+        self.frames_num = frames_num
+        self.m_radius = m_radius
+        self.n_workers = n_workers
+
+        if active_labels is None:
+            active_labels = list(ALL_LABELS)
+        elif len(active_labels) == 0:
+            raise ValueError("active_labels must contain at least one label index")
+        else:
+            for c in active_labels:
+                if not isinstance(c, int) or c < 0:
+                    raise ValueError("active_labels must be non-negative integers")
+        self.active_labels = active_labels
+
+        ypath = self.dirpath / "labels.parquet"
+        self.labels_df = pd.read_parquet(ypath) if ypath.is_file() else None
+
+        vpath = self.dirpath / "vinfo.parquet"
+        if vpath.is_file():
+            v = pd.read_parquet(vpath)
+            v["Width"] = v["Width"].fillna(0.0)
+            v["Length"] = v["Length"].fillna(0.0)
+            self.vinfo_df = v
+        else:
+            self.vinfo_df = None
+
+    def _mlb_by_pid(self, pid) -> int | None:
+        if self.labels_df is None:
+            return None
+        rows = self.labels_df[self.labels_df["PackId"] == pid]
+        if len(rows) > 1:
+            raise ValueError(f"Multiple label rows for PackId {pid}")
+        if len(rows) == 1:
+            return int(rows["MLBEncoded"].values[0])
+        return None
+
+    def save(self, *, progress: bool = False) -> Path:
+        if self.gpath.exists():
+            shutil.rmtree(self.gpath)
+        self.gpath.mkdir(parents=True)
+
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.dirpath / "packs.parquet")
+        tasks = []
+        for rg in range(pf.num_row_groups):
+            batch_df = pf.read_row_group(rg).to_pandas()
+            for pid, pg in batch_df.groupby("PackId"):
+                tasks.append(
+                    (
+                        pid,
+                        pg.drop(columns=["PackId"]).to_dict("list"),
+                        self.vinfo_df.to_dict("list") if self.vinfo_df is not None else None,
+                        self.frames_num,
+                        self.m_radius,
+                        self._mlb_by_pid(pid),
+                        self.active_labels,
+                        str(self.gpath),
+                    )
+                )
+        pf.close()
+
+        if self.n_workers > 1:
+            with Pool(self.n_workers) as pool:
+                for i, _ in enumerate(pool.imap_unordered(_worker, tasks)):
+                    if progress and i % 50 == 0:
+                        print(f"built {i + 1}/{len(tasks)} graphs")
+        else:
+            for i, t in enumerate(tasks):
+                _worker(t)
+                if progress and i % 50 == 0:
+                    print(f"built {i + 1}/{len(tasks)} graphs")
+
+        n_samples = (
+            int(self.labels_df["PackId"].nunique())
+            if self.labels_df is not None
+            else len(list(self.gpath.glob("*.npz")))
+        )
+        n_positive = (
+            int((self.labels_df["MLBEncoded"] > 0).sum()) if self.labels_df is not None else None
+        )
+        MetaData(
+            n_samples=n_samples,
+            n_positive=n_positive,
+            n_edge_features=4,
+            frames_num=self.frames_num,
+            m_radius=self.m_radius,
+            active_labels=self.active_labels,
+        ).to_json(self.gpath / "metadata.json")
+        return self.gpath
