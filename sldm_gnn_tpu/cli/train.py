@@ -1,0 +1,236 @@
+"""Param-sweep training driver CLI (parity: /root/reference/main.py).
+
+Runs the cartesian grid of ``GRUSAGE_PARAMS_DICT`` combinations, each with:
+transforms -> datasets (shared precomputed mu/sigma) -> loaders -> GruSage
+-> jitted training with best-val-accuracy snapshotting -> accuracy plot.
+
+The reference spawns process pools sharing one GPU (main.py:277-342); on
+TPU, combinations run sequentially — each already saturates the chip with a
+fully jitted step — so the sweep engine is the same but the scheduling is
+simpler. Resumable config-dir numbering is preserved (main.py:240-250).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import click
+import numpy as np
+
+from ..build.map_builder import load_map_data
+from ..data.dataset import GraphDataset
+from ..data.loader import GraphLoader
+from ..data.transforms import AddNoise, Compose, CutFrames
+from ..models.grusage import GruSage, GruSageConfig
+from ..train.loop import train_model
+from ..train.plots import plot_accuracies
+from ..train.snapshot import save_snapshot
+from ..train.sweep import ParamSweepContext
+from ..utils.metadata import MetaData
+
+GRUSAGE_PARAMS_DICT = {
+    "epochs": [200],
+    "batch_size": [32],
+    "lr": [1e-3],
+    "weight_decay": [5e-5],
+    "tf_pos_noise": [True],
+    "pos_noise_std": [0.2],
+    "pos_noise_std_max": [0.2],
+    "pos_noise_prop_to_speed": [True],
+    "focal_gamma": [0.0],
+    "focal_alpha": [None],
+    "emb_dim": [8],
+    "num_possible_station_types": [256],
+    "gs_dropout": [0.25],
+    "gs_neg_slope": [0.1],
+    "gs_hidden_size": [96],
+    "gs_gru_hidden_size": (lambda hs: hs, "gs_hidden_size"),
+    "gs_gru_num_layers": [1],
+    "gs_fc1_dims": (lambda hs: [hs], "gs_hidden_size"),
+    "gs_sage_hidden_dims": (lambda hs: [hs, hs], "gs_hidden_size"),
+    "gs_pooling": ["double"],
+    "gs_fc2_dims": (lambda hs: [hs // 3], "gs_hidden_size"),
+    "gs_map_hidden_size": [32],
+    "gs_mapenc_lane_embdim": (lambda mhs: mhs // 4, "gs_map_hidden_size"),
+    "gs_mapenc_sage_hdims": (lambda mhs: [mhs, mhs], "gs_map_hidden_size"),
+    "gs_map_attention_topk": [5],
+}
+
+
+def config_from_combo(comb: dict, meta: MetaData, *, include_map: bool, num_lane_types: int) -> GruSageConfig:
+    return GruSageConfig(
+        dynamic_features_num=meta.n_node_temporal_features,
+        frames_num=meta.frames_num,
+        gru_hidden_size=comb["gs_gru_hidden_size"],
+        gru_num_layers=comb["gs_gru_num_layers"],
+        fc1dims=tuple(comb["gs_fc1_dims"]),
+        sage_hidden_dims=tuple(comb["gs_sage_hidden_dims"]),
+        fc2dims=tuple(comb["gs_fc2_dims"]),
+        out_dim=len(meta.active_labels),
+        num_st_types=comb["num_possible_station_types"],
+        emb_dim=comb["emb_dim"],
+        dropout=comb["gs_dropout"],
+        negative_slope=comb["gs_neg_slope"],
+        global_pooling=comb["gs_pooling"],
+        map_included=include_map,
+        num_lane_types=num_lane_types,
+        mapenc_sage_hdims=tuple(comb["gs_mapenc_sage_hdims"]),
+        mapenc_lane_embdim=comb["gs_mapenc_lane_embdim"],
+        map_attention_topk=comb["gs_map_attention_topk"],
+    )
+
+
+def train_combination(
+    i: int,
+    comb: dict,
+    *,
+    inputdir: Path,
+    cfgdir: Path,
+    lbnum: int,
+    cut: int | None,
+    include_map: bool,
+    mu_sigma,
+    quiet: bool = False,
+    epochs_override: int | None = None,
+):
+    inpath = inputdir.resolve()
+    tr_gpath = inpath / "train" / ".graphs"
+    ev_gpath = inpath / "eval" / ".graphs"
+    tr_meta = MetaData.load_json(tr_gpath / "metadata.json")
+    ev_meta = MetaData.load_json(ev_gpath / "metadata.json")
+
+    tfs = []
+    if comb.get("tf_pos_noise"):
+        prop = comb.get("pos_noise_prop_to_speed")
+        std = comb["pos_noise_std_max"] if prop else comb["pos_noise_std"]
+        tfs.append(AddNoise("pos", std, tr_meta, prop_to_speed=prop))
+    if cut is not None:
+        tfs.append(CutFrames(cut))
+    transform = Compose(tfs) if tfs else None
+
+    d_train = GraphDataset(tr_gpath, transform=transform, normalize_zscore=True,
+                           metadata=tr_meta, zscore_mu_sigma=mu_sigma)
+    d_eval = GraphDataset(ev_gpath, transform=transform, normalize_zscore=True,
+                          metadata=ev_meta, zscore_mu_sigma=mu_sigma)
+
+    lt = GraphLoader(d_train, comb["batch_size"], shuffle=True, seed=i)
+    le = GraphLoader(d_eval, comb["batch_size"], shuffle=True, seed=i, dims=None)
+
+    map_data = None
+    num_lane_types = 8
+    if include_map:
+        map_path = inpath / ".map" / "vmap.npz"
+        map_data = load_map_data(map_path)
+        num_lane_types = int(np.asarray(map_data.lane_type_cats).max()) + 1
+
+    meta_for_cfg = tr_meta if cut is None else MetaData(
+        n_samples=tr_meta.n_samples, n_positive=tr_meta.n_positive,
+        n_edge_features=tr_meta.n_edge_features, frames_num=cut,
+        m_radius=tr_meta.m_radius, active_labels=tr_meta.active_labels,
+    )
+    cfg = config_from_combo(comb, meta_for_cfg, include_map=include_map, num_lane_types=num_lane_types)
+    model = GruSage(cfg)
+
+    fbase = f"GRUSAGE_{'MAP_' if include_map else ''}"
+    state_path = cfgdir / f"{fbase}_best_state.pkl"
+    mu_sigma_dict = {"mu": mu_sigma[0], "sigma": mu_sigma[1]}
+    train_prior = (tr_meta.n_positive or 0) / tr_meta.n_samples
+
+    def on_best(state, info):
+        baked_emb = baked_cent = None
+        if include_map:
+            baked_emb = np.asarray(
+                model.apply({"params": state.params}, map_data, method=GruSage.encode_map)
+            )
+            baked_cent = np.asarray(map_data.centroids)
+        save_snapshot(
+            state_path,
+            params=state.params,
+            config=cfg,
+            norm_stat_dict=mu_sigma_dict,
+            train_prior=train_prior,
+            loss_info=info.get("loss_info"),
+            map_embeddings=baked_emb,
+            map_centroids=baked_cent,
+        )
+        if not quiet:
+            click.echo(f"New best snapshot @ val acc {info['val_acc']:.4f} -> {state_path}")
+
+    def on_epoch(epoch, m):
+        if not quiet:
+            click.echo(
+                f"[combo {i + 1}] epoch {epoch + 1}: tr_acc={m['train_acc']:.4f} "
+                f"vl_acc={m['val_acc']:.4f} tr_loss={m['train_loss']:.4f} vl_loss={m['val_loss']:.4f}"
+            )
+
+    state, result = train_model(
+        model,
+        lambda: iter(lt),
+        lambda: iter(le),
+        epochs=epochs_override or comb["epochs"],
+        lr=comb["lr"],
+        weight_decay=comb["weight_decay"],
+        active_labels=tr_meta.active_labels,
+        neg_over_pos_ratio=tr_meta.neg_over_pos_ratio(),
+        focal_alpha=comb.get("focal_alpha"),
+        focal_gamma=comb.get("focal_gamma") or 0.0,
+        map_data=map_data,
+        seed=i,
+        best_state_callback=on_best,
+        epoch_callback=on_epoch,
+    )
+
+    params_text = "\n".join(f"{k}: {v}" for k, v in sorted(comb.items()))
+    plot_accuracies(result, cfgdir / f"{fbase}_trev_plot.png", label_num=lbnum, params_text=params_text)
+    return state, result
+
+
+@click.command()
+@click.argument("inputdir", type=click.Path(exists=True, file_okay=False, path_type=Path))
+@click.argument("outdir", type=click.Path(file_okay=False, path_type=Path))
+@click.option("-l", "--label-num", "lbnum", type=int, required=True)
+@click.option("--cut", type=int, default=None, help="Truncate frames for early prediction.")
+@click.option("--include-map", is_flag=True, default=False)
+@click.option("--epochs", "epochs_override", type=int, default=None,
+              help="Override the grid's epoch count (smoke runs).")
+@click.option("-y", "--yes", is_flag=True, default=False, help="Skip the confirmation prompt.")
+def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, yes):
+    psc = ParamSweepContext(GRUSAGE_PARAMS_DICT)
+    click.echo(f"TOT_COMBINATIONS={len(psc)}")
+    if not yes and not click.confirm("Train all combinations?", default=True):
+        return
+
+    # resumable config-dir numbering
+    max_idx = -1
+    if outdir.exists():
+        for sub in outdir.iterdir():
+            m = re.match(r"config(\d+)", sub.name)
+            if sub.is_dir() and m:
+                max_idx = max(max_idx, int(m.group(1)))
+    click.echo(f"Existing config dirs up to index {max_idx}; new configs start at {max_idx + 1}")
+
+    # shared mu/sigma computed once on raw data (independent of swept params)
+    tr_gpath = inputdir.resolve() / "train" / ".graphs"
+    tr_meta = MetaData.load_json(tr_gpath / "metadata.json")
+    click.echo("Precomputing dataset mu/sigma (shared across combinations)")
+    mu_sigma = GraphDataset(tr_gpath, normalize_zscore=True, metadata=tr_meta).get_mu_sigma()
+
+    for i, comb in enumerate(psc.combinations()):
+        cfgdir = outdir / f"config{i + max_idx + 2:02d}"
+        cfgdir.mkdir(parents=True, exist_ok=True)
+        click.echo(f"=== combination {i + 1}/{len(psc)} -> {cfgdir}")
+        try:
+            train_combination(
+                i, comb, inputdir=inputdir, cfgdir=cfgdir, lbnum=lbnum, cut=cut,
+                include_map=include_map, mu_sigma=mu_sigma, epochs_override=epochs_override,
+            )
+        except Exception as e:  # sweep continues on per-combination failure (main.py:217-222)
+            import traceback
+
+            click.echo(f"Combination {i + 1} FAILED: {e}")
+            click.echo(traceback.format_exc())
+
+
+if __name__ == "__main__":
+    main()

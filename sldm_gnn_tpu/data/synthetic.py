@@ -25,6 +25,7 @@ def make_vehicle_split(
     seed: int = 0,
     area: float = 100.0,
     drop_frame_frac: float = 0.2,
+    positive_frac: float = 0.6,
 ) -> Path:
     """Write a packs/labels/vinfo parquet triplet of random trajectories."""
     outdir = Path(outdir)
@@ -47,7 +48,7 @@ def make_vehicle_split(
     for pid in range(n_packs):
         nv = int(rng.integers(1, max_vehicles + 1))
         vids = rng.choice(all_vids, nv, replace=False)
-        mlb = int(rng.integers(0, 2**n_labels))
+        mlb = int(rng.integers(1, 2**n_labels)) if rng.random() < positive_frac else 0
         labels.append({"PackId": pid, "MLBEncoded": mlb})
         for vid in vids:
             x0, y0 = rng.uniform(0, area, 2)

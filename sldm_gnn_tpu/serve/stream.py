@@ -1,0 +1,203 @@
+"""Streaming inference server: named-pipe JSON frames -> sliding window ->
+on-the-fly graph build -> jitted model -> CSV scores.
+
+Parity: /root/reference/rcv.py — producer thread does blocking reads on a
+FIFO and parses newline-delimited JSON frames into DataFrames appended to a
+shared deque under a Condition (:24-56); the consumer waits for
+``pack_size`` frames, concatenates them into a pack with ``FrameId`` keys
+(:69-74), builds the window graph, runs the model, appends the sigmoid
+score to a CSV (writing ``"."`` for empty windows, :77-87), then pops one
+frame for a stride-1 sliding window (:89-91). Clean shutdown via a
+termination Event + ``notify_all``.
+
+TPU-first difference: window graphs are padded to power-of-two node/edge
+**buckets** before the jitted forward, so the stream triggers at most
+O(log V_max) compilations instead of one per distinct vehicle count
+(SURVEY.md §7 hard part 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from collections import deque
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..build.online import GraphOnlineCreator
+from ..graph.batching import BatchDims, pad_and_batch
+from ..models.grusage import GruSage
+from ..train.snapshot import load_snapshot
+
+MAX_JSON_CHUNK_SIZE = 32 * 1024
+
+
+def _next_pow2(n: int, lo: int = 4) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+class InferenceEngine:
+    """Snapshot-driven single-window inference with bucketed padding."""
+
+    def __init__(self, snapshot_path: Path | str, *, pack_size: int, m_radius: float = 25.0):
+        import jax
+        import jax.numpy as jnp
+
+        snap = load_snapshot(snapshot_path)
+        self.config = snap["config"]
+        self.params = snap["params"]
+        self.map_embeddings = (
+            jnp.asarray(snap["map_embeddings"]) if snap["map_embeddings"] is not None else None
+        )
+        self.map_centroids = (
+            jnp.asarray(snap["map_centroids"]) if snap["map_centroids"] is not None else None
+        )
+        self.model = GruSage(self.config)
+        self.creator = GraphOnlineCreator(
+            frames_num=pack_size,
+            m_radius=m_radius,
+            active_labels=None,
+            has_label=False,
+            norm_stats=snap["norm_stat_dict"],
+        )
+        self.pack_size = pack_size
+        self._jax = jax
+        self._jnp = jnp
+
+        def fwd(params, batch):
+            return jax.nn.sigmoid(
+                self.model.apply(
+                    {"params": params},
+                    batch,
+                    map_embeddings=self.map_embeddings,
+                    map_centroids=self.map_centroids,
+                    train=False,
+                )
+            )
+
+        self._fwd = jax.jit(fwd)
+
+    def score_window(self, pack_df: pd.DataFrame) -> np.ndarray | None:
+        """Score one sliding window; None for an empty window."""
+        g = self.creator(pack_df)
+        if g.num_nodes == 0:
+            return None
+        dims = BatchDims(
+            node_capacity=_next_pow2(g.num_nodes),
+            edge_capacity=_next_pow2(max(g.num_edges, 1)),
+            graph_capacity=1,
+            num_frames=self.pack_size,
+            num_labels=self.config.out_dim,
+        )
+        batch = self._jax.tree.map(self._jnp.asarray, pad_and_batch([g], dims))
+        scores = self._fwd(self.params, batch)
+        return np.asarray(scores)[0]
+
+
+class StreamingServer:
+    def __init__(
+        self,
+        fifo_path: Path | str,
+        snapshot_path: Path | str,
+        output_csv: Path | str,
+        *,
+        pack_size: int,
+        m_radius: float = 25.0,
+    ):
+        self.fifo_path = Path(fifo_path)
+        self.snapshot_path = Path(snapshot_path)
+        self.output_csv = Path(output_csv)
+        self.pack_size = pack_size
+        self.m_radius = m_radius
+
+        self.frames: deque[pd.DataFrame] = deque()
+        self.lock = threading.Lock()
+        self.condition = threading.Condition(self.lock)
+        self.terminate = threading.Event()
+        self.n_scored = 0
+
+    def _signal_termination(self, reason: str | None = None):
+        if reason:
+            print(reason)
+        self.terminate.set()
+        with self.condition:
+            self.condition.notify_all()
+
+    def _producer(self, fd: int):
+        buffer = ""
+        try:
+            while not self.terminate.is_set():
+                try:
+                    chunk = os.read(fd, MAX_JSON_CHUNK_SIZE).decode()
+                except OSError as e:
+                    self._signal_termination(f"FIFO read error: {e}")
+                    break
+                if not chunk:
+                    self._signal_termination("writer closed the FIFO")
+                    break
+                buffer += chunk
+                while "\n" in buffer:
+                    line, buffer = buffer.split("\n", 1)
+                    if not line.strip():
+                        continue
+                    try:
+                        data = json.loads(line)
+                    except json.JSONDecodeError as e:
+                        self._signal_termination(f"malformed JSON frame: {e}")
+                        return
+                    df = pd.DataFrame(data)
+                    with self.condition:
+                        self.frames.append(df)
+                        if len(self.frames) >= self.pack_size:
+                            self.condition.notify_all()
+        finally:
+            self._signal_termination()
+
+    def _consumer(self):
+        engine = InferenceEngine(
+            self.snapshot_path, pack_size=self.pack_size, m_radius=self.m_radius
+        )
+        with open(self.output_csv, "w") as f:
+            f.write("Score\n")
+        while True:
+            pack_df = None
+            with self.condition:
+                while len(self.frames) < self.pack_size and not self.terminate.is_set():
+                    self.condition.wait()
+                # drain remaining buffered windows after producer termination
+                if len(self.frames) >= self.pack_size:
+                    pack_df = pd.concat(
+                        list(self.frames)[: self.pack_size],
+                        keys=range(self.pack_size),
+                        names=["FrameId"],
+                    ).reset_index(level=0)
+            if pack_df is None:
+                break
+            scores = engine.score_window(pack_df)
+            with open(self.output_csv, "a") as f:
+                if scores is None:
+                    f.write(".\n")
+                else:
+                    f.write(",".join(f"{s:.6f}" for s in np.atleast_1d(scores)) + "\n")
+            self.n_scored += 1
+            with self.condition:
+                if self.frames:
+                    self.frames.popleft()
+
+    def run(self):
+        fd = os.open(self.fifo_path, os.O_RDONLY)
+        try:
+            t1 = threading.Thread(target=self._producer, args=(fd,))
+            t2 = threading.Thread(target=self._consumer)
+            t1.start()
+            t2.start()
+            t1.join()
+            t2.join()
+        finally:
+            os.close(fd)

@@ -1,0 +1,161 @@
+"""End-to-end CLI integration: build -> train -> test -> stream -> compare
+on a synthetic dataset tree (the reference's full workflow, SURVEY.md §3)."""
+
+import json
+import os
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+from click.testing import CliRunner
+
+from sldm_gnn_tpu.data.synthetic import make_dataset_tree
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    make_dataset_tree(root / "data", n_packs=10, frames_num=8, max_vehicles=4,
+                      n_map_segments=15, seed=7)
+    return root
+
+
+@pytest.fixture(scope="module")
+def built(workspace):
+    from sldm_gnn_tpu.cli.build import main as build_main
+
+    r = CliRunner().invoke(
+        build_main, [str(workspace / "data"), "-l", "2", "-f", "8", "-r", "30.0"]
+    )
+    assert r.exit_code == 0, r.output
+    return workspace / "data"
+
+
+@pytest.fixture(scope="module")
+def trained(built, workspace):
+    from sldm_gnn_tpu.cli.train import main as train_main
+
+    outdir = workspace / "out"
+    r = CliRunner().invoke(
+        train_main,
+        [str(built), str(outdir), "-l", "2", "--include-map", "--epochs", "2", "-y"],
+    )
+    assert r.exit_code == 0, r.output
+    snaps = list(outdir.glob("config*/GRUSAGE_MAP__best_state.pkl"))
+    assert snaps, f"no snapshot produced; output:\n{r.output}"
+    return snaps[0]
+
+
+def test_build_outputs(built):
+    assert (built / ".map" / "vmap.npz").is_file()
+    for split in ("train", "eval", "test"):
+        gdir = built / split / ".graphs"
+        assert (gdir / "metadata.json").is_file()
+        assert list(gdir.glob("pack_*.npz"))
+
+
+def test_train_and_eval_cli(trained, built, workspace):
+    from sldm_gnn_tpu.cli.test import main as test_main
+
+    evaldir = workspace / "eval_out"
+    r = CliRunner().invoke(
+        test_main,
+        [str(built / "test"), str(evaldir), "-w", str(trained), "-e", "--match-tol", "10"],
+    )
+    assert r.exit_code == 0, r.output
+    assert (evaldir / "test_pack_metrics.csv").is_file()
+    assert (evaldir / "test_event_metrics.csv").is_file()
+    df = pd.read_csv(evaldir / "test_pack_metrics.csv")
+    assert 0.0 <= df["accuracy"].iloc[0] <= 1.0
+
+
+def test_test_cli_with_calibration(trained, built, workspace):
+    from sldm_gnn_tpu.cli.test import main as test_main
+
+    r = CliRunner().invoke(
+        test_main,
+        [str(built / "test"), str(workspace / "calib_out"), "-w", str(trained),
+         "--calibrate-priors"],
+    )
+    assert r.exit_code == 0, r.output
+
+
+def test_streaming_server(trained, built, workspace, tmp_path):
+    """Feed JSON frames through a FIFO; expect scores + '.' for empty frames."""
+    from sldm_gnn_tpu.serve.stream import StreamingServer
+
+    fifo = tmp_path / "frames.fifo"
+    os.mkfifo(fifo)
+    out_csv = tmp_path / "scores.csv"
+    pack_size = 4
+
+    vinfo = pd.read_parquet(built / "test" / "vinfo.parquet")
+    vids = vinfo["VehicleId"].tolist()[:3]
+    vrows = vinfo.set_index("VehicleId")
+
+    def frame(t, vids_in_frame):
+        return [
+            {
+                "VehicleId": v,
+                "X": 10.0 + 2.0 * t + i,
+                "Y": 5.0 + i,
+                "Speed": 10.0,
+                "Angle": 0.0,
+                "Width": float(vrows.loc[v, "Width"]),
+                "Length": float(vrows.loc[v, "Length"]),
+                "StationType": int(vrows.loc[v, "StationType"]),
+            }
+            for i, v in enumerate(vids_in_frame)
+        ]
+
+    server = StreamingServer(fifo, trained, out_csv, pack_size=pack_size, m_radius=25.0)
+    st = threading.Thread(target=server.run)
+    st.start()
+
+    n_frames = 7
+    with open(fifo, "w") as w:
+        for t in range(n_frames):
+            vset = [] if t == 5 else vids  # one empty frame mid-stream
+            w.write(json.dumps(frame(t, vset)) + "\n")
+            w.flush()
+    # closing the writer terminates the producer; consumer drains + exits
+    st.join(timeout=120)
+    assert not st.is_alive()
+
+    lines = out_csv.read_text().strip().split("\n")
+    assert lines[0] == "Score"
+    scored = lines[1:]
+    # windows = n_frames - pack_size + 1 if all consumed before shutdown;
+    # at least one window must have been scored
+    assert len(scored) >= 1
+    for ln in scored:
+        assert ln == "." or 0.0 <= float(ln.split(",")[0]) <= 1.0
+
+
+def test_compare_cli(tmp_path, workspace, built):
+    from sldm_gnn_tpu.cli.compare import main as compare_main
+
+    # synthetic predictions aligned with the test split's labels
+    labels = pd.read_parquet(built / "test" / "labels.parquet")
+    n = len(labels)
+    pred_csv = tmp_path / "pred.csv"
+    rng = np.random.default_rng(0)
+    with open(pred_csv, "w") as f:
+        f.write("Score\n")
+        for i in range(n):
+            if i == 2:
+                f.write(".\n")  # empty sample
+            else:
+                f.write(f"{rng.random():.6f}\n")
+
+    r = CliRunner().invoke(
+        compare_main,
+        ["--gt-parquet", str(built / "test" / "labels.parquet"),
+         "--pred-csv", str(pred_csv), "--active-label", "2",
+         "--outdir", str(tmp_path / "cmp"), "-e", "--on-empty", "zero"],
+    )
+    assert r.exit_code == 0, r.output
+    assert (tmp_path / "cmp" / "test_pack_metrics.csv").is_file()
