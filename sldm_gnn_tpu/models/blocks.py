@@ -32,13 +32,19 @@ class SageConv(nn.Module):
 
     ``out = lin_l(mean_{j->i} x_j) + lin_r(x_i)`` with bias only on ``lin_l``
     (PyG layout, so torch state dicts map 1:1 for parity tests).
+
+    ``edge_axis``: when set (under shard_map), the edge arrays are a
+    per-device partition and aggregation psums over that mesh axis.
     """
 
     out_dim: int
+    edge_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int):
-        agg = masked_mean_aggregate(x, edge_src, edge_dst, edge_mask, num_nodes)
+        agg = masked_mean_aggregate(
+            x, edge_src, edge_dst, edge_mask, num_nodes, axis_name=self.edge_axis
+        )
         out = nn.Dense(self.out_dim, use_bias=True, name="lin_l")(agg)
         out = out + nn.Dense(self.out_dim, use_bias=False, name="lin_r")(x)
         return out
@@ -50,11 +56,14 @@ class SageBlock(nn.Module):
     hidden_dims: Sequence[int]
     dropout: float | None = None
     negative_slope: float | None = None
+    edge_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int, *, train: bool = False):
         for i, h in enumerate(self.hidden_dims):
-            x = SageConv(h, name=f"conv{i}")(x, edge_src, edge_dst, edge_mask, num_nodes)
+            x = SageConv(h, edge_axis=self.edge_axis, name=f"conv{i}")(
+                x, edge_src, edge_dst, edge_mask, num_nodes
+            )
             x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
             x = _activation(x, self.negative_slope)
             if self.dropout is not None:

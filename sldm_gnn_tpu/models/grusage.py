@@ -63,6 +63,9 @@ class GruSageConfig:
     mapenc_sage_hdims: tuple[int, ...] = (8, 8)
     mapenc_lane_embdim: int = 2
     map_attention_topk: int = 5
+    # SPMD: mesh axis name over which the map graph's edges are partitioned
+    # (None = map encoder runs fully local/replicated)
+    map_edge_axis: str | None = None
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -95,6 +98,7 @@ class GruSage(nn.Module):
                 sage_hidden_dims=c.mapenc_sage_hdims,
                 dropout=c.dropout,
                 negative_slope=c.negative_slope,
+                edge_axis=c.map_edge_axis,
             )
             self.map_attention = MapSpatialAttention(k_neighbors=c.map_attention_topk)
         self.sage = SageBlock(

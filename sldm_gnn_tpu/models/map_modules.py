@@ -48,6 +48,8 @@ class MapData:
       lane_type_cats [S] int32
       edge_src       [Em] int32
       edge_dst       [Em] int32
+      edge_mask      [Em] bool — False on padding edges (edge arrays are
+                     padded when sharded across an edge-parallel mesh axis)
       centroids      [S, 2]  — segment centroids for spatial attention.
     """
 
@@ -56,10 +58,16 @@ class MapData:
     edge_src: jax.Array
     edge_dst: jax.Array
     centroids: jax.Array
+    edge_mask: jax.Array | None = None
 
     @property
     def num_segments(self) -> int:
         return self.feats.shape[0]
+
+    def mask(self) -> jax.Array:
+        if self.edge_mask is not None:
+            return self.edge_mask
+        return jnp.ones(self.edge_src.shape[0], dtype=bool)
 
 
 class MapEncoder(nn.Module):
@@ -68,6 +76,7 @@ class MapEncoder(nn.Module):
     sage_hidden_dims: Sequence[int] = (8, 8)
     dropout: float | None = None
     negative_slope: float | None = None
+    edge_axis: str | None = None
 
     @property
     def out_dim(self) -> int:
@@ -79,13 +88,13 @@ class MapEncoder(nn.Module):
             map_data.lane_type_cats
         )
         x = jnp.concatenate([map_data.feats, lane_emb], axis=1)
-        edge_mask = jnp.ones(map_data.edge_src.shape[0], dtype=bool)
         return SageBlock(
             self.sage_hidden_dims,
             dropout=self.dropout,
             negative_slope=self.negative_slope,
+            edge_axis=self.edge_axis,
             name="sage",
-        )(x, map_data.edge_src, map_data.edge_dst, edge_mask, map_data.num_segments, train=train)
+        )(x, map_data.edge_src, map_data.edge_dst, map_data.mask(), map_data.num_segments, train=train)
 
 
 class MapSpatialAttention(nn.Module):

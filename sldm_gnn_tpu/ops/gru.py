@@ -104,7 +104,10 @@ def gru_forward(params: GRUParams, x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """
     batch = x.shape[0]
     hidden = params.w_hh0.shape[0]
-    h0 = jnp.zeros((batch, hidden), dtype=x.dtype)
+    # derive h0 from x (instead of a bare zeros) so that under shard_map
+    # with replication tracking the scan carry inherits x's varying-axes
+    # type — a literal zeros carry is "replicated" and fails vma typing
+    h0 = jnp.zeros((batch, hidden), dtype=x.dtype) + 0.0 * x[:, 0, 0:1]
 
     out, h_last = _gru_layer(x, params.w_ih0, params.w_hh0, params.b_ih0, params.b_hh0, h0)
 

@@ -73,6 +73,7 @@ def masked_mean_aggregate(
     edge_dst: jax.Array,
     edge_mask: jax.Array,
     num_nodes: int,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Mean-aggregate neighbor features along directed edges (SpMM).
 
@@ -85,11 +86,19 @@ def masked_mean_aggregate(
     ``edge_mask`` zeroes padded edges; padded edges should also carry
     ``edge_dst == num_nodes`` so they are dropped by segment_sum, but the
     mask makes the gather side safe regardless of the padding index used.
+
+    ``axis_name``: edge-partitioned SPMD — under ``shard_map``, each shard
+    holds a slice of the edge set over replicated node features; partial
+    sums and degrees are ``psum``'d over the named mesh axis before the
+    divide, yielding the exact global mean (SURVEY.md §7 layer 7).
     """
     w = edge_mask.astype(x.dtype)
     msgs = x[edge_src] * w[:, None]
     sums = jax.ops.segment_sum(msgs, edge_dst, num_segments=num_nodes)
     deg = jax.ops.segment_sum(w, edge_dst, num_segments=num_nodes)
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        deg = jax.lax.psum(deg, axis_name)
     return sums / jnp.maximum(deg, 1.0)[:, None]
 
 

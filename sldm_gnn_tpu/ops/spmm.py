@@ -1,0 +1,190 @@
+"""SpMM — weighted sparse aggregation of node features along edges.
+
+The hot op of the framework (BASELINE: edges/s/chip on 2-layer GraphSAGE).
+Computes, for each node i: ``out[i] = sum_{(j->i)} w_e * x[j]``; with
+``w_e = 1/deg(i)`` this is the SAGEConv mean aggregation.
+
+Two backends:
+
+  * ``spmm_xla`` — gather + ``segment_sum``; reference implementation and
+    CPU path.
+  * ``spmm_pallas`` — Pallas TPU kernel over the blocked edge layout
+    (:mod:`sldm_gnn_tpu.graph.csr`). Per 128-edge chunk, gather and
+    scatter are expressed as two one-hot matmuls on the MXU:
+
+        G   = onehot(src_local) @ X[src_block]          # [EC, D] gather
+        ACC += (w * onehot(dst_local))^T @ G            # [TILE, D] scatter
+
+    Scalar-prefetched block metadata steers the BlockSpec index maps, so
+    the kernel streams exactly the X tiles it needs and accumulates each
+    output tile across consecutive grid steps (chunks are sorted by dst
+    block), writing it back once. No per-row DMA, no scatter hardware
+    needed — the systolic array does the data movement.
+
+Backward: d/dx of a weighted-sum aggregation is the same aggregation over
+the reversed edges with the same weights, so the custom VJP runs the same
+kernel on a transposed ``BlockedEdges`` (SURVEY.md §7 hard part 2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import TILE, EDGE_CHUNK, BlockedEdges, block_edges, mean_weights, pad_nodes
+
+
+# ---------------------------------------------------------------- XLA path
+
+
+def spmm_xla(x, src, dst, weight, num_nodes: int):
+    """Gather + segment-sum reference path (runs on any backend)."""
+    msgs = x[src] * weight[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(msgs, dst, num_segments=num_nodes)
+
+
+# ------------------------------------------------------------- Pallas path
+
+
+def _spmm_kernel(dblk_ref, sblk_ref, src_ref, dst_ref, w_ref, x_ref, out_ref, acc_ref, *, precision):
+    from jax.experimental import pallas as pl
+
+    w = pl.program_id(0)
+    num_w = pl.num_programs(0)
+
+    dst_blk = dblk_ref[w]
+    prev_dst = dblk_ref[jnp.maximum(w - 1, 0)]
+    is_first = jnp.logical_or(w == 0, dst_blk != prev_dst)
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ec = src_ref.shape[-1]
+    tile = x_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ec, tile), 1)
+    onehot_s = (src_ref[0, 0][:, None] == lane).astype(jnp.float32)
+    gathered = jnp.dot(
+        onehot_s, x_ref[:], preferred_element_type=jnp.float32, precision=precision
+    )
+    onehot_d = (dst_ref[0, 0][:, None] == lane).astype(jnp.float32) * w_ref[0, 0][:, None]
+    acc_ref[:] += jnp.dot(
+        onehot_d.T, gathered, preferred_element_type=jnp.float32, precision=precision
+    )
+
+    nxt_dst = dblk_ref[jnp.minimum(w + 1, num_w - 1)]
+    is_last = jnp.logical_or(w == num_w - 1, dst_blk != nxt_dst)
+
+    @pl.when(is_last)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def spmm_pallas(
+    x: jax.Array,
+    blocked: BlockedEdges,
+    num_nodes: int,
+    *,
+    interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
+):
+    """Blocked SpMM on TPU. ``x`` must be padded to a multiple of TILE rows;
+    returns [num_nodes_padded, D] sums.
+
+    ``precision`` controls the MXU passes of the one-hot matmuls: DEFAULT
+    (bf16 operands, fastest, ~1e-3 relative error on f32 inputs) or HIGHEST
+    (bit-accurate f32 at ~3x MXU cost) for parity-sensitive paths.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, d = x.shape
+    assert n_pad % TILE == 0, f"x rows {n_pad} not a multiple of {TILE}"
+    W = blocked.num_chunks
+    ec = blocked.src_local.shape[1]
+
+    # TPU tiling requires the last two block dims to be (8k, 128m) or equal
+    # to the array dims — lift the chunk arrays to [W, 1, EC] so the (1, EC)
+    # trailing block equals the array's trailing dims.
+    src3 = blocked.src_local.reshape(W, 1, ec)
+    dst3 = blocked.dst_local.reshape(W, 1, ec)
+    w3 = blocked.weight.reshape(W, 1, ec)
+
+    dblk = blocked.block_meta[:, 0]
+    sblk = blocked.block_meta[:, 1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # 1-D dst/src block ids (2-D SMEM arrays lane-pad to 128)
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ec), lambda w, dblk, sblk: (w, 0, 0)),
+            pl.BlockSpec((1, 1, ec), lambda w, dblk, sblk: (w, 0, 0)),
+            pl.BlockSpec((1, 1, ec), lambda w, dblk, sblk: (w, 0, 0)),
+            pl.BlockSpec((TILE, d), lambda w, dblk, sblk: (sblk[w], 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, d), lambda w, dblk, sblk: (dblk[w], 0)),
+        scratch_shapes=[pltpu.VMEM((TILE, d), jnp.float32)],
+    )
+    flops = 2 * 2 * W * ec * TILE * d
+    return pl.pallas_call(
+        partial(_spmm_kernel, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=(W * TILE * d + n_pad * d) * 4, transcendentals=0
+        ),
+        interpret=interpret,
+    )(dblk, sblk, src3, dst3, w3, x)
+
+
+# --------------------------------------------------- differentiable wrapper
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def spmm_apply(x, blocked_fwd: BlockedEdges, blocked_rev: BlockedEdges, num_nodes: int, use_pallas: bool):
+    """Weighted aggregation with a transpose-graph backward pass."""
+    return _spmm_dispatch(x, blocked_fwd, num_nodes, use_pallas)
+
+
+def _spmm_dispatch(x, blocked, num_nodes, use_pallas):
+    if use_pallas:
+        return spmm_pallas(x, blocked, num_nodes)
+    # XLA fallback reconstructing global indices from the blocked layout
+    src = blocked.block_meta[:, 1][:, None] * TILE + blocked.src_local
+    dst = blocked.block_meta[:, 0][:, None] * TILE + blocked.dst_local
+    return spmm_xla(x, src.reshape(-1), dst.reshape(-1), blocked.weight.reshape(-1), num_nodes)
+
+
+def _spmm_fwd(x, blocked_fwd, blocked_rev, num_nodes, use_pallas):
+    return _spmm_dispatch(x, blocked_fwd, num_nodes, use_pallas), (blocked_rev,)
+
+
+def _spmm_bwd(num_nodes, use_pallas, res, g):
+    (blocked_rev,) = res
+    dx = _spmm_dispatch(g, blocked_rev, num_nodes, use_pallas)
+    return dx, None, None
+
+
+spmm_apply.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+# ---------------------------------------------------------- host-side prep
+
+
+def prepare_mean_aggregate(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int
+) -> tuple[BlockedEdges, BlockedEdges, int]:
+    """Build forward + reverse blocked layouts for mean aggregation.
+
+    Returns (blocked_fwd, blocked_rev, padded_num_nodes). The mean's 1/deg
+    weights ride the edges in both directions (backward of mean is the
+    transpose with identical weights).
+    """
+    n_pad = pad_nodes(num_nodes)
+    w = mean_weights(dst, num_nodes)
+    fwd = block_edges(src, dst, n_pad, weight=w)
+    rev = block_edges(dst, src, n_pad, weight=w)
+    return fwd, rev, n_pad

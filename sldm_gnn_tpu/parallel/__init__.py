@@ -1,0 +1,16 @@
+"""Multi-chip SPMD execution: meshes, data-parallel training, and
+edge-partitioned graph aggregation over ICI/DCN.
+
+The reference has no distributed layer at all (SURVEY.md §2.4 — its only
+parallelism is host-side process pools); this package is the new capability
+mandated by BASELINE.json: scale GraphSAGE training/aggregation across a
+TPU pod slice with JAX collectives, no NCCL/MPI translation.
+"""
+
+from .mesh import make_mesh, maybe_initialize_distributed  # noqa: F401
+from .data_parallel import shard_batch, make_dp_train_step  # noqa: F401
+from .edge_partition import (  # noqa: F401
+    partition_edges,
+    sharded_mean_aggregate,
+    make_sharded_sage_step,
+)

@@ -1,0 +1,174 @@
+"""Multi-device SPMD tests on the 8-device virtual CPU mesh: the dp train
+step and the ep-sharded aggregation must match single-device references."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sldm_gnn_tpu.graph.batching import BatchDims, pad_and_batch
+from sldm_gnn_tpu.graph.containers import GraphArrays
+from sldm_gnn_tpu.models import GruSage, GruSageConfig, MapData
+from sldm_gnn_tpu.parallel.mesh import make_mesh
+from sldm_gnn_tpu.parallel.data_parallel import make_dp_train_step, shard_batch, shard_map_data
+from sldm_gnn_tpu.parallel.edge_partition import partition_edges, make_sharded_sage_step
+from sldm_gnn_tpu.ops.spmm import spmm_xla
+from sldm_gnn_tpu.graph.csr import mean_weights, pad_nodes
+from sldm_gnn_tpu.train.loop import build_step_fns, make_optimizer, TrainState
+
+
+def _graphs(rng, n, F, L):
+    gs = []
+    for _ in range(n):
+        v = int(rng.integers(3, 6))
+        e = v * 2
+        src = rng.integers(0, v, e).astype(np.int32)
+        dst = (src + 1) % v
+        gs.append(
+            GraphArrays(
+                x=rng.standard_normal((v, F, 6)).astype(np.float32),
+                xsttype=rng.integers(0, 4, v).astype(np.int32),
+                xdims=rng.standard_normal((v, 2)).astype(np.float32),
+                edge_index=np.stack([src, dst]),
+                edge_attr=np.zeros((e, 4), np.float32),
+                y=rng.integers(0, 2, L).astype(np.float32),
+                pos_raw=rng.standard_normal((v, F, 2)).astype(np.float32),
+            )
+        )
+    return gs
+
+
+@pytest.mark.parametrize("with_map", [False, True])
+def test_dp_step_matches_single_device(rng, with_map):
+    # The map variant runs in float64: in fp32, (Leaky)ReLU branch flips from
+    # psum reorder noise produce discretely different tiny grads, which Adam's
+    # normalization then amplifies — an ill-conditioned comparison, not a
+    # semantics difference (verified to 1e-8 agreement in f64).
+    if with_map:
+        jax.config.update("jax_enable_x64", True)
+    try:
+        _run_dp_step_check(rng, with_map)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def _upcast(tree):
+    def f(a):
+        a = np.asarray(a)
+        if a.dtype == np.float32 and jax.config.jax_enable_x64:
+            a = a.astype(np.float64)
+        return jnp.asarray(a)
+
+    return jax.tree.map(f, tree)
+
+
+def _run_dp_step_check(rng, with_map):
+    assert len(jax.devices()) == 8
+    F, L, DP, EP = 6, 2, 4, 2
+    mesh = make_mesh(dp=DP, ep=EP)
+
+    dims = BatchDims(node_capacity=24, edge_capacity=48, graph_capacity=2, num_frames=F, num_labels=L)
+    per_dev = [pad_and_batch(_graphs(rng, 2, F, L), dims) for _ in range(DP)]
+    stacked = shard_batch(per_dev)
+
+    S = 10
+    md = MapData(
+        feats=_upcast(rng.standard_normal((S, 8)).astype(np.float32)),
+        lane_type_cats=jnp.asarray(rng.integers(0, 3, S).astype(np.int32)),
+        edge_src=jnp.asarray(rng.integers(0, S, 21).astype(np.int32)),
+        edge_dst=jnp.asarray(rng.integers(0, S, 21).astype(np.int32)),
+        centroids=_upcast(rng.standard_normal((S, 2)).astype(np.float32)),
+    ) if with_map else None
+
+    cfg = GruSageConfig(
+        frames_num=F, gru_hidden_size=8, fc1dims=(8,), sage_hidden_dims=(8,),
+        fc2dims=(8,), out_dim=L, emb_dim=4, dropout=None, negative_slope=0.1,
+        map_included=with_map, num_lane_types=3,
+        map_edge_axis="ep" if with_map else None,
+    )
+    model = GruSage(cfg)
+    # reference single-device model: same config but no edge axis
+    cfg_ref = GruSageConfig(**{**cfg.to_dict(), "map_edge_axis": None})
+    model_ref = GruSage(cfg_ref)
+
+    opt = make_optimizer(1e-3, 0.0)
+    fns = build_step_fns(model_ref, opt, loss_type="bce", pos_weight=1.0, map_data=md)
+    combined_dims = BatchDims(
+        node_capacity=24 * DP, edge_capacity=48 * DP, graph_capacity=2 * DP,
+        num_frames=F, num_labels=L,
+    )
+    all_graphs = []
+    # rebuild the same graphs batch-by-batch for the single-device reference
+    rng2 = np.random.default_rng(42)
+    # instead: concatenate per-dev batches into one big batch via their arrays
+    # (simpler: run the reference per dev batch and average grads)
+
+    state = fns.init(jax.random.PRNGKey(0), _upcast(per_dev[0]))
+
+    # single-device: mean of per-batch element-sums / total elements
+    def ref_loss(params):
+        total = 0.0
+        n = 0.0
+        for b in per_dev:
+            bj = _upcast(b)
+            logits = model_ref.apply({"params": params}, bj, map_data=md, train=False)
+            from sldm_gnn_tpu.train.losses import bce_with_logits_pos_weight
+
+            nb = jnp.sum(bj.graph_mask)
+            lb = bce_with_logits_pos_weight(logits, bj.y, 1.0, mask=bj.graph_mask)
+            total = total + lb * nb
+            n = n + nb
+        return total / n
+
+    ref_grads = jax.grad(ref_loss)(state.params)
+
+    # SPMD step with dropout disabled (cfg dropout=None) and lr tiny: check grads via loss value + one update
+    step = make_dp_train_step(model, opt, mesh, loss_type="bce", pos_weight=1.0, map_data=md)
+    new_state, metrics = step(state, _upcast(stacked), jax.random.PRNGKey(1))
+
+    ref_loss_val = float(ref_loss(state.params))
+    np.testing.assert_allclose(float(metrics["loss"]), ref_loss_val, rtol=1e-5)
+
+    # one optimizer step with the reference grads must equal the SPMD update
+    import optax
+
+    upd, _ = opt.update(ref_grads, state.opt_state, state.params)
+    ref_params = optax.apply_updates(state.params, upd)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        ref_params,
+        new_state.params,
+    )
+    assert int(metrics["n_graphs"]) == 2 * DP
+
+
+def test_ep_sharded_aggregate_matches_xla(rng):
+    mesh = make_mesh(dp=1, ep=8)
+    n, e, d = 500, 4000, 16
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    stacked, n_pad = partition_edges(src, dst, n, 8)
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    params = {
+        k: jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.1)
+        for k in ("w0a", "w0b", "w1a", "w1b")
+    }
+
+    step = make_sharded_sage_step(mesh, jax.tree.map(jnp.asarray, stacked), n_pad, use_pallas=False)
+    grads_sharded, gx_sharded = step(params, x)
+
+    w = jnp.asarray(mean_weights(dst, n_pad))
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+
+    def ref(params, x):
+        a1 = spmm_xla(x, srcj, dstj, w, n_pad)
+        h = jnp.maximum(a1 @ params["w0a"] + x @ params["w0b"], 0.0)
+        a2 = spmm_xla(h, srcj, dstj, w, n_pad)
+        return jnp.sum(jnp.maximum(a2 @ params["w1a"] + h @ params["w1b"], 0.0))
+
+    grads_ref, gx_ref = jax.grad(ref, argnums=(0, 1))(params, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        (grads_sharded, gx_sharded),
+        (grads_ref, gx_ref),
+    )

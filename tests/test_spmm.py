@@ -1,0 +1,105 @@
+"""Blocked SpMM correctness: Pallas kernel (interpret mode on CPU) and XLA
+dispatch vs naive dense reference, plus custom-VJP gradient checks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sldm_gnn_tpu.graph.csr import TILE, block_edges, mean_weights, pad_nodes
+from sldm_gnn_tpu.ops.spmm import (
+    prepare_mean_aggregate,
+    spmm_apply,
+    spmm_pallas,
+    spmm_xla,
+    _spmm_dispatch,
+)
+
+
+def naive_weighted_sum(x, src, dst, w, n):
+    out = np.zeros((n, x.shape[1]), np.float32)
+    for e in range(len(src)):
+        out[dst[e]] += w[e] * x[src[e]]
+    return out
+
+
+@pytest.mark.parametrize("n,e,d", [(50, 300, 8), (200, 1500, 16), (130, 10, 128)])
+def test_blocked_xla_dispatch_matches_naive(rng, n, e, d):
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    x_np = rng.standard_normal((pad_nodes(n), d)).astype(np.float32)
+
+    blocked = block_edges(src, dst, pad_nodes(n), weight=w)
+    out = np.asarray(_spmm_dispatch(jnp.array(x_np), blocked, pad_nodes(n), False))
+    want = naive_weighted_sum(x_np, src, dst, w, pad_nodes(n))
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_kernel_interpret_matches_naive(rng):
+    n, e, d = 300, 2000, 128
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    n_pad = pad_nodes(n)
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+
+    blocked = block_edges(src, dst, n_pad, weight=w)
+    out = np.asarray(spmm_pallas(jnp.array(x_np), blocked, n_pad, interpret=True))
+    want = naive_weighted_sum(x_np, src, dst, w, n_pad)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_empty_dst_blocks_zeroed(rng):
+    """dst blocks with no incoming edges must come out as zeros."""
+    n_pad = 3 * TILE
+    d = 8
+    # all edges target block 0 only
+    src = rng.integers(0, n_pad, 50)
+    dst = rng.integers(0, TILE, 50)
+    blocked = block_edges(src, dst, n_pad)
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+    out = np.asarray(spmm_pallas(jnp.array(x_np), blocked, n_pad, interpret=True))
+    np.testing.assert_allclose(out[TILE:], 0.0)
+    want = naive_weighted_sum(x_np, src, dst, np.ones(50, np.float32), n_pad)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_mean_aggregate_and_grad(rng):
+    n, e, d = 90, 600, 12
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    fwd, rev, n_pad = prepare_mean_aggregate(src, dst, n)
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+
+    out = np.asarray(spmm_apply(jnp.array(x_np), fwd, rev, n_pad, False))
+    w = mean_weights(dst, n)
+    want = naive_weighted_sum(x_np, src, dst, w, n_pad)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+    # gradient == aggregation over reversed edges with same weights
+    def loss(x):
+        return jnp.sum(spmm_apply(x, fwd, rev, n_pad, False) * 2.0)
+
+    grad = np.asarray(jax.grad(loss)(jnp.array(x_np)))
+    want_grad = naive_weighted_sum(np.full((n_pad, d), 2.0, np.float32), dst, src, w, n_pad)
+    np.testing.assert_allclose(grad, want_grad, rtol=1e-4, atol=1e-4)
+
+
+def test_grad_matches_autodiff_of_xla_path(rng):
+    n, e, d = 40, 200, 4
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    fwd, rev, n_pad = prepare_mean_aggregate(src, dst, n)
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+    w = jnp.array(mean_weights(dst, n))
+
+    def loss_custom(x):
+        return jnp.sum(jnp.sin(spmm_apply(x, fwd, rev, n_pad, False)))
+
+    def loss_plain(x):
+        return jnp.sum(jnp.sin(spmm_xla(x, jnp.array(src), jnp.array(dst), w, n_pad)))
+
+    g1 = np.asarray(jax.grad(loss_custom)(jnp.array(x_np)))
+    g2 = np.asarray(jax.grad(loss_plain)(jnp.array(x_np)))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
