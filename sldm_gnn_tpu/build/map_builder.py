@@ -45,8 +45,21 @@ def build_map_edges(
     lat_conn_proximity_threshold: float = 1.0,
     fwd_dist_threshold: float = 2.0,
     chunk: int = 512,
+    allow_native: bool = True,
 ) -> np.ndarray:
-    """Return [2, E] int64 directed edges in i-major emission order."""
+    """Return [2, E] int64 directed edges in i-major emission order.
+    Uses the C++ OpenMP kernel when built, numpy otherwise."""
+    if allow_native:
+        from .native import native_map_edges
+
+        out = native_map_edges(
+            start, end, widths, allow_left, allow_right,
+            lat_conn_max_angle_deg=lat_conn_max_angle_deg,
+            lat_conn_proximity_threshold=lat_conn_proximity_threshold,
+            fwd_dist_threshold=fwd_dist_threshold,
+        )
+        if out is not None:
+            return out
     S = start.shape[0]
     ang = segment_angles(start, end)
     cent = (start + end) / 2.0

@@ -1,0 +1,104 @@
+"""ctypes bindings to the native ETL kernels (native/libgraphbuild.so).
+
+Loads the OpenMP C++ library when built (``make -C native``); callers fall
+back to the vectorized numpy paths when it is absent or disabled via
+``SLDM_GNN_TPU_NO_NATIVE=1``. Emission order and numerics match the numpy
+implementations bit-for-bit-closely (see tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).resolve().parent.parent.parent / "native" / "libgraphbuild.so"
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("SLDM_GNN_TPU_NO_NATIVE") == "1" or not _LIB_PATH.is_file():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    i64 = ctypes.c_int64
+    f32 = ctypes.c_float
+    pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+    lib.traj_edge_count.argtypes = [pf, pf, i64, i64, f32, pi64]
+    lib.traj_edge_fill.argtypes = [pf, pf, i64, i64, f32, pi64, pi32, pi32, pf]
+    lib.map_edge_count.argtypes = [pf, pf, pf, pu8, pu8, i64, f32, f32, f32, pi64]
+    lib.map_edge_fill.argtypes = [pf, pf, pf, pu8, pu8, i64, f32, f32, f32, pi64, pi64, pi64]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def native_trajectory_edges(x: np.ndarray, m_radius: float):
+    """Native path of build_trajectory_edges; returns None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    V, F, _ = x.shape
+    if V == 0:
+        return np.zeros((2, 0), np.int32), np.zeros((0, 4), np.float32)
+    xy = np.ascontiguousarray(x[:, :, :2], dtype=np.float32)
+    presence = np.ascontiguousarray(x[:, :, 5], dtype=np.float32)
+    counts = np.zeros(V, np.int64)
+    lib.traj_edge_count(xy, presence, V, F, m_radius, counts)
+    offsets = np.zeros(V, np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    E = int(counts.sum())
+    src = np.zeros(E, np.int32)
+    dst = np.zeros(E, np.int32)
+    attr = np.zeros((E, 4), np.float32)
+    if E:
+        lib.traj_edge_fill(xy, presence, V, F, m_radius, offsets, src, dst, attr)
+    return np.stack([src, dst]), attr
+
+
+def native_map_edges(
+    start: np.ndarray,
+    end: np.ndarray,
+    widths: np.ndarray,
+    allow_left: np.ndarray,
+    allow_right: np.ndarray,
+    *,
+    lat_conn_max_angle_deg: float,
+    lat_conn_proximity_threshold: float,
+    fwd_dist_threshold: float = 2.0,
+):
+    """Native path of build_map_edges; returns None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    S = start.shape[0]
+    start = np.ascontiguousarray(start, np.float32)
+    end = np.ascontiguousarray(end, np.float32)
+    widths = np.ascontiguousarray(widths, np.float32)
+    al = np.ascontiguousarray(allow_left, np.uint8)
+    ar = np.ascontiguousarray(allow_right, np.uint8)
+    max_ang = float(np.deg2rad(lat_conn_max_angle_deg))
+    counts = np.zeros(S, np.int64)
+    lib.map_edge_count(start, end, widths, al, ar, S, max_ang,
+                       lat_conn_proximity_threshold, fwd_dist_threshold, counts)
+    offsets = np.zeros(S, np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    E = int(counts.sum())
+    src = np.zeros(E, np.int64)
+    dst = np.zeros(E, np.int64)
+    if E:
+        lib.map_edge_fill(start, end, widths, al, ar, S, max_ang,
+                          lat_conn_proximity_threshold, fwd_dist_threshold,
+                          offsets, src, dst)
+    return np.stack([src, dst])

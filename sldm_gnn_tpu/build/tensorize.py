@@ -91,14 +91,21 @@ def tensorize_pack(
 
 
 def build_trajectory_edges(
-    x: np.ndarray, m_radius: float, *, chunk: int = 128
+    x: np.ndarray, m_radius: float, *, chunk: int = 128, allow_native: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized trajectory-proximity edges.
 
     x: [V, F, 6] tensorized features (XY channels 0:2, presence channel 5).
     Returns (edge_index [2, E] int32, edge_attr [E, 4] float32) in the
-    reference's i-major emission order.
+    reference's i-major emission order. Uses the C++ OpenMP kernel
+    (native/libgraphbuild.so) when built, numpy otherwise.
     """
+    if allow_native:
+        from .native import native_trajectory_edges
+
+        out = native_trajectory_edges(np.ascontiguousarray(x, np.float32), m_radius)
+        if out is not None:
+            return out
     V, F, _ = x.shape
     if V == 0:
         return np.zeros((2, 0), np.int32), np.zeros((0, 4), np.float32)

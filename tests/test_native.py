@@ -1,0 +1,73 @@
+"""Native C++ ETL kernel parity vs the numpy reference paths.
+
+The library is built on demand (make -C native); tests are skipped when no
+toolchain is available.
+"""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    lib = REPO / "native" / "libgraphbuild.so"
+    if not lib.is_file():
+        r = subprocess.run(["make", "-C", str(REPO / "native")], capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"native build failed: {r.stderr[-500:]}")
+    import sldm_gnn_tpu.build.native as native
+
+    if not native.available():
+        pytest.skip("native lib not loadable")
+    return native
+
+
+def test_native_trajectory_edges_match_numpy(native_lib, rng):
+    from sldm_gnn_tpu.build.tensorize import build_trajectory_edges
+
+    V, F = 40, 25
+    x = np.zeros((V, F, 6), np.float32)
+    x[:, :, :2] = rng.uniform(0, 80, (V, F, 2))
+    x[:, :, 5] = (rng.random((V, F)) > 0.25).astype(np.float32)
+
+    ei_c, ea_c = build_trajectory_edges(x, 30.0, allow_native=True)
+    ei_np, ea_np = build_trajectory_edges(x, 30.0, allow_native=False)
+    np.testing.assert_array_equal(ei_c, ei_np)
+    np.testing.assert_allclose(ea_c, ea_np, rtol=1e-5, atol=1e-4)
+
+
+def test_native_map_edges_match_numpy(native_lib, rng):
+    from sldm_gnn_tpu.build.map_builder import build_map_edges
+
+    S = 60
+    start = rng.uniform(0, 60, (S, 2)).astype(np.float32)
+    ang = rng.choice([0, 10, 90, 180], S) + rng.normal(0, 4, S)
+    ln = rng.uniform(4, 15, S)
+    end = (start + np.stack([ln * np.cos(np.deg2rad(ang)), ln * np.sin(np.deg2rad(ang))], 1)).astype(np.float32)
+    widths = rng.uniform(2, 4, S).astype(np.float32)
+    cgl = rng.random(S) > 0.4
+    cgr = rng.random(S) > 0.4
+
+    kw = dict(lat_conn_max_angle_deg=30.0, lat_conn_proximity_threshold=6.0)
+    e_c = build_map_edges(start, end, widths, cgl, cgr, allow_native=True, **kw)
+    e_np = build_map_edges(start, end, widths, cgl, cgr, allow_native=False, **kw)
+    np.testing.assert_array_equal(e_c, e_np)
+
+
+def test_native_empty_graph(native_lib):
+    from sldm_gnn_tpu.build.tensorize import build_trajectory_edges
+
+    x = np.zeros((0, 5, 6), np.float32)
+    ei, ea = build_trajectory_edges(x, 10.0, allow_native=True)
+    assert ei.shape == (2, 0) and ea.shape == (0, 4)
+
+    # single isolated vehicle
+    x1 = np.zeros((1, 5, 6), np.float32)
+    x1[:, :, 5] = 1.0
+    ei, ea = build_trajectory_edges(x1, 10.0, allow_native=True)
+    assert ei.shape == (2, 0)
