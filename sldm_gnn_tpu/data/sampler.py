@@ -1,0 +1,89 @@
+"""Fanout neighbor sampling with static shapes (BASELINE config 3).
+
+Mini-batch GraphSAGE over a large graph: for a batch of seed nodes, sample
+a fixed fanout of in-neighbors per hop, producing a *fixed-shape* node-id
+tree — level l holds ``B * f1 * ... * fl`` ids plus a validity mask.
+Zero-degree slots are padded with the parent id and masked out.
+
+TPU-first: downstream aggregation is pure reshape + masked mean over the
+fanout axis (models/sampled_sage.py) — no scatter, no ragged shapes, every
+batch compiles once. This replaces the role of PyG's NeighborLoader native
+sampler (SURVEY.md §2.3) with a design that keeps the device program dense.
+
+Sampling modes: ``uniform`` (with replacement — standard GraphSAGE) and
+``first`` (deterministic first-k neighbors — reproducible tests/eval).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class SampledBatch:
+    """levels[l]: int32 ids of level-l nodes, shape [B * prod(fanouts[:l])];
+    masks[l]: bool validity (False = padded slot). Level 0 = the seeds."""
+
+    levels: tuple[np.ndarray, ...]
+    masks: tuple[np.ndarray, ...]
+    fanouts: tuple[int, ...]
+
+
+class NeighborSampler:
+    def __init__(self, src: np.ndarray, dst: np.ndarray, num_nodes: int):
+        src = np.asarray(src, np.int64)
+        dst = np.asarray(dst, np.int64)
+        order = np.argsort(dst, kind="stable")
+        self.nbr = src[order]  # in-neighbors grouped by destination
+        counts = np.bincount(dst, minlength=num_nodes)
+        self.indptr = np.zeros(num_nodes + 1, np.int64)
+        np.cumsum(counts, out=self.indptr[1:])
+        self.num_nodes = num_nodes
+
+    def sample(
+        self,
+        seeds: np.ndarray,
+        fanouts: tuple[int, ...],
+        *,
+        rng: np.random.Generator | None = None,
+        mode: str = "uniform",
+    ) -> SampledBatch:
+        rng = rng or np.random.default_rng()
+        levels = [np.asarray(seeds, np.int32)]
+        masks = [np.ones(len(seeds), bool)]
+        for f in fanouts:
+            parents = levels[-1].astype(np.int64)
+            pmask = masks[-1]
+            deg = self.indptr[parents + 1] - self.indptr[parents]
+            k = len(parents)
+            if mode == "uniform":
+                offs = rng.integers(0, np.maximum(deg, 1)[:, None], size=(k, f))
+            elif mode == "first":
+                offs = np.minimum(
+                    np.broadcast_to(np.arange(f), (k, f)),
+                    np.maximum(deg - 1, 0)[:, None],
+                )
+            else:
+                raise ValueError(f"unknown sampling mode: {mode}")
+            child = self.nbr[self.indptr[parents][:, None] + offs]
+            valid = (deg > 0)[:, None] & pmask[:, None] & np.ones((1, f), bool)
+            # padded slots point at the parent (a safe gather target)
+            child = np.where(valid, child, parents[:, None])
+            levels.append(child.reshape(-1).astype(np.int32))
+            masks.append(valid.reshape(-1))
+        return SampledBatch(levels=tuple(levels), masks=tuple(masks), fanouts=tuple(fanouts))
+
+
+def iterate_seed_batches(
+    num_nodes: int, batch_size: int, *, shuffle: bool = True, rng=None
+):
+    """Yield fixed-size seed batches covering all nodes (last batch wraps)."""
+    rng = rng or np.random.default_rng()
+    order = rng.permutation(num_nodes) if shuffle else np.arange(num_nodes)
+    for s in range(0, num_nodes, batch_size):
+        chunk = order[s : s + batch_size]
+        if len(chunk) < batch_size:  # wrap to keep shapes static
+            chunk = np.concatenate([chunk, order[: batch_size - len(chunk)]])
+        yield chunk

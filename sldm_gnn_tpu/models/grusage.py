@@ -189,14 +189,27 @@ class GRUCell(nn.Module):
                 template.shape,
             )
 
+        if self.num_layers > 1:
+            rest = dict(
+                w_ih=mk("w_ih", shapes.w_ih),
+                w_hh=mk("w_hh", shapes.w_hh),
+                b_ih=mk("b_ih", shapes.b_ih),
+                b_hh=mk("b_hh", shapes.b_hh),
+            )
+        else:
+            # zero-size constants, NOT params: keeps the param tree free of
+            # empty arrays (orbax cannot serialize zero-size leaves)
+            rest = dict(
+                w_ih=jnp.zeros(shapes.w_ih.shape),
+                w_hh=jnp.zeros(shapes.w_hh.shape),
+                b_ih=jnp.zeros(shapes.b_ih.shape),
+                b_hh=jnp.zeros(shapes.b_hh.shape),
+            )
         params = GRUParams(
             w_ih0=mk("w_ih0", shapes.w_ih0),
             w_hh0=mk("w_hh0", shapes.w_hh0),
             b_ih0=mk("b_ih0", shapes.b_ih0),
             b_hh0=mk("b_hh0", shapes.b_hh0),
-            w_ih=mk("w_ih", shapes.w_ih),
-            w_hh=mk("w_hh", shapes.w_hh),
-            b_ih=mk("b_ih", shapes.b_ih),
-            b_hh=mk("b_hh", shapes.b_hh),
+            **rest,
         )
         return gru_forward(params, x)
