@@ -66,14 +66,32 @@ def _spmm_kernel(dblk_ref, sblk_ref, src_ref, dst_ref, w_ref, x_ref, out_ref, ac
     ec = src_ref.shape[-1]
     tile = x_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (ec, tile), 1)
-    onehot_s = (src_ref[0, 0][:, None] == lane).astype(jnp.float32)
-    gathered = jnp.dot(
-        onehot_s, x_ref[:], preferred_element_type=jnp.float32, precision=precision
-    )
-    onehot_d = (dst_ref[0, 0][:, None] == lane).astype(jnp.float32) * w_ref[0, 0][:, None]
-    acc_ref[:] += jnp.dot(
-        onehot_d.T, gathered, preferred_element_type=jnp.float32, precision=precision
-    )
+    if precision == jax.lax.Precision.HIGHEST:
+        # exact f32 path (parity-sensitive callers)
+        onehot_s = (src_ref[0, 0][:, None] == lane).astype(jnp.float32)
+        gathered = jnp.dot(
+            onehot_s, x_ref[:], preferred_element_type=jnp.float32, precision=precision
+        )
+        onehot_d = (dst_ref[0, 0][:, None] == lane).astype(jnp.float32) * w_ref[0, 0][:, None]
+        acc_ref[:] += jnp.dot(
+            onehot_d.T, gathered, preferred_element_type=jnp.float32, precision=precision
+        )
+    else:
+        # fast path: single-pass bf16 MXU operands, f32 accumulation.
+        # one-hots are exact in bf16; x and the per-edge weights round to
+        # bf16 (~1e-3 relative). (The A-matrix form — building the dense
+        # block adjacency first — has 25% fewer FLOPs but measured slower:
+        # the smaller dependent matmuls utilize the MXU worse.)
+        onehot_s = (src_ref[0, 0][:, None] == lane).astype(jnp.bfloat16)
+        gathered = jnp.dot(
+            onehot_s, x_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+        onehot_d = (dst_ref[0, 0][:, None] == lane).astype(jnp.float32) * w_ref[0, 0][:, None]
+        acc_ref[:] += jnp.dot(
+            onehot_d.T.astype(jnp.bfloat16),
+            gathered.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
 
     nxt_dst = dblk_ref[jnp.minimum(w + 1, num_w - 1)]
     is_last = jnp.logical_or(w == num_w - 1, dst_blk != nxt_dst)

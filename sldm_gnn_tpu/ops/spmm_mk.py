@@ -1,0 +1,208 @@
+"""Megakernel blocked SpMM: one grid step per destination node tile.
+
+The chunk-per-grid-step kernel (ops/spmm.py) is bound by per-step grid
+overhead (~0.4us x tens of thousands of chunks). This variant makes the
+grid one step per *dst block* (~N/128 steps) and loops over that block's
+edge chunks inside the kernel with double-buffered async DMA:
+
+  * node features stay in HBM; each chunk's source tile [128, D] is DMA'd
+    into one of two VMEM slots while the previous chunk computes;
+  * per-chunk edge metadata (src/dst locals packed as one int32 row,
+    weights as one f32 row) is DMA'd alongside;
+  * compute per chunk builds the weighted dense block adjacency
+    ``A = (w * onehot_dst)^T @ onehot_src`` (128 x 128) and applies
+    ``acc += A @ X_tile`` — one fewer 256-wide matmul than the
+    gather-then-scatter form (12.6 vs 16.8 MFLOP per 256-edge chunk).
+
+Layout (:func:`to_megakernel_layout`): chunks sorted by dst block,
+``chunk_ptr [NB+1]`` ranges per block (scalar-prefetched together with the
+per-chunk src-block ids). Blocks with no edges simply write zeros — no
+dummy coverage chunks needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import TILE, BlockedEdges
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MegaBlockedEdges:
+    """chunk_ptr [NB+1] int32; sblk [W] int32; srcdst [W, 1, 2*EC] int32
+    (src locals then dst locals); weight [W, 1, EC] float32. The singleton
+    middle dim makes per-chunk HBM DMA slices legal under Mosaic's (8, 128)
+    tiling rules (trailing block dims equal the array dims)."""
+
+    chunk_ptr: jax.Array
+    sblk: jax.Array
+    srcdst: jax.Array
+    weight: jax.Array
+
+    @property
+    def num_chunks(self) -> int:
+        return self.sblk.shape[0]
+
+    @property
+    def edge_chunk(self) -> int:
+        return self.weight.shape[-1]
+
+
+def to_megakernel_layout(blocked: BlockedEdges, num_nodes_padded: int) -> MegaBlockedEdges:
+    """Convert a BlockedEdges (dst-sorted, possibly with all-dummy coverage
+    chunks) into the megakernel layout; dummy chunks are dropped."""
+    meta = np.asarray(blocked.block_meta)
+    src = np.asarray(blocked.src_local)
+    dst = np.asarray(blocked.dst_local)
+    w = np.asarray(blocked.weight)
+
+    keep = (w != 0).any(axis=1)
+    meta, src, dst, w = meta[keep], src[keep], dst[keep], w[keep]
+    order = np.argsort(meta[:, 0], kind="stable")
+    meta, src, dst, w = meta[order], src[order], dst[order], w[order]
+
+    nb = num_nodes_padded // TILE
+    counts = np.bincount(meta[:, 0], minlength=nb)
+    ptr = np.zeros(nb + 1, np.int32)
+    np.cumsum(counts, out=ptr[1:])
+
+    W = meta.shape[0]
+    if W == 0:
+        ec = src.shape[1] if src.size else 256
+        return MegaBlockedEdges(
+            chunk_ptr=ptr,
+            sblk=np.zeros(1, np.int32),
+            srcdst=np.zeros((1, 1, 2 * ec), np.int32),
+            weight=np.zeros((1, 1, ec), np.float32),
+        )
+    return MegaBlockedEdges(
+        chunk_ptr=ptr,
+        sblk=meta[:, 1].astype(np.int32),
+        srcdst=np.concatenate([src, dst], axis=1).astype(np.int32)[:, None, :],
+        weight=w.astype(np.float32)[:, None, :],
+    )
+
+
+def _mk_kernel(ptr_ref, sblk_ref, srcdst_hbm, w_hbm, x_hbm, out_ref,
+               acc_ref, xbuf, mbuf, wbuf, sems, *, ec, d, fast):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    c0 = ptr_ref[b]
+    c1 = ptr_ref[b + 1]
+    n = c1 - c0
+
+    def dmas(slot, c):
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(sblk_ref[c] * TILE, TILE), :], xbuf.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(srcdst_hbm.at[c], mbuf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(w_hbm.at[c], wbuf.at[slot], sems.at[slot, 2]),
+        )
+
+    @pl.when(n > 0)
+    def _():
+        for dma in dmas(0, c0):
+            dma.start()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(i, _):
+        c = c0 + i
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n)
+        def _():
+            for dma in dmas(nxt, c + 1):
+                dma.start()
+
+        for dma in dmas(slot, c):
+            dma.wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ec, TILE), 1)
+        srcl = mbuf[slot, 0, :ec]
+        dstl = mbuf[slot, 0, ec:]
+        if fast:
+            oh_s = (srcl[:, None] == lane).astype(jnp.bfloat16)
+            oh_dw = ((dstl[:, None] == lane).astype(jnp.float32) * wbuf[slot, 0][:, None])
+            a = jnp.dot(
+                oh_dw.T.astype(jnp.bfloat16), oh_s, preferred_element_type=jnp.float32
+            )
+            acc_ref[:] += jnp.dot(
+                a.astype(jnp.bfloat16),
+                xbuf[slot].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            oh_s = (srcl[:, None] == lane).astype(jnp.float32)
+            oh_dw = (dstl[:, None] == lane).astype(jnp.float32) * wbuf[slot, 0][:, None]
+            a = jnp.dot(
+                oh_dw.T, oh_s,
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            acc_ref[:] += jnp.dot(
+                a, xbuf[slot],
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def spmm_pallas_mk(
+    x: jax.Array,
+    mk: MegaBlockedEdges,
+    num_nodes: int,
+    *,
+    fast: bool = True,
+    interpret: bool = False,
+):
+    """Megakernel SpMM: returns [num_nodes_padded, D] weighted sums."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, d = x.shape
+    assert n_pad % TILE == 0
+    nb = n_pad // TILE
+    ec = mk.edge_chunk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # chunk_ptr, sblk
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # srcdst (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # weight (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # x (HBM)
+        ],
+        out_specs=pl.BlockSpec((TILE, d), lambda b, ptr, sblk: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, d), jnp.float32),      # acc
+            pltpu.VMEM((2, TILE, d), jnp.float32),   # x double buffer
+            pltpu.VMEM((2, 1, 2 * ec), jnp.int32),   # src/dst locals
+            pltpu.VMEM((2, 1, ec), jnp.float32),     # weights
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    W = mk.num_chunks
+    flops = W * (2 * ec * TILE * TILE + 2 * TILE * TILE * d)
+    return pl.pallas_call(
+        partial(_mk_kernel, ec=ec, d=d, fast=fast),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(W * (TILE * d + 3 * ec) + 2 * n_pad * d) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(mk.chunk_ptr, mk.sblk, mk.srcdst, mk.weight, x)

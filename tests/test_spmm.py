@@ -45,9 +45,18 @@ def test_pallas_kernel_interpret_matches_naive(rng):
     x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
 
     blocked = block_edges(src, dst, n_pad, weight=w)
-    out = np.asarray(spmm_pallas(jnp.array(x_np), blocked, n_pad, interpret=True))
+    out = np.asarray(
+        spmm_pallas(
+            jnp.array(x_np), blocked, n_pad, interpret=True,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
     want = naive_weighted_sum(x_np, src, dst, w, n_pad)
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3)
+
+    # fast path: bf16 MXU operands, ~1e-2 tolerance
+    out_fast = np.asarray(spmm_pallas(jnp.array(x_np), blocked, n_pad, interpret=True))
+    np.testing.assert_allclose(out_fast, want, rtol=5e-2, atol=5e-2)
 
 
 def test_pallas_empty_dst_blocks_zeroed(rng):
@@ -59,7 +68,10 @@ def test_pallas_empty_dst_blocks_zeroed(rng):
     dst = rng.integers(0, TILE, 50)
     blocked = block_edges(src, dst, n_pad)
     x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
-    out = np.asarray(spmm_pallas(jnp.array(x_np), blocked, n_pad, interpret=True))
+    out = np.asarray(
+        spmm_pallas(jnp.array(x_np), blocked, n_pad, interpret=True,
+                    precision=jax.lax.Precision.HIGHEST)
+    )
     np.testing.assert_allclose(out[TILE:], 0.0)
     want = naive_weighted_sum(x_np, src, dst, np.ones(50, np.float32), n_pad)
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
@@ -103,3 +115,41 @@ def test_grad_matches_autodiff_of_xla_path(rng):
     g1 = np.asarray(jax.grad(loss_custom)(jnp.array(x_np)))
     g2 = np.asarray(jax.grad(loss_plain)(jnp.array(x_np)))
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
+def test_megakernel_interpret_matches_naive(rng):
+    """Megakernel variant (grid per dst block, in-kernel DMA chunk loop)."""
+    from sldm_gnn_tpu.ops.spmm_mk import spmm_pallas_mk, to_megakernel_layout
+
+    n, e, d = 300, 1500, 128
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    n_pad = pad_nodes(n)
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+    blocked = block_edges(src, dst, n_pad, weight=w)
+    mk = to_megakernel_layout(blocked, n_pad)
+
+    out = np.asarray(
+        spmm_pallas_mk(jnp.array(x_np), jax.tree.map(jnp.asarray, mk), n_pad,
+                       fast=False, interpret=True)
+    )
+    want = naive_weighted_sum(x_np, src, dst, w, n_pad)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3)
+
+    # a dst block with zero edges stays zero
+    assert int(np.asarray(mk.chunk_ptr)[-1]) == mk.num_chunks
+
+
+def test_megakernel_empty_graph(rng):
+    from sldm_gnn_tpu.ops.spmm_mk import spmm_pallas_mk, to_megakernel_layout
+
+    n_pad = pad_nodes(200)
+    blocked = block_edges(np.zeros(0, np.int64), np.zeros(0, np.int64), n_pad)
+    mk = to_megakernel_layout(blocked, n_pad)
+    x_np = rng.standard_normal((n_pad, 8)).astype(np.float32)
+    out = np.asarray(
+        spmm_pallas_mk(jnp.array(x_np), jax.tree.map(jnp.asarray, mk), n_pad,
+                       fast=False, interpret=True)
+    )
+    np.testing.assert_allclose(out, 0.0)
