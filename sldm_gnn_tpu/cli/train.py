@@ -194,8 +194,12 @@ def train_combination(
 @click.option("--include-map", is_flag=True, default=False)
 @click.option("--epochs", "epochs_override", type=int, default=None,
               help="Override the grid's epoch count (smoke runs).")
+@click.option("--vmap-sweep", is_flag=True, default=False,
+              help="Train all combinations in lockstep with jax.vmap when they "
+                   "share the architecture and differ only in lr/weight_decay "
+                   "(the TPU replacement for the reference's process pools).")
 @click.option("-y", "--yes", is_flag=True, default=False, help="Skip the confirmation prompt.")
-def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, yes):
+def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep, yes):
     psc = ParamSweepContext(GRUSAGE_PARAMS_DICT)
     click.echo(f"TOT_COMBINATIONS={len(psc)}")
     if not yes and not click.confirm("Train all combinations?", default=True):
@@ -216,7 +220,21 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, yes):
     click.echo("Precomputing dataset mu/sigma (shared across combinations)")
     mu_sigma = GraphDataset(tr_gpath, normalize_zscore=True, metadata=tr_meta).get_mu_sigma()
 
-    for i, comb in enumerate(psc.combinations()):
+    combos = list(psc.combinations())
+
+    if vmap_sweep and len(combos) > 1:
+        arch_keys = [
+            {k: v for k, v in c.items() if k not in ("lr", "weight_decay")} for c in combos
+        ]
+        if all(a == arch_keys[0] for a in arch_keys):
+            return _run_vmap_sweep(
+                combos, inputdir=inputdir, outdir=outdir, lbnum=lbnum, cut=cut,
+                include_map=include_map, mu_sigma=mu_sigma, max_idx=max_idx,
+                epochs_override=epochs_override,
+            )
+        click.echo("--vmap-sweep: combinations differ in architecture; falling back to sequential")
+
+    for i, comb in enumerate(combos):
         cfgdir = outdir / f"config{i + max_idx + 2:02d}"
         cfgdir.mkdir(parents=True, exist_ok=True)
         click.echo(f"=== combination {i + 1}/{len(psc)} -> {cfgdir}")
@@ -230,6 +248,74 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, yes):
 
             click.echo(f"Combination {i + 1} FAILED: {e}")
             click.echo(traceback.format_exc())
+
+
+def _run_vmap_sweep(combos, *, inputdir, outdir, lbnum, cut, include_map, mu_sigma,
+                    max_idx, epochs_override):
+    from .train import config_from_combo  # self-import safe under click
+    from ..train.vmap_sweep import extract_combo_params, train_sweep_vmapped
+
+    inpath = inputdir.resolve()
+    tr_meta = MetaData.load_json(inpath / "train" / ".graphs" / "metadata.json")
+    comb0 = combos[0]
+
+    tfs = []
+    if comb0.get("tf_pos_noise"):
+        prop = comb0.get("pos_noise_prop_to_speed")
+        std = comb0["pos_noise_std_max"] if prop else comb0["pos_noise_std"]
+        tfs.append(AddNoise("pos", std, tr_meta, prop_to_speed=prop))
+    if cut is not None:
+        tfs.append(CutFrames(cut))
+    transform = Compose(tfs) if tfs else None
+
+    d_train = GraphDataset(inpath / "train" / ".graphs", transform=transform,
+                           normalize_zscore=True, metadata=tr_meta, zscore_mu_sigma=mu_sigma)
+    d_eval = GraphDataset(inpath / "eval" / ".graphs", transform=transform,
+                          normalize_zscore=True, zscore_mu_sigma=mu_sigma)
+    lt = GraphLoader(d_train, comb0["batch_size"], shuffle=True)
+    le = GraphLoader(d_eval, comb0["batch_size"])
+
+    map_data = None
+    num_lane_types = 8
+    if include_map:
+        map_data = load_map_data(inpath / ".map" / "vmap.npz")
+        num_lane_types = int(np.asarray(map_data.lane_type_cats).max()) + 1
+
+    cfg = config_from_combo(comb0, tr_meta, include_map=include_map,
+                            num_lane_types=num_lane_types)
+    model = GruSage(cfg)
+    click.echo(f"vmap sweep over {len(combos)} combinations (lr/weight_decay axes)")
+    params, res = train_sweep_vmapped(
+        model,
+        lambda: iter(lt),
+        lambda: iter(le),
+        lrs=[c["lr"] for c in combos],
+        weight_decays=[c["weight_decay"] for c in combos],
+        epochs=epochs_override or comb0["epochs"],
+        pos_weight=float(tr_meta.neg_over_pos_ratio()),
+        map_data=map_data,
+    )
+    train_prior = (tr_meta.n_positive or 0) / tr_meta.n_samples
+    for i, comb in enumerate(combos):
+        cfgdir = outdir / f"config{i + max_idx + 2:02d}"
+        cfgdir.mkdir(parents=True, exist_ok=True)
+        pk = extract_combo_params(params, i)
+        baked_emb = baked_cent = None
+        if include_map:
+            baked_emb = np.asarray(model.apply({"params": pk}, map_data, method=GruSage.encode_map))
+            baked_cent = np.asarray(map_data.centroids)
+        save_snapshot(
+            cfgdir / f"GRUSAGE_{'MAP_' if include_map else ''}_best_state.pkl",
+            params=pk, config=cfg,
+            norm_stat_dict={"mu": mu_sigma[0], "sigma": mu_sigma[1]},
+            train_prior=train_prior,
+            loss_info={"type": "BCEWithLogits", "pos_weight": float(tr_meta.neg_over_pos_ratio())},
+            map_embeddings=baked_emb, map_centroids=baked_cent,
+        )
+        click.echo(
+            f"combo {i + 1}: lr={comb['lr']} wd={comb['weight_decay']} "
+            f"best val acc={res.best_val_acc[i]:.4f} -> {cfgdir}"
+        )
 
 
 if __name__ == "__main__":
