@@ -45,12 +45,17 @@ class BlockedEdges:
     src_local  [W, EC] int32 — src index within the src block.
     dst_local  [W, EC] int32 — dst index within the dst block.
     weight     [W, EC] float32 — per-edge weight; 0 for padding edges.
+    edge_id    [W, EC] int32 or None — original edge-list index per slot
+                              (0 on padding slots; mask with weight != 0).
+                              Lets chunk-layout values (e.g. SDDMM scores)
+                              be mapped back to edge order.
     """
 
     block_meta: jax.Array
     src_local: jax.Array
     dst_local: jax.Array
     weight: jax.Array
+    edge_id: jax.Array | None = None
 
     @property
     def num_chunks(self) -> int:
@@ -81,25 +86,30 @@ def block_edges(
     # sort edges by (dst_block, src_block)
     order = np.lexsort((sb, db))
     src_s, dst_s, w_s, sb_s, db_s = src[order], dst[order], weight[order], sb[order], db[order]
+    eid_s = order.astype(np.int32)
 
     metas: list[tuple[int, int]] = []
     chunks_src: list[np.ndarray] = []
     chunks_dst: list[np.ndarray] = []
     chunks_w: list[np.ndarray] = []
+    chunks_e: list[np.ndarray] = []
 
-    def emit(dblk: int, sblk: int, sl: np.ndarray, dl: np.ndarray, wl: np.ndarray):
+    def emit(dblk: int, sblk: int, sl: np.ndarray, dl: np.ndarray, wl: np.ndarray, el: np.ndarray):
         for off in range(0, len(sl), edge_chunk):
             s_pad = np.zeros(edge_chunk, np.int32)
             d_pad = np.zeros(edge_chunk, np.int32)
             w_pad = np.zeros(edge_chunk, np.float32)
+            e_pad = np.zeros(edge_chunk, np.int32)
             n = min(edge_chunk, len(sl) - off)
             s_pad[:n] = sl[off : off + n]
             d_pad[:n] = dl[off : off + n]
             w_pad[:n] = wl[off : off + n]
+            e_pad[:n] = el[off : off + n]
             metas.append((dblk, sblk))
             chunks_src.append(s_pad)
             chunks_dst.append(d_pad)
             chunks_w.append(w_pad)
+            chunks_e.append(e_pad)
 
     if E:
         # group boundaries over the sorted (db, sb) pairs
@@ -113,6 +123,7 @@ def block_edges(
                 (src_s[b0:b1] - sblk * tile).astype(np.int32),
                 (dst_s[b0:b1] - dblk * tile).astype(np.int32),
                 w_s[b0:b1],
+                eid_s[b0:b1],
             )
 
     # ensure every dst block is visited at least once (all-dummy chunk)
@@ -123,6 +134,7 @@ def block_edges(
             chunks_src.append(np.zeros(edge_chunk, np.int32))
             chunks_dst.append(np.zeros(edge_chunk, np.int32))
             chunks_w.append(np.zeros(edge_chunk, np.float32))
+            chunks_e.append(np.zeros(edge_chunk, np.int32))
 
     meta_arr = np.array(metas, np.int32).reshape(-1, 2)
     # keep dst blocks contiguous (required for output revisiting)
@@ -131,12 +143,14 @@ def block_edges(
     src_arr = np.stack(chunks_src)[order2]
     dst_arr = np.stack(chunks_dst)[order2]
     w_arr = np.stack(chunks_w)[order2]
+    e_arr = np.stack(chunks_e)[order2]
 
     return BlockedEdges(
         block_meta=meta_arr,
         src_local=src_arr,
         dst_local=dst_arr,
         weight=w_arr,
+        edge_id=e_arr,
     )
 
 

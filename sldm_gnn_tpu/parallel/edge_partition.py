@@ -74,6 +74,9 @@ def partition_edges(
             src_local=np.concatenate([s.src_local, np.zeros((padn, ec), np.int32)]),
             dst_local=np.concatenate([s.dst_local, np.zeros((padn, ec), np.int32)]),
             weight=np.concatenate([s.weight, np.zeros((padn, ec), np.float32)]),
+            edge_id=np.concatenate([s.edge_id, np.zeros((padn, ec), np.int32)])
+            if s.edge_id is not None
+            else None,
         )
 
     padded = [pad_shard(s) for s in shards]
