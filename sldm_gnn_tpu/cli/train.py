@@ -157,7 +157,12 @@ def train_combination(
         if not quiet:
             click.echo(f"New best snapshot @ val acc {info['val_acc']:.4f} -> {state_path}")
 
+    from ..utils.logging import MetricsLogger
+
+    mlog = MetricsLogger(cfgdir / "metrics.jsonl", context={"combo": i + 1})
+
     def on_epoch(epoch, m):
+        mlog.log({"epoch": epoch + 1, **m})
         if not quiet:
             click.echo(
                 f"[combo {i + 1}] epoch {epoch + 1}: tr_acc={m['train_acc']:.4f} "

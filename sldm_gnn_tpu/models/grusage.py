@@ -66,6 +66,10 @@ class GruSageConfig:
     # SPMD: mesh axis name over which the map graph's edges are partitioned
     # (None = map encoder runs fully local/replicated)
     map_edge_axis: str | None = None
+    # message passing family for the vehicle graph: 'sage' (mean aggregation,
+    # reference parity) or 'attention' (edge dot-product attention)
+    sage_type: str = "sage"
+    attention_qk_dim: int = 32
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -101,9 +105,19 @@ class GruSage(nn.Module):
                 edge_axis=c.map_edge_axis,
             )
             self.map_attention = MapSpatialAttention(k_neighbors=c.map_attention_topk)
-        self.sage = SageBlock(
-            c.sage_hidden_dims, dropout=c.dropout, negative_slope=c.negative_slope
-        )
+        if c.sage_type == "attention":
+            from .attention import AttentionBlock
+
+            self.sage = AttentionBlock(
+                c.sage_hidden_dims, qk_dim=c.attention_qk_dim,
+                dropout=c.dropout, negative_slope=c.negative_slope,
+            )
+        elif c.sage_type == "sage":
+            self.sage = SageBlock(
+                c.sage_hidden_dims, dropout=c.dropout, negative_slope=c.negative_slope
+            )
+        else:
+            raise ValueError(f"Unsupported sage_type: {c.sage_type}")
         self.fc2s = MLPStack(c.fc2dims, dropout=c.dropout, negative_slope=c.negative_slope)
         self.linout = nn.Dense(c.out_dim, name="linout")
 
