@@ -79,3 +79,42 @@ def test_eval_pipeline_f1_matches_torch(tmp_path, rng):
         pm_b = PackMetrics(gt_arr_1d=gt[:, li], scr_arr_1d=scores_torch[:, li], threshold=0.5)
         assert pm_a.f1_score == pm_b.f1_score
         np.testing.assert_array_equal(pm_a.conf_matrix, pm_b.conf_matrix)
+
+
+def test_four_label_end_to_end(tmp_path, rng):
+    """Full 4-label pipeline: build -> train briefly -> batched inference ->
+    per-label metrics (the reference's full label space)."""
+    from sldm_gnn_tpu.data.loader import GraphLoader
+    from sldm_gnn_tpu.train.loop import train_model
+
+    split = make_vehicle_split(tmp_path / "train", n_packs=10, frames_num=8,
+                               max_vehicles=4, seed=31)
+    GraphsBuilder(split, frames_num=8, m_radius=30.0,
+                  active_labels=[0, 1, 2, 3]).save()
+    gpath = split / ".graphs"
+    ds = GraphDataset(gpath, normalize_zscore=True)
+    loader = GraphLoader(ds, 5, shuffle=True)
+
+    cfg = GruSageConfig(
+        frames_num=8, gru_hidden_size=8, fc1dims=(8,), sage_hidden_dims=(8,),
+        fc2dims=(8,), out_dim=4, emb_dim=2, dropout=None, negative_slope=0.1,
+    )
+    model = GruSage(cfg)
+    state, res = train_model(
+        model, lambda: iter(loader), lambda: iter(loader), epochs=2,
+        lr=1e-3, weight_decay=0.0, active_labels=[0, 1, 2, 3],
+        neg_over_pos_ratio=1.5,
+    )
+    assert res.per_label_val_acc.shape == (4, 2)
+    assert res.bin_cm is None  # binary-only stats absent for multi-label
+
+    mu, sigma = ds.get_mu_sigma()
+    p = tmp_path / "snap4.pkl"
+    save_snapshot(p, params=state.params, config=cfg,
+                  norm_stat_dict={"mu": mu, "sigma": sigma})
+    scores, gt, _ = run_inference(load_snapshot(p), gpath, batch_size=4)
+    assert scores.shape == (10, 4) and np.isfinite(scores).all()
+    assert set(np.unique(gt)) <= {0, 1}
+    for li in range(4):
+        pm = PackMetrics(gt_arr_1d=gt[:, li], scr_arr_1d=scores[:, li], threshold=0.5)
+        assert 0.0 <= pm.accuracy <= 1.0
