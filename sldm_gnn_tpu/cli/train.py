@@ -81,19 +81,10 @@ def config_from_combo(comb: dict, meta: MetaData, *, include_map: bool, num_lane
     )
 
 
-def train_combination(
-    i: int,
-    comb: dict,
-    *,
-    inputdir: Path,
-    cfgdir: Path,
-    lbnum: int,
-    cut: int | None,
-    include_map: bool,
-    mu_sigma,
-    quiet: bool = False,
-    epochs_override: int | None = None,
-):
+def _build_data_pipeline(comb: dict, *, inputdir: Path, cut: int | None,
+                         include_map: bool, mu_sigma, seed: int = 0):
+    """Shared transforms/datasets/loaders/map setup for sequential and
+    vmapped sweep paths."""
     inpath = inputdir.resolve()
     tr_gpath = inpath / "train" / ".graphs"
     ev_gpath = inpath / "eval" / ".graphs"
@@ -113,16 +104,34 @@ def train_combination(
                            metadata=tr_meta, zscore_mu_sigma=mu_sigma)
     d_eval = GraphDataset(ev_gpath, transform=transform, normalize_zscore=True,
                           metadata=ev_meta, zscore_mu_sigma=mu_sigma)
-
-    lt = GraphLoader(d_train, comb["batch_size"], shuffle=True, seed=i)
-    le = GraphLoader(d_eval, comb["batch_size"], shuffle=True, seed=i, dims=None)
+    lt = GraphLoader(d_train, comb["batch_size"], shuffle=True, seed=seed)
+    le = GraphLoader(d_eval, comb["batch_size"], shuffle=True, seed=seed)
 
     map_data = None
     num_lane_types = 8
     if include_map:
-        map_path = inpath / ".map" / "vmap.npz"
-        map_data = load_map_data(map_path)
+        map_data = load_map_data(inpath / ".map" / "vmap.npz")
         num_lane_types = int(np.asarray(map_data.lane_type_cats).max()) + 1
+    return tr_meta, lt, le, map_data, num_lane_types
+
+
+def train_combination(
+    i: int,
+    comb: dict,
+    *,
+    inputdir: Path,
+    cfgdir: Path,
+    lbnum: int,
+    cut: int | None,
+    include_map: bool,
+    mu_sigma,
+    quiet: bool = False,
+    epochs_override: int | None = None,
+):
+    tr_meta, lt, le, map_data, num_lane_types = _build_data_pipeline(
+        comb, inputdir=inputdir, cut=cut, include_map=include_map,
+        mu_sigma=mu_sigma, seed=i,
+    )
 
     meta_for_cfg = tr_meta if cut is None else MetaData(
         n_samples=tr_meta.n_samples, n_positive=tr_meta.n_positive,
@@ -240,7 +249,7 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
         click.echo("--vmap-sweep: combinations differ in architecture; falling back to sequential")
 
     for i, comb in enumerate(combos):
-        cfgdir = outdir / f"config{i + max_idx + 2:02d}"
+        cfgdir = outdir / f"config{i + max_idx + 1:02d}"
         cfgdir.mkdir(parents=True, exist_ok=True)
         click.echo(f"=== combination {i + 1}/{len(psc)} -> {cfgdir}")
         try:
@@ -260,33 +269,17 @@ def _run_vmap_sweep(combos, *, inputdir, outdir, lbnum, cut, include_map, mu_sig
     from .train import config_from_combo  # self-import safe under click
     from ..train.vmap_sweep import extract_combo_params, train_sweep_vmapped
 
-    inpath = inputdir.resolve()
-    tr_meta = MetaData.load_json(inpath / "train" / ".graphs" / "metadata.json")
     comb0 = combos[0]
+    tr_meta, lt, le, map_data, num_lane_types = _build_data_pipeline(
+        comb0, inputdir=inputdir, cut=cut, include_map=include_map, mu_sigma=mu_sigma
+    )
+    meta_for_cfg = tr_meta if cut is None else MetaData(
+        n_samples=tr_meta.n_samples, n_positive=tr_meta.n_positive,
+        n_edge_features=tr_meta.n_edge_features, frames_num=cut,
+        m_radius=tr_meta.m_radius, active_labels=tr_meta.active_labels,
+    )
 
-    tfs = []
-    if comb0.get("tf_pos_noise"):
-        prop = comb0.get("pos_noise_prop_to_speed")
-        std = comb0["pos_noise_std_max"] if prop else comb0["pos_noise_std"]
-        tfs.append(AddNoise("pos", std, tr_meta, prop_to_speed=prop))
-    if cut is not None:
-        tfs.append(CutFrames(cut))
-    transform = Compose(tfs) if tfs else None
-
-    d_train = GraphDataset(inpath / "train" / ".graphs", transform=transform,
-                           normalize_zscore=True, metadata=tr_meta, zscore_mu_sigma=mu_sigma)
-    d_eval = GraphDataset(inpath / "eval" / ".graphs", transform=transform,
-                          normalize_zscore=True, zscore_mu_sigma=mu_sigma)
-    lt = GraphLoader(d_train, comb0["batch_size"], shuffle=True)
-    le = GraphLoader(d_eval, comb0["batch_size"])
-
-    map_data = None
-    num_lane_types = 8
-    if include_map:
-        map_data = load_map_data(inpath / ".map" / "vmap.npz")
-        num_lane_types = int(np.asarray(map_data.lane_type_cats).max()) + 1
-
-    cfg = config_from_combo(comb0, tr_meta, include_map=include_map,
+    cfg = config_from_combo(comb0, meta_for_cfg, include_map=include_map,
                             num_lane_types=num_lane_types)
     model = GruSage(cfg)
     click.echo(f"vmap sweep over {len(combos)} combinations (lr/weight_decay axes)")
@@ -302,7 +295,7 @@ def _run_vmap_sweep(combos, *, inputdir, outdir, lbnum, cut, include_map, mu_sig
     )
     train_prior = (tr_meta.n_positive or 0) / tr_meta.n_samples
     for i, comb in enumerate(combos):
-        cfgdir = outdir / f"config{i + max_idx + 2:02d}"
+        cfgdir = outdir / f"config{i + max_idx + 1:02d}"
         cfgdir.mkdir(parents=True, exist_ok=True)
         pk = extract_combo_params(params, i)
         baked_emb = baked_cent = None

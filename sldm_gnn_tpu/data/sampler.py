@@ -67,7 +67,14 @@ class NeighborSampler:
                 )
             else:
                 raise ValueError(f"unknown sampling mode: {mode}")
-            child = self.nbr[self.indptr[parents][:, None] + offs]
+            # clamp gather rows for zero-degree parents (indptr can equal E
+            # for trailing nodes with no in-edges); they are masked below
+            idx = np.minimum(
+                self.indptr[parents][:, None] + offs, max(len(self.nbr) - 1, 0)
+            )
+            child = (
+                self.nbr[idx] if len(self.nbr) else np.zeros((k, f), np.int64)
+            )
             valid = (deg > 0)[:, None] & pmask[:, None] & np.ones((1, f), bool)
             # padded slots point at the parent (a safe gather target)
             child = np.where(valid, child, parents[:, None])
@@ -84,6 +91,6 @@ def iterate_seed_batches(
     order = rng.permutation(num_nodes) if shuffle else np.arange(num_nodes)
     for s in range(0, num_nodes, batch_size):
         chunk = order[s : s + batch_size]
-        if len(chunk) < batch_size:  # wrap to keep shapes static
-            chunk = np.concatenate([chunk, order[: batch_size - len(chunk)]])
+        if len(chunk) < batch_size:  # wrap (tiling as needed) to keep shapes static
+            chunk = np.concatenate([chunk, np.resize(order, batch_size - len(chunk))])
         yield chunk

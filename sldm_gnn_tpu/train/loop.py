@@ -161,27 +161,10 @@ class TrainResult:
 
 
 def _roc_auc(gt: np.ndarray, scores: np.ndarray) -> float:
-    """Rank-based ROC-AUC (ties averaged) — matches sklearn.roc_auc_score."""
-    pos = scores[gt == 1]
-    neg = scores[gt == 0]
-    if len(pos) == 0 or len(neg) == 0:
-        return float("nan")
-    order = np.argsort(np.concatenate([pos, neg]), kind="mergesort")
-    ranks = np.empty(len(order), dtype=np.float64)
-    sorted_scores = np.concatenate([pos, neg])[order]
-    # average ranks for ties
-    i = 0
-    r = np.arange(1, len(order) + 1, dtype=np.float64)
-    while i < len(order):
-        j = i
-        while j + 1 < len(order) and sorted_scores[j + 1] == sorted_scores[i]:
-            j += 1
-        r[i : j + 1] = (i + 1 + j + 1) / 2.0
-        i = j + 1
-    ranks[order] = r
-    rank_pos = ranks[: len(pos)].sum()
-    auc = (rank_pos - len(pos) * (len(pos) + 1) / 2.0) / (len(pos) * len(neg))
-    return float(auc)
+    """Rank-based ROC-AUC — shared implementation in evals.metrics."""
+    from ..evals.metrics import roc_auc_score
+
+    return roc_auc_score(gt, scores)
 
 
 def train_model(
@@ -240,39 +223,49 @@ def train_model(
     best_vacc = 0.0
 
     for epoch in range(epochs):
-        # ---- train phase
-        correct = np.zeros((L,), np.int64)
-        n = 0
-        loss_sum = 0.0
-        nb = 0
+        # ---- train phase: metrics stay device-side per step; one host
+        # fetch per epoch so batch prep overlaps device compute
+        step_metrics = []
         for batch in train_batches():
             rng, step_rng = jax.random.split(rng)
             state, m = fns.train_step(state, jax.tree.map(jnp.asarray, batch), step_rng)
+            step_metrics.append(m)
+        correct = np.zeros((L,), np.int64)
+        n = 0
+        loss_sum = 0.0
+        for m in step_metrics:
             correct += np.asarray(m["correct"])
             n += int(m["n_graphs"])
             loss_sum += float(m["loss"])
-            nb += 1
+        nb = len(step_metrics)
         tot_tracc[0, epoch] = correct.sum() / max(n * L, 1)
         pl_tracc[:, epoch] = correct / max(n, 1)
         tr_loss_curve[epoch] = loss_sum / max(nb, 1)
 
         # ---- eval phase
+        step_metrics = []
+        masks = []
+        gts = []
+        for batch in eval_batches():
+            m = fns.eval_step(state.params, jax.tree.map(jnp.asarray, batch))
+            step_metrics.append(m)
+            if L == 1:
+                masks.append(np.asarray(batch.graph_mask))
+                gts.append(np.asarray(batch.y))
         correct = np.zeros((L,), np.int64)
         n = 0
         loss_sum = 0.0
-        nb = 0
-        all_scores, all_preds, all_gt, all_mask = [], [], [], []
-        for batch in eval_batches():
-            m = fns.eval_step(state.params, jax.tree.map(jnp.asarray, batch))
+        all_scores, all_preds, all_gt = [], [], []
+        for bi, m in enumerate(step_metrics):
             correct += np.asarray(m["correct"])
             n += int(m["n_graphs"])
             loss_sum += float(m["loss"])
-            nb += 1
             if L == 1:
-                gm = np.asarray(batch.graph_mask)
+                gm = masks[bi]
                 all_scores.append(np.asarray(m["scores"])[gm])
                 all_preds.append(np.asarray(m["preds"])[gm])
-                all_gt.append(np.asarray(batch.y)[gm])
+                all_gt.append(gts[bi][gm])
+        nb = len(step_metrics)
         tot_vacc[0, epoch] = correct.sum() / max(n * L, 1)
         pl_vacc[:, epoch] = correct / max(n, 1)
         vl_loss_curve[epoch] = loss_sum / max(nb, 1)

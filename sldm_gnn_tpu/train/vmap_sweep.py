@@ -85,6 +85,10 @@ def train_sweep_vmapped(
     lrs_j = jnp.asarray(np.array(lrs, np.float32))
     wds_j = jnp.asarray(np.array(weight_decays, np.float32))
     if loss_type == "focal":
+        if focal_alphas is None:
+            # auto alpha = neg fraction, derived from pos_weight (= neg/pos
+            # ratio) — same default as train.loop (reference utils.py:180-184)
+            focal_alphas = [pos_weight / (1.0 + pos_weight)] * K
         alphas_j = jnp.asarray(np.array(focal_alphas, np.float32))
     else:
         alphas_j = jnp.zeros(K, jnp.float32)

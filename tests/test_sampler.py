@@ -144,3 +144,21 @@ def test_sampled_sage_trains(rng):
             params, opt_state, loss = step(params, opt_state, feats, masks, jnp.array(y[seeds]))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.3, losses
+
+
+def test_zero_degree_trailing_node_no_crash():
+    """Regression: sampling a node whose CSR offset equals the edge count
+    (highest-id node with no in-edges) must mask, not IndexError."""
+    src = np.array([0, 1, 2], np.int64)
+    dst = np.array([1, 2, 0], np.int64)
+    s = NeighborSampler(src, dst, 4)  # node 3 has no in-edges
+    b = s.sample(np.array([3]), (2,))
+    assert not b.masks[1].any()
+    np.testing.assert_array_equal(b.levels[1], [3, 3])
+
+
+def test_seed_batches_tile_when_batch_exceeds_nodes():
+    """Regression: batch_size > num_nodes must still yield full batches."""
+    chunks = list(iterate_seed_batches(3, 10, shuffle=False))
+    assert all(len(c) == 10 for c in chunks)
+    assert set(chunks[0][:3]) == {0, 1, 2}
