@@ -66,7 +66,10 @@ def main():
     e = len(src)
     n_pad = pad_nodes(n)
 
-    blocked_fwd, blocked_rev, _ = prepare_mean_aggregate(src, dst, n)
+    k_per_step = int(os.environ.get("BENCH_K_PER_STEP", 2))
+    blocked_fwd, blocked_rev, _ = prepare_mean_aggregate(
+        src, dst, n, step_chunks=k_per_step
+    )
     blocked_fwd = jax.tree.map(jnp.asarray, blocked_fwd)
     blocked_rev = jax.tree.map(jnp.asarray, blocked_rev)
 
@@ -84,7 +87,7 @@ def main():
     use_pallas = backend not in ("cpu",)
 
     def loss_pallas(params, x):
-        agg = lambda h: spmm_apply(h, blocked_fwd, blocked_rev, n_pad, use_pallas)
+        agg = lambda h: spmm_apply(h, blocked_fwd, blocked_rev, n_pad, use_pallas, k_per_step)
         return jnp.sum(two_layer_sage(params, x, agg))
 
     def loss_xla(params, x):

@@ -70,8 +70,14 @@ def block_edges(
     weight: np.ndarray | None = None,
     tile: int = TILE,
     edge_chunk: int = EDGE_CHUNK,
+    step_chunks: int = 1,
 ) -> BlockedEdges:
-    """Build the blocked layout from an edge list (host-side numpy)."""
+    """Build the blocked layout from an edge list (host-side numpy).
+
+    ``step_chunks`` > 1 pads every dst block's chunk count to a multiple of
+    K so the kernel can process K chunks per grid step (amortizing per-step
+    overhead); the dummy pad chunks carry weight 0.
+    """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     E = src.shape[0]
@@ -126,15 +132,27 @@ def block_edges(
                 eid_s[b0:b1],
             )
 
+    def emit_dummy(dblk: int):
+        metas.append((dblk, 0))
+        chunks_src.append(np.zeros(edge_chunk, np.int32))
+        chunks_dst.append(np.zeros(edge_chunk, np.int32))
+        chunks_w.append(np.zeros(edge_chunk, np.float32))
+        chunks_e.append(np.zeros(edge_chunk, np.int32))
+
     # ensure every dst block is visited at least once (all-dummy chunk)
     covered = {m[0] for m in metas}
     for dblk in range(num_blocks):
         if dblk not in covered:
-            metas.append((dblk, 0))
-            chunks_src.append(np.zeros(edge_chunk, np.int32))
-            chunks_dst.append(np.zeros(edge_chunk, np.int32))
-            chunks_w.append(np.zeros(edge_chunk, np.float32))
-            chunks_e.append(np.zeros(edge_chunk, np.int32))
+            emit_dummy(dblk)
+
+    # pad each dst block's chunk count to a multiple of step_chunks
+    if step_chunks > 1:
+        per_block: dict[int, int] = {}
+        for m in metas:
+            per_block[m[0]] = per_block.get(m[0], 0) + 1
+        for dblk, cnt in per_block.items():
+            for _ in range((-cnt) % step_chunks):
+                emit_dummy(dblk)
 
     meta_arr = np.array(metas, np.int32).reshape(-1, 2)
     # keep dst blocks contiguous (required for output revisiting)

@@ -49,14 +49,18 @@ def spmm_xla(x, src, dst, weight, num_nodes: int):
 # ------------------------------------------------------------- Pallas path
 
 
-def _spmm_kernel(dblk_ref, sblk_ref, src_ref, dst_ref, w_ref, x_ref, out_ref, acc_ref, *, precision):
+def _spmm_kernel(dblk_ref, sblk_ref, src_ref, dst_ref, w_ref, *x_out_acc, precision, k_per_step):
     from jax.experimental import pallas as pl
+
+    x_refs = x_out_acc[:k_per_step]
+    out_ref, acc_ref = x_out_acc[k_per_step], x_out_acc[k_per_step + 1]
 
     w = pl.program_id(0)
     num_w = pl.num_programs(0)
 
-    dst_blk = dblk_ref[w]
-    prev_dst = dblk_ref[jnp.maximum(w - 1, 0)]
+    # one grid step handles k_per_step chunks sharing one dst block
+    dst_blk = dblk_ref[w * k_per_step]
+    prev_dst = dblk_ref[jnp.maximum(w - 1, 0) * k_per_step]
     is_first = jnp.logical_or(w == 0, dst_blk != prev_dst)
 
     @pl.when(is_first)
@@ -64,36 +68,40 @@ def _spmm_kernel(dblk_ref, sblk_ref, src_ref, dst_ref, w_ref, x_ref, out_ref, ac
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     ec = src_ref.shape[-1]
-    tile = x_ref.shape[0]
+    tile = x_refs[0].shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (ec, tile), 1)
-    if precision == jax.lax.Precision.HIGHEST:
-        # exact f32 path (parity-sensitive callers)
-        onehot_s = (src_ref[0, 0][:, None] == lane).astype(jnp.float32)
-        gathered = jnp.dot(
-            onehot_s, x_ref[:], preferred_element_type=jnp.float32, precision=precision
-        )
-        onehot_d = (dst_ref[0, 0][:, None] == lane).astype(jnp.float32) * w_ref[0, 0][:, None]
-        acc_ref[:] += jnp.dot(
-            onehot_d.T, gathered, preferred_element_type=jnp.float32, precision=precision
-        )
-    else:
-        # fast path: single-pass bf16 MXU operands, f32 accumulation.
-        # one-hots are exact in bf16; x and the per-edge weights round to
-        # bf16 (~1e-3 relative). (The A-matrix form — building the dense
-        # block adjacency first — has 25% fewer FLOPs but measured slower:
-        # the smaller dependent matmuls utilize the MXU worse.)
-        onehot_s = (src_ref[0, 0][:, None] == lane).astype(jnp.bfloat16)
-        gathered = jnp.dot(
-            onehot_s, x_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
-        )
-        onehot_d = (dst_ref[0, 0][:, None] == lane).astype(jnp.float32) * w_ref[0, 0][:, None]
-        acc_ref[:] += jnp.dot(
-            onehot_d.T.astype(jnp.bfloat16),
-            gathered.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+    for k in range(k_per_step):
+        if precision == jax.lax.Precision.HIGHEST:
+            # exact f32 path (parity-sensitive callers)
+            onehot_s = (src_ref[0, k][:, None] == lane).astype(jnp.float32)
+            gathered = jnp.dot(
+                onehot_s, x_refs[k][:], preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            onehot_d = (dst_ref[0, k][:, None] == lane).astype(jnp.float32) * w_ref[0, k][:, None]
+            acc_ref[:] += jnp.dot(
+                onehot_d.T, gathered, preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+        else:
+            # fast path: single-pass bf16 MXU operands, f32 accumulation.
+            # one-hots are exact in bf16; x and the per-edge weights round to
+            # bf16 (~1e-3 relative). (The A-matrix form — building the dense
+            # block adjacency first — has 25% fewer FLOPs but measured slower:
+            # the smaller dependent matmuls utilize the MXU worse.)
+            onehot_s = (src_ref[0, k][:, None] == lane).astype(jnp.bfloat16)
+            gathered = jnp.dot(
+                onehot_s, x_refs[k][:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            onehot_d = (dst_ref[0, k][:, None] == lane).astype(jnp.float32) * w_ref[0, k][:, None]
+            acc_ref[:] += jnp.dot(
+                onehot_d.T.astype(jnp.bfloat16),
+                gathered.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
 
-    nxt_dst = dblk_ref[jnp.minimum(w + 1, num_w - 1)]
+    nxt_dst = dblk_ref[jnp.minimum(w + 1, num_w - 1) * k_per_step]
     is_last = jnp.logical_or(w == num_w - 1, dst_blk != nxt_dst)
 
     @pl.when(is_last)
@@ -108,6 +116,7 @@ def spmm_pallas(
     *,
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
+    k_per_step: int = 1,
 ):
     """Blocked SpMM on TPU. ``x`` must be padded to a multiple of TILE rows;
     returns [num_nodes_padded, D] sums.
@@ -115,6 +124,10 @@ def spmm_pallas(
     ``precision`` controls the MXU passes of the one-hot matmuls: DEFAULT
     (bf16 operands, fastest, ~1e-3 relative error on f32 inputs) or HIGHEST
     (bit-accurate f32 at ~3x MXU cost) for parity-sensitive paths.
+
+    ``k_per_step`` processes K chunks per grid step (the layout must have
+    been built with ``step_chunks=K`` so chunk groups share a dst block),
+    amortizing per-grid-step overhead.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -123,66 +136,76 @@ def spmm_pallas(
     assert n_pad % TILE == 0, f"x rows {n_pad} not a multiple of {TILE}"
     W = blocked.num_chunks
     ec = blocked.src_local.shape[1]
+    K = k_per_step
+    if W % K:
+        raise ValueError(
+            f"num_chunks {W} not divisible by k_per_step {K}; build the layout "
+            f"with block_edges(..., step_chunks={K})"
+        )
+    steps = W // K
 
     # TPU tiling requires the last two block dims to be (8k, 128m) or equal
-    # to the array dims — lift the chunk arrays to [W, 1, EC] so the (1, EC)
-    # trailing block equals the array's trailing dims.
-    src3 = blocked.src_local.reshape(W, 1, ec)
-    dst3 = blocked.dst_local.reshape(W, 1, ec)
-    w3 = blocked.weight.reshape(W, 1, ec)
+    # to the array dims — lift the chunk arrays to [steps, K, EC] so the
+    # (1, K, EC) trailing block equals the array's trailing dims.
+    src3 = blocked.src_local.reshape(steps, K, ec)
+    dst3 = blocked.dst_local.reshape(steps, K, ec)
+    w3 = blocked.weight.reshape(steps, K, ec)
 
     dblk = blocked.block_meta[:, 0]
     sblk = blocked.block_meta[:, 1]
 
+    def chunk_spec():
+        return pl.BlockSpec((1, K, ec), lambda w, dblk, sblk: (w, 0, 0))
+
+    def x_spec(k):
+        return pl.BlockSpec((TILE, d), lambda w, dblk, sblk, k=k: (sblk[w * K + k], 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # 1-D dst/src block ids (2-D SMEM arrays lane-pad to 128)
-        grid=(W,),
-        in_specs=[
-            pl.BlockSpec((1, 1, ec), lambda w, dblk, sblk: (w, 0, 0)),
-            pl.BlockSpec((1, 1, ec), lambda w, dblk, sblk: (w, 0, 0)),
-            pl.BlockSpec((1, 1, ec), lambda w, dblk, sblk: (w, 0, 0)),
-            pl.BlockSpec((TILE, d), lambda w, dblk, sblk: (sblk[w], 0)),
-        ],
-        out_specs=pl.BlockSpec((TILE, d), lambda w, dblk, sblk: (dblk[w], 0)),
+        grid=(steps,),
+        in_specs=[chunk_spec(), chunk_spec(), chunk_spec()]
+        + [x_spec(k) for k in range(K)],
+        out_specs=pl.BlockSpec((TILE, d), lambda w, dblk, sblk: (dblk[w * K], 0)),
         scratch_shapes=[pltpu.VMEM((TILE, d), jnp.float32)],
     )
     flops = 2 * 2 * W * ec * TILE * d
     return pl.pallas_call(
-        partial(_spmm_kernel, precision=precision),
+        partial(_spmm_kernel, precision=precision, k_per_step=K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=(W * TILE * d + n_pad * d) * 4, transcendentals=0
         ),
         interpret=interpret,
-    )(dblk, sblk, src3, dst3, w3, x)
+    )(dblk, sblk, src3, dst3, w3, *([x] * K))
 
 
 # --------------------------------------------------- differentiable wrapper
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def spmm_apply(x, blocked_fwd: BlockedEdges, blocked_rev: BlockedEdges, num_nodes: int, use_pallas: bool):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def spmm_apply(x, blocked_fwd: BlockedEdges, blocked_rev: BlockedEdges,
+               num_nodes: int, use_pallas: bool, k_per_step: int = 1):
     """Weighted aggregation with a transpose-graph backward pass."""
-    return _spmm_dispatch(x, blocked_fwd, num_nodes, use_pallas)
+    return _spmm_dispatch(x, blocked_fwd, num_nodes, use_pallas, k_per_step)
 
 
-def _spmm_dispatch(x, blocked, num_nodes, use_pallas):
+def _spmm_dispatch(x, blocked, num_nodes, use_pallas, k_per_step: int = 1):
     if use_pallas:
-        return spmm_pallas(x, blocked, num_nodes)
+        return spmm_pallas(x, blocked, num_nodes, k_per_step=k_per_step)
     # XLA fallback reconstructing global indices from the blocked layout
     src = blocked.block_meta[:, 1][:, None] * TILE + blocked.src_local
     dst = blocked.block_meta[:, 0][:, None] * TILE + blocked.dst_local
     return spmm_xla(x, src.reshape(-1), dst.reshape(-1), blocked.weight.reshape(-1), num_nodes)
 
 
-def _spmm_fwd(x, blocked_fwd, blocked_rev, num_nodes, use_pallas):
-    return _spmm_dispatch(x, blocked_fwd, num_nodes, use_pallas), (blocked_rev,)
+def _spmm_fwd(x, blocked_fwd, blocked_rev, num_nodes, use_pallas, k_per_step):
+    return _spmm_dispatch(x, blocked_fwd, num_nodes, use_pallas, k_per_step), (blocked_rev,)
 
 
-def _spmm_bwd(num_nodes, use_pallas, res, g):
+def _spmm_bwd(num_nodes, use_pallas, k_per_step, res, g):
     (blocked_rev,) = res
-    dx = _spmm_dispatch(g, blocked_rev, num_nodes, use_pallas)
+    dx = _spmm_dispatch(g, blocked_rev, num_nodes, use_pallas, k_per_step)
     return dx, None, None
 
 
@@ -193,16 +216,17 @@ spmm_apply.defvjp(_spmm_fwd, _spmm_bwd)
 
 
 def prepare_mean_aggregate(
-    src: np.ndarray, dst: np.ndarray, num_nodes: int
+    src: np.ndarray, dst: np.ndarray, num_nodes: int, *, step_chunks: int = 1
 ) -> tuple[BlockedEdges, BlockedEdges, int]:
     """Build forward + reverse blocked layouts for mean aggregation.
 
     Returns (blocked_fwd, blocked_rev, padded_num_nodes). The mean's 1/deg
     weights ride the edges in both directions (backward of mean is the
-    transpose with identical weights).
+    transpose with identical weights). ``step_chunks`` must match the
+    ``k_per_step`` used at execution time.
     """
     n_pad = pad_nodes(num_nodes)
     w = mean_weights(dst, num_nodes)
-    fwd = block_edges(src, dst, n_pad, weight=w)
-    rev = block_edges(dst, src, n_pad, weight=w)
+    fwd = block_edges(src, dst, n_pad, weight=w, step_chunks=step_chunks)
+    rev = block_edges(dst, src, n_pad, weight=w, step_chunks=step_chunks)
     return fwd, rev, n_pad

@@ -153,3 +153,32 @@ def test_megakernel_empty_graph(rng):
                        fast=False, interpret=True)
     )
     np.testing.assert_allclose(out, 0.0)
+
+
+def test_k_per_step_matches_single(rng):
+    """K-chunks-per-grid-step variant equals the K=1 kernel (interpret)."""
+    n, e, d = 400, 3000, 16
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    n_pad = pad_nodes(n)
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+
+    want = naive_weighted_sum(x_np, src, dst, w, n_pad)
+    for K in (2, 4):
+        blocked = block_edges(src, dst, n_pad, weight=w, step_chunks=K)
+        assert blocked.num_chunks % K == 0
+        out = np.asarray(
+            spmm_pallas(jnp.array(x_np), blocked, n_pad, interpret=True,
+                        precision=jax.lax.Precision.HIGHEST, k_per_step=K)
+        )
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3, err_msg=f"K={K}")
+
+
+def test_k_per_step_requires_matching_layout(rng):
+    n = 200
+    blocked = block_edges(rng.integers(0, n, 50), rng.integers(0, n, 50), pad_nodes(n))
+    if blocked.num_chunks % 4 != 0:
+        with pytest.raises(ValueError, match="k_per_step"):
+            spmm_pallas(jnp.zeros((pad_nodes(n), 8), jnp.float32), blocked,
+                        pad_nodes(n), interpret=True, k_per_step=4)
