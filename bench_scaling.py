@@ -28,6 +28,7 @@ def main():
 
     from sldm_gnn_tpu.parallel.mesh import make_mesh
     from sldm_gnn_tpu.parallel.edge_partition import partition_edges, make_sharded_sage_step
+    from sldm_gnn_tpu.parallel.halo import plan_halo_partition, make_halo_sage_step
 
     n = int(os.environ.get("SCALE_NODES", 100_000))
     deg = int(os.environ.get("SCALE_DEG", 16))
@@ -39,6 +40,7 @@ def main():
         if int(p) <= n_dev
     ]
 
+    mode = os.environ.get("SCALE_MODE", "replicated")  # 'replicated' | 'halo'
     rng = np.random.default_rng(0)
     dst = np.repeat(np.arange(n), deg)
     src = np.clip(dst + rng.integers(-256, 257, n * deg), 0, n - 1)
@@ -48,15 +50,22 @@ def main():
     base = None
     for ep in points:
         mesh = make_mesh(dp=1, ep=ep, devices=jax.devices()[:ep])
-        stacked, n_pad = partition_edges(src, dst, n, ep)
-        x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
         params = {
             k: jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.05)
             for k in ("w0a", "w0b", "w1a", "w1b")
         }
-        step = make_sharded_sage_step(
-            mesh, jax.tree.map(jnp.asarray, stacked), n_pad, use_pallas=use_pallas
-        )
+        if mode == "halo":
+            plan, n_local = plan_halo_partition(src, dst, n, ep)
+            x = jnp.asarray(
+                rng.standard_normal((ep, n_local, d)).astype(np.float32)
+            )
+            step = make_halo_sage_step(mesh, jax.tree.map(jnp.asarray, plan), n_local)
+        else:
+            stacked, n_pad = partition_edges(src, dst, n, ep)
+            x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+            step = make_sharded_sage_step(
+                mesh, jax.tree.map(jnp.asarray, stacked), n_pad, use_pallas=use_pallas
+            )
         out = step(params, x)
         jax.tree.map(lambda a: a.block_until_ready(), out)
         iters = 5
@@ -71,7 +80,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "edges/s (ep-sharded 2-layer SAGE fwd+bwd)",
+                    "metric": f"edges/s ({mode} ep-sharded 2-layer SAGE fwd+bwd)",
                     "devices": ep,
                     "value": round(eps_rate, 1),
                     "unit": "edges/s",

@@ -14,3 +14,9 @@ from .edge_partition import (  # noqa: F401
     sharded_mean_aggregate,
     make_sharded_sage_step,
 )
+from .halo import (  # noqa: F401
+    HaloPlan,
+    plan_halo_partition,
+    halo_aggregate,
+    make_halo_sage_step,
+)

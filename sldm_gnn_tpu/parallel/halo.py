@@ -1,0 +1,185 @@
+"""Node-sharded edge partitioning with boundary-feature all-to-all
+(the north-star's "context parallelism" for graphs — BASELINE.json:
+"edge-partitioning the map graph, exchanging boundary node features
+all-to-all over ICI and overlapping the exchange with local aggregation").
+
+Unlike :mod:`edge_partition` (features replicated, partial sums psum'd),
+here **node features are sharded**: each device owns a contiguous node
+range plus the edges whose destinations it owns. Sources living on other
+shards ("halo" nodes) are fetched with a single static-shape
+``jax.lax.all_to_all`` of exactly the boundary rows each pair of shards
+exchanges — O(boundary) communication instead of O(N) replication:
+
+  1. host planner computes, per ordered shard pair (q -> p), the unique
+     source rows p needs from q, padded to the max pair size H;
+  2. on device, each shard gathers its outgoing rows [ep, H, D] and one
+     all_to_all delivers the incoming halo [ep, H, D];
+  3. local aggregation runs over a concatenated feature table
+     [n_local + ep*H, D] with pre-remapped edge indices — no psum at all,
+     outputs land already node-sharded. XLA's async collective scheduling
+     overlaps the exchange with the interior-edge aggregation.
+
+Fully differentiable under shard_map (all_to_all transposes to the
+reverse exchange).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HaloPlan:
+    """Stacked per-shard arrays (leading dim = ep):
+
+    send_idx  [ep, ep, H] int32 — rows shard p sends to shard q (local row
+                                  indices into p's x shard; padded with 0).
+    src_local [ep, E_max] int32 — edge source index into the concatenated
+                                  feature table [n_local + ep*H].
+    dst_local [ep, E_max] int32 — edge destination (local row); padding
+                                  edges point at n_local (dropped).
+    weight    [ep, E_max] float32 — per-edge weight (0 on padding).
+    """
+
+    send_idx: jax.Array
+    src_local: jax.Array
+    dst_local: jax.Array
+    weight: jax.Array
+
+    @property
+    def ep(self) -> int:
+        return self.send_idx.shape[0]
+
+    @property
+    def halo_size(self) -> int:
+        return self.send_idx.shape[2]
+
+
+def plan_halo_partition(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    ep: int,
+    *,
+    weight: np.ndarray | None = None,
+    mean: bool = True,
+) -> tuple[HaloPlan, int]:
+    """Build the halo-exchange plan. Returns (plan, n_local) where
+    n_local = padded per-shard node count (num_nodes padded to ep*n_local)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    n_local = (num_nodes + ep - 1) // ep
+    if weight is None:
+        if mean:
+            deg = np.bincount(dst, minlength=num_nodes)
+            weight = (1.0 / np.maximum(deg, 1))[dst].astype(np.float32)
+        else:
+            weight = np.ones(len(src), np.float32)
+
+    owner_dst = dst // n_local
+    owner_src = src // n_local
+
+    # per-shard edge lists
+    edges_p = [np.nonzero(owner_dst == p)[0] for p in range(ep)]
+    e_max = max((len(e) for e in edges_p), default=1)
+    e_max = max(e_max, 1)
+
+    # halo requests: need[p][q] = sorted unique global src ids p needs from q
+    need = [[None] * ep for _ in range(ep)]
+    for p in range(ep):
+        es = edges_p[p]
+        for q in range(ep):
+            if q == p:
+                need[p][q] = np.zeros(0, np.int64)
+            else:
+                m = owner_src[es] == q
+                need[p][q] = np.unique(src[es][m])
+    h_max = max((len(need[p][q]) for p in range(ep) for q in range(ep)), default=1)
+    h_max = max(h_max, 1)
+
+    send_idx = np.zeros((ep, ep, h_max), np.int32)
+    for q in range(ep):
+        for p in range(ep):
+            ids = need[p][q]
+            send_idx[q, p, : len(ids)] = (ids - q * n_local).astype(np.int32)
+
+    src_local = np.zeros((ep, e_max), np.int32)
+    dst_local = np.full((ep, e_max), n_local, np.int32)  # padding -> dropped
+    w_arr = np.zeros((ep, e_max), np.float32)
+    for p in range(ep):
+        es = edges_p[p]
+        s = src[es]
+        d = dst[es]
+        w = weight[es]
+        remapped = np.empty(len(es), np.int64)
+        local_mask = owner_src[es] == p
+        remapped[local_mask] = s[local_mask] - p * n_local
+        for q in range(ep):
+            if q == p:
+                continue
+            m = owner_src[es] == q
+            if not m.any():
+                continue
+            pos = np.searchsorted(need[p][q], s[m])
+            remapped[m] = n_local + q * h_max + pos
+        src_local[p, : len(es)] = remapped
+        dst_local[p, : len(es)] = d - p * n_local
+        w_arr[p, : len(es)] = w
+
+    plan = HaloPlan(
+        send_idx=send_idx, src_local=src_local, dst_local=dst_local, weight=w_arr
+    )
+    return plan, n_local
+
+
+def halo_aggregate(x_local, plan_local: HaloPlan, n_local: int, *, axis_name: str = "ep"):
+    """Inside shard_map: x_local [n_local, D] (this shard's rows); plan
+    arrays arrive with local leading dim 1. Returns [n_local, D] sums."""
+    send_idx = plan_local.send_idx[0]  # [ep, H]
+    src_local = plan_local.src_local[0]
+    dst_local = plan_local.dst_local[0]
+    w = plan_local.weight[0]
+
+    outgoing = x_local[send_idx]  # [ep, H, D]
+    halo = jax.lax.all_to_all(outgoing, axis_name, split_axis=0, concat_axis=0)
+    table = jnp.concatenate([x_local, halo.reshape(-1, x_local.shape[1])], axis=0)
+    msgs = table[src_local] * w[:, None].astype(x_local.dtype)
+    return jax.ops.segment_sum(msgs, dst_local, num_segments=n_local)
+
+
+def make_halo_sage_step(mesh: Mesh, plan: HaloPlan, n_local: int, *, axis_name: str = "ep"):
+    """Jitted fwd+bwd of a 2-layer GraphSAGE with halo-exchange aggregation.
+
+    ``step(params, x_stack) -> (grads, dx)`` where x_stack is [ep, n_local, D]
+    sharded over the ep axis. The comparison workload for the replicated
+    edge_partition path (same math, O(boundary) instead of O(N) comms).
+    """
+    plan_specs = jax.tree.map(lambda _: P(axis_name), plan)
+
+    def fwd(params, x_stack, plan_l):
+        xl = x_stack[0]
+        a1 = halo_aggregate(xl, plan_l, n_local, axis_name=axis_name)
+        h = jnp.maximum(a1 @ params["w0a"] + xl @ params["w0b"], 0.0)
+        a2 = halo_aggregate(h, plan_l, n_local, axis_name=axis_name)
+        h2 = jnp.maximum(a2 @ params["w1a"] + h @ params["w1b"], 0.0)
+        return jax.lax.psum(jnp.sum(h2), axis_name)
+
+    sharded = shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), plan_specs),
+        out_specs=P(),
+    )
+
+    @jax.jit
+    def step(params, x_stack):
+        return jax.grad(lambda p, xs: sharded(p, xs, plan), argnums=(0, 1))(params, x_stack)
+
+    return step
