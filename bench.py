@@ -45,13 +45,23 @@ def two_layer_sage(params, x, agg):
     return h2
 
 
-def bench_step(fn, args, iters):
-    out = fn(*args)
-    jax.tree.map(lambda a: a.block_until_ready(), out)
+def bench_step(fn, params, x, iters):
+    """Timed loop with a data-dependency chain (grads fold back into the
+    params) so repeated dispatches are never identical — guards against
+    any request-level caching in remote-execution environments."""
+
+    @jax.jit
+    def chained(params, x):
+        gp, gx = fn(params, x)
+        new_params = jax.tree.map(lambda p, g: p - 1e-9 * g, params, gp)
+        return new_params, x - 1e-9 * gx
+
+    params, x = chained(params, x)
+    jax.tree.map(lambda a: a.block_until_ready(), (params, x))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.tree.map(lambda a: a.block_until_ready(), out)
+        params, x = chained(params, x)
+    jax.tree.map(lambda a: a.block_until_ready(), (params, x))
     return (time.perf_counter() - t0) / iters
 
 
@@ -97,8 +107,8 @@ def main():
     step_pallas = jax.jit(jax.grad(loss_pallas, argnums=(0, 1)))
     step_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))
 
-    t_xla = bench_step(step_xla, (params, x), iters)
-    t_pallas = bench_step(step_pallas, (params, x), iters)
+    t_xla = bench_step(step_xla, params, x, iters)
+    t_pallas = bench_step(step_pallas, params, x, iters)
 
     t_best = min(t_pallas, t_xla)
     result = {
