@@ -18,6 +18,13 @@ from .dataset import GraphDataset
 
 
 class GraphLoader:
+    """``buckets > 1`` enables degree-bucketed capacities: graphs are
+    partitioned into size quantiles (by node count), each bucket gets its
+    own (smaller) static capacities and shuffles internally, and batches
+    from all buckets are interleaved in random order. This bounds XLA
+    compilations to ``buckets`` programs while cutting padding waste on
+    skewed pack-size distributions (SURVEY.md §7 hard part 1)."""
+
     def __init__(
         self,
         dataset: GraphDataset,
@@ -27,41 +34,62 @@ class GraphLoader:
         dims: BatchDims | None = None,
         seed: int = 0,
         drop_last: bool = False,
+        buckets: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
-        if dims is None:
-            num_labels = len(dataset.active_labels)
-            # capacity from raw graphs; CutFrames shrinks F, recompute below
-            probe = dataset.get(0)
-            dims = compute_batch_dims(
-                [dataset.get_raw(i) for i in range(len(dataset))], batch_size, num_labels
-            )
-            if probe.x.shape[1] != dims.num_frames:
-                dims = BatchDims(
-                    node_capacity=dims.node_capacity,
-                    edge_capacity=dims.edge_capacity,
-                    graph_capacity=dims.graph_capacity,
-                    num_frames=probe.x.shape[1],
+
+        num_labels = len(dataset.active_labels)
+        probe = dataset.get(0)
+        raw = [dataset.get_raw(i) for i in range(len(dataset))]
+
+        def fix_frames(d: BatchDims) -> BatchDims:
+            if probe.x.shape[1] != d.num_frames:  # CutFrames shrinks F
+                return BatchDims(
+                    node_capacity=d.node_capacity, edge_capacity=d.edge_capacity,
+                    graph_capacity=d.graph_capacity, num_frames=probe.x.shape[1],
                     num_labels=num_labels,
                 )
-        self.dims = dims
+            return d
+
+        if dims is not None or buckets <= 1 or len(raw) < 2 * buckets:
+            if dims is None:
+                dims = fix_frames(compute_batch_dims(raw, batch_size, num_labels))
+            self.dims = dims
+            self._bucket_members = [np.arange(len(raw))]
+            self._bucket_dims = [dims]
+        else:
+            sizes = np.array([g.num_nodes for g in raw])
+            order = np.argsort(sizes, kind="stable")
+            splits = np.array_split(order, buckets)
+            self._bucket_members = [s for s in splits if len(s)]
+            self._bucket_dims = [
+                fix_frames(compute_batch_dims([raw[i] for i in members], batch_size, num_labels))
+                for members in self._bucket_members
+            ]
+            self.dims = self._bucket_dims[-1]  # largest bucket's capacities
 
     def __len__(self) -> int:
-        n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        total = 0
+        for members in self._bucket_members:
+            n = len(members)
+            total += n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+        return total
 
     def __iter__(self) -> Iterator[PaddedGraphBatch]:
-        n = len(self.dataset)
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
-        for s in range(0, n, self.batch_size):
-            idxs = order[s : s + self.batch_size]
-            if self.drop_last and len(idxs) < self.batch_size:
-                break
+        batches: list[tuple[int, np.ndarray]] = []
+        for bi, members in enumerate(self._bucket_members):
+            order = self._rng.permutation(members) if self.shuffle else np.asarray(members)
+            for s in range(0, len(order), self.batch_size):
+                idxs = order[s : s + self.batch_size]
+                if self.drop_last and len(idxs) < self.batch_size:
+                    continue
+                batches.append((bi, idxs))
+        if self.shuffle and len(self._bucket_members) > 1:
+            self._rng.shuffle(batches)
+        for bi, idxs in batches:
             graphs = [self.dataset.get(int(i), self._rng) for i in idxs]
-            yield pad_and_batch(graphs, self.dims)
+            yield pad_and_batch(graphs, self._bucket_dims[bi])

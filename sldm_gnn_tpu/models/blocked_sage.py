@@ -1,0 +1,82 @@
+"""GraphSAGE blocks over the Pallas blocked-SpMM path (big-graph mode).
+
+The padded-batch :class:`~sldm_gnn_tpu.models.blocks.SageBlock` aggregates
+with XLA segment ops — right for many small pack graphs. For one large
+graph (the map graph, node-classification workloads, the benchmark
+configs), this module runs the same SAGE math with the blocked Pallas
+SpMM kernel (ops/spmm.py) and its transpose-graph custom VJP:
+
+    h = lin_l( spmm_mean(x) ) + lin_r(x)     per layer, then
+    LayerNorm -> (Leaky)ReLU -> dropout
+
+Weights are name-compatible with SageBlock (conv{i}/lin_l, lin_r, norm{i})
+so checkpoints transfer between the two execution modes.
+
+Usage: build the edge layouts once on the host
+(``prepare_mean_aggregate(src, dst, n, step_chunks=K)``) and pass them to
+``__call__`` — they are static data, jit-friendly, shared by all layers.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..graph.csr import BlockedEdges
+from ..ops.spmm import spmm_apply
+from .blocks import _activation
+
+
+class BlockedSageConv(nn.Module):
+    out_dim: int
+    use_pallas: bool = True
+    k_per_step: int = 1
+
+    @nn.compact
+    def __call__(self, x, blocked_fwd: BlockedEdges, blocked_rev: BlockedEdges, num_nodes: int):
+        agg = spmm_apply(x, blocked_fwd, blocked_rev, num_nodes, self.use_pallas, self.k_per_step)
+        out = nn.Dense(self.out_dim, use_bias=True, name="lin_l")(agg)
+        return out + nn.Dense(self.out_dim, use_bias=False, name="lin_r")(x)
+
+
+class BlockedSageBlock(nn.Module):
+    hidden_dims: Sequence[int]
+    dropout: float | None = None
+    negative_slope: float | None = None
+    use_pallas: bool = True
+    k_per_step: int = 1
+
+    @nn.compact
+    def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int, *, train: bool = False):
+        for i, h in enumerate(self.hidden_dims):
+            x = BlockedSageConv(
+                h, use_pallas=self.use_pallas, k_per_step=self.k_per_step, name=f"conv{i}"
+            )(x, blocked_fwd, blocked_rev, num_nodes)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+            x = _activation(x, self.negative_slope)
+            if self.dropout is not None:
+                x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        return x
+
+
+class BlockedSageClassifier(nn.Module):
+    """Node classifier: BlockedSageBlock -> linear head (big-graph
+    full-batch node classification, BASELINE config 4 style)."""
+
+    hidden_dims: Sequence[int]
+    num_classes: int
+    dropout: float | None = None
+    negative_slope: float | None = None
+    use_pallas: bool = True
+    k_per_step: int = 1
+
+    @nn.compact
+    def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int, *, train: bool = False):
+        h = BlockedSageBlock(
+            self.hidden_dims, dropout=self.dropout, negative_slope=self.negative_slope,
+            use_pallas=self.use_pallas, k_per_step=self.k_per_step, name="sage",
+        )(x, blocked_fwd, blocked_rev, num_nodes, train=train)
+        return nn.Dense(self.num_classes, name="head")(h)

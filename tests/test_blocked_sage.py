@@ -1,0 +1,85 @@
+"""BlockedSageBlock (Pallas-path SAGE) equals the segment-op SageBlock with
+shared weights, and trains a big-graph node classifier."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from sldm_gnn_tpu.graph.csr import pad_nodes
+from sldm_gnn_tpu.models.blocks import SageBlock
+from sldm_gnn_tpu.models.blocked_sage import BlockedSageBlock, BlockedSageClassifier
+from sldm_gnn_tpu.ops.spmm import prepare_mean_aggregate
+
+
+def test_blocked_equals_segment_sage(rng):
+    n, e, d = 150, 900, 16
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    fwd, rev, n_pad = prepare_mean_aggregate(src, dst, n)
+    x = rng.standard_normal((n_pad, d)).astype(np.float32)
+    # padding rows must be zero so both paths see the same features
+    x[n:] = 0.0
+    hdims = (8, 8)
+
+    seg = SageBlock(hdims, dropout=None, negative_slope=0.1)
+    vs = seg.init(
+        jax.random.PRNGKey(0), jnp.array(x), jnp.array(src), jnp.array(dst),
+        jnp.ones(e, bool), n_pad,
+    )
+    out_seg = seg.apply(
+        vs, jnp.array(x), jnp.array(src), jnp.array(dst), jnp.ones(e, bool), n_pad
+    )
+
+    blk = BlockedSageBlock(hdims, dropout=None, negative_slope=0.1, use_pallas=False)
+    out_blk = blk.apply({"params": vs["params"]}, jnp.array(x), fwd, rev, n_pad)
+    np.testing.assert_allclose(
+        np.asarray(out_blk)[:n], np.asarray(out_seg)[:n], rtol=2e-4, atol=2e-5
+    )
+
+
+def test_blocked_classifier_trains(rng):
+    # two communities on a big-ish graph; node classification
+    n = 600
+    half = n // 2
+    src, dst, y = [], [], np.zeros(n, np.int32)
+    for i in range(n):
+        com = i >= half
+        y[i] = int(com)
+        base = half if com else 0
+        for k in range(1, 5):
+            src.append(base + (i - base + k * 7) % half)
+            dst.append(i)
+    src, dst = np.array(src), np.array(dst)
+    fwd, rev, n_pad = prepare_mean_aggregate(src, dst, n)
+    x = np.zeros((n_pad, 8), np.float32)
+    x[:n] = rng.standard_normal((n, 8)) * 0.1
+    x[half:n, 0] += 1.0
+
+    model = BlockedSageClassifier((16, 16), num_classes=2, dropout=None,
+                                  negative_slope=0.1, use_pallas=False)
+    params = model.init(jax.random.PRNGKey(0), jnp.array(x), fwd, rev, n_pad)["params"]
+    opt = optax.adam(1e-2)
+    st = opt.init(params)
+    yj = jnp.array(y)
+
+    @jax.jit
+    def step(params, st):
+        def lf(p):
+            logits = model.apply({"params": p}, jnp.array(x), fwd, rev, n_pad)[:n]
+            oh = jax.nn.one_hot(yj, 2)
+            return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * oh, axis=1))
+
+        l, g = jax.value_and_grad(lf)(params)
+        u, st = opt.update(g, st)
+        return optax.apply_updates(params, u), st, l
+
+    losses = []
+    for _ in range(40):
+        params, st, loss = step(params, st)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.2, (losses[0], losses[-1])
+    logits = model.apply({"params": params}, jnp.array(x), fwd, rev, n_pad)[:n]
+    acc = float((np.asarray(logits).argmax(1) == y).mean())
+    assert acc > 0.95

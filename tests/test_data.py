@@ -129,3 +129,23 @@ def test_loader_with_cut_frames(built_split):
     b = next(iter(loader))
     assert b.x.shape[1] == 6
     assert b.pos_raw.shape[1] == 6
+
+
+def test_bucketed_loader(built_split):
+    ds = GraphDataset(built_split, normalize_zscore=True)
+    single = GraphLoader(ds, batch_size=3)
+    bucketed = GraphLoader(ds, batch_size=3, shuffle=True, buckets=2, seed=3)
+
+    batches = list(bucketed)
+    # every graph appears exactly once
+    assert sum(int(b.graph_mask.sum()) for b in batches) == len(ds)
+    # at most 2 distinct shapes, padding never exceeds the single-bucket cap
+    shapes = {b.x.shape for b in batches}
+    assert len(shapes) <= 2
+    assert max(s[0] for s in shapes) <= single.dims.node_capacity
+    # padding waste is reduced (or equal) vs the single capacity
+    single_padding = sum(
+        single.dims.node_capacity - int(b.node_mask.sum()) for b in list(single)
+    )
+    bucket_padding = sum(b.x.shape[0] - int(b.node_mask.sum()) for b in batches)
+    assert bucket_padding <= single_padding
