@@ -74,11 +74,11 @@ def main():
     backend = jax.default_backend()
     src, dst = make_local_graph(n, deg)
     e = len(src)
-    n_pad = pad_nodes(n)
-
     k_per_step = int(os.environ.get("BENCH_K_PER_STEP", 2))
-    blocked_fwd, blocked_rev, _ = prepare_mean_aggregate(
-        src, dst, n, step_chunks=k_per_step
+    tile = int(os.environ.get("BENCH_TILE", 256))
+    edge_chunk = int(os.environ.get("BENCH_EDGE_CHUNK", 512))
+    blocked_fwd, blocked_rev, n_pad = prepare_mean_aggregate(
+        src, dst, n, step_chunks=k_per_step, tile=tile, edge_chunk=edge_chunk
     )
     blocked_fwd = jax.tree.map(jnp.asarray, blocked_fwd)
     blocked_rev = jax.tree.map(jnp.asarray, blocked_rev)

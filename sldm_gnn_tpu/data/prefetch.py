@@ -1,0 +1,51 @@
+"""Background-thread batch prefetching.
+
+Host-side collation (transforms + pad_and_batch) runs in a worker thread a
+fixed number of batches ahead of the consumer, so batch prep overlaps
+device compute — the TPU-side answer to the reference's in-loop
+``torch.load`` stalls (SURVEY.md §3.2 note). Exceptions in the producer
+propagate to the consumer."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, TypeVar
+
+T = TypeVar("T")
+
+_DONE = object()
+
+
+class Prefetcher:
+    """Iterate ``iterable`` in a background thread with a bounded buffer."""
+
+    def __init__(self, iterable: Iterable[T], depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+        self._err: BaseException | None = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # propagate to the consumer
+                self._err = e
+            finally:
+                self._q.put(_DONE)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self) -> Iterator[T]:
+        while True:
+            item = self._q.get()
+            if item is _DONE:
+                self._thread.join()
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
+def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:
+    return iter(Prefetcher(iterable, depth))

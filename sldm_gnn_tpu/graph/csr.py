@@ -24,7 +24,7 @@ is dense 128-aligned tiles and all compute is MXU matmuls.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import numpy as np
@@ -56,6 +56,8 @@ class BlockedEdges:
     dst_local: jax.Array
     weight: jax.Array
     edge_id: jax.Array | None = None
+    # node-tile height of the layout (static pytree metadata)
+    tile: int = field(default=TILE, metadata=dict(static=True))
 
     @property
     def num_chunks(self) -> int:
@@ -169,6 +171,7 @@ def block_edges(
         dst_local=dst_arr,
         weight=w_arr,
         edge_id=e_arr,
+        tile=tile,
     )
 
 

@@ -66,7 +66,8 @@ def sddmm_pallas(x: jax.Array, y: jax.Array, blocked: BlockedEdges, *, interpret
     from jax.experimental.pallas import tpu as pltpu
 
     n_pad, d = x.shape
-    assert n_pad % TILE == 0
+    tile = blocked.tile
+    assert n_pad % tile == 0
     W = blocked.num_chunks
     ec = blocked.src_local.shape[1]
 
@@ -83,8 +84,8 @@ def sddmm_pallas(x: jax.Array, y: jax.Array, blocked: BlockedEdges, *, interpret
             pl.BlockSpec((1, 1, ec), lambda w, dblk, sblk: (w, 0, 0)),
             pl.BlockSpec((1, 1, ec), lambda w, dblk, sblk: (w, 0, 0)),
             pl.BlockSpec((1, 1, ec), lambda w, dblk, sblk: (w, 0, 0)),
-            pl.BlockSpec((TILE, d), lambda w, dblk, sblk: (dblk[w], 0)),
-            pl.BlockSpec((TILE, d), lambda w, dblk, sblk: (sblk[w], 0)),
+            pl.BlockSpec((tile, d), lambda w, dblk, sblk: (dblk[w], 0)),
+            pl.BlockSpec((tile, d), lambda w, dblk, sblk: (sblk[w], 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, ec), lambda w, dblk, sblk: (w, 0, 0)),
     )
@@ -93,8 +94,8 @@ def sddmm_pallas(x: jax.Array, y: jax.Array, blocked: BlockedEdges, *, interpret
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((W, 1, ec), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=W * (2 * TILE * TILE * d + 2 * ec * TILE * TILE),
-            bytes_accessed=W * 2 * TILE * d * 4,
+            flops=W * (2 * tile * tile * d + 2 * ec * tile * tile),
+            bytes_accessed=W * 2 * tile * d * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -103,8 +104,8 @@ def sddmm_pallas(x: jax.Array, y: jax.Array, blocked: BlockedEdges, *, interpret
 
 
 def _sddmm_chunk_xla(x, y, blocked: BlockedEdges):
-    src = blocked.block_meta[:, 1][:, None] * TILE + blocked.src_local
-    dst = blocked.block_meta[:, 0][:, None] * TILE + blocked.dst_local
+    src = blocked.block_meta[:, 1][:, None] * blocked.tile + blocked.src_local
+    dst = blocked.block_meta[:, 0][:, None] * blocked.tile + blocked.dst_local
     valid = (blocked.weight != 0.0).astype(jnp.float32)
     return jnp.sum(x[dst] * y[src], axis=-1) * valid
 
@@ -166,6 +167,7 @@ def _with_weight(blocked: BlockedEdges, w: jax.Array) -> BlockedEdges:
         dst_local=blocked.dst_local,
         weight=w,
         edge_id=blocked.edge_id,
+        tile=blocked.tile,
     )
 
 

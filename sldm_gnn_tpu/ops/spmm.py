@@ -133,7 +133,8 @@ def spmm_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     n_pad, d = x.shape
-    assert n_pad % TILE == 0, f"x rows {n_pad} not a multiple of {TILE}"
+    tile = blocked.tile
+    assert n_pad % tile == 0, f"x rows {n_pad} not a multiple of {tile}"
     W = blocked.num_chunks
     ec = blocked.src_local.shape[1]
     K = k_per_step
@@ -158,23 +159,23 @@ def spmm_pallas(
         return pl.BlockSpec((1, K, ec), lambda w, dblk, sblk: (w, 0, 0))
 
     def x_spec(k):
-        return pl.BlockSpec((TILE, d), lambda w, dblk, sblk, k=k: (sblk[w * K + k], 0))
+        return pl.BlockSpec((tile, d), lambda w, dblk, sblk, k=k: (sblk[w * K + k], 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # 1-D dst/src block ids (2-D SMEM arrays lane-pad to 128)
         grid=(steps,),
         in_specs=[chunk_spec(), chunk_spec(), chunk_spec()]
         + [x_spec(k) for k in range(K)],
-        out_specs=pl.BlockSpec((TILE, d), lambda w, dblk, sblk: (dblk[w * K], 0)),
-        scratch_shapes=[pltpu.VMEM((TILE, d), jnp.float32)],
+        out_specs=pl.BlockSpec((tile, d), lambda w, dblk, sblk: (dblk[w * K], 0)),
+        scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32)],
     )
-    flops = 2 * 2 * W * ec * TILE * d
+    flops = 2 * 2 * W * ec * tile * d
     return pl.pallas_call(
         partial(_spmm_kernel, precision=precision, k_per_step=K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=(W * TILE * d + n_pad * d) * 4, transcendentals=0
+            flops=flops, bytes_accessed=(W * tile * d + n_pad * d) * 4, transcendentals=0
         ),
         interpret=interpret,
     )(dblk, sblk, src3, dst3, w3, *([x] * K))
@@ -194,8 +195,8 @@ def _spmm_dispatch(x, blocked, num_nodes, use_pallas, k_per_step: int = 1):
     if use_pallas:
         return spmm_pallas(x, blocked, num_nodes, k_per_step=k_per_step)
     # XLA fallback reconstructing global indices from the blocked layout
-    src = blocked.block_meta[:, 1][:, None] * TILE + blocked.src_local
-    dst = blocked.block_meta[:, 0][:, None] * TILE + blocked.dst_local
+    src = blocked.block_meta[:, 1][:, None] * blocked.tile + blocked.src_local
+    dst = blocked.block_meta[:, 0][:, None] * blocked.tile + blocked.dst_local
     return spmm_xla(x, src.reshape(-1), dst.reshape(-1), blocked.weight.reshape(-1), num_nodes)
 
 
@@ -216,17 +217,26 @@ spmm_apply.defvjp(_spmm_fwd, _spmm_bwd)
 
 
 def prepare_mean_aggregate(
-    src: np.ndarray, dst: np.ndarray, num_nodes: int, *, step_chunks: int = 1
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    step_chunks: int = 1,
+    tile: int = TILE,
+    edge_chunk: int = EDGE_CHUNK,
 ) -> tuple[BlockedEdges, BlockedEdges, int]:
     """Build forward + reverse blocked layouts for mean aggregation.
 
     Returns (blocked_fwd, blocked_rev, padded_num_nodes). The mean's 1/deg
     weights ride the edges in both directions (backward of mean is the
     transpose with identical weights). ``step_chunks`` must match the
-    ``k_per_step`` used at execution time.
+    ``k_per_step`` used at execution time; ``tile``/``edge_chunk`` tune the
+    node-tile height and chunk width (v5e sweet spot: 256/512, BASELINE.md).
     """
-    n_pad = pad_nodes(num_nodes)
+    n_pad = pad_nodes(num_nodes, tile)
     w = mean_weights(dst, num_nodes)
-    fwd = block_edges(src, dst, n_pad, weight=w, step_chunks=step_chunks)
-    rev = block_edges(dst, src, n_pad, weight=w, step_chunks=step_chunks)
+    fwd = block_edges(src, dst, n_pad, weight=w, tile=tile, edge_chunk=edge_chunk,
+                      step_chunks=step_chunks)
+    rev = block_edges(dst, src, n_pad, weight=w, tile=tile, edge_chunk=edge_chunk,
+                      step_chunks=step_chunks)
     return fwd, rev, n_pad

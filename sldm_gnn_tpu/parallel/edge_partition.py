@@ -77,6 +77,7 @@ def partition_edges(
             edge_id=np.concatenate([s.edge_id, np.zeros((padn, ec), np.int32)])
             if s.edge_id is not None
             else None,
+            tile=s.tile,
         )
 
     padded = [pad_shard(s) for s in shards]

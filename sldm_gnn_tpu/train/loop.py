@@ -184,6 +184,7 @@ def train_model(
     best_state_callback: Callable[[Any, dict], None] | None = None,
     epoch_callback: Callable[[int, dict], None] | None = None,
     init_state: TrainState | None = None,
+    prefetch_depth: int = 2,
 ) -> tuple[TrainState, TrainResult]:
     """Full training run. ``train_batches``/``eval_batches`` are zero-arg
     callables returning fresh per-epoch iterators (the loader re-shuffles).
@@ -225,8 +226,10 @@ def train_model(
     for epoch in range(epochs):
         # ---- train phase: metrics stay device-side per step; one host
         # fetch per epoch so batch prep overlaps device compute
+        from ..data.prefetch import prefetch as _prefetch
+
         step_metrics = []
-        for batch in train_batches():
+        for batch in _prefetch(train_batches(), prefetch_depth):
             rng, step_rng = jax.random.split(rng)
             state, m = fns.train_step(state, jax.tree.map(jnp.asarray, batch), step_rng)
             step_metrics.append(m)
@@ -246,7 +249,7 @@ def train_model(
         step_metrics = []
         masks = []
         gts = []
-        for batch in eval_batches():
+        for batch in _prefetch(eval_batches(), prefetch_depth):
             m = fns.eval_step(state.params, jax.tree.map(jnp.asarray, batch))
             step_metrics.append(m)
             if L == 1:

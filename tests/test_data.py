@@ -149,3 +149,19 @@ def test_bucketed_loader(built_split):
     )
     bucket_padding = sum(b.x.shape[0] - int(b.node_mask.sum()) for b in batches)
     assert bucket_padding <= single_padding
+
+
+def test_prefetcher():
+    from sldm_gnn_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(range(7), depth=2)) == list(range(7))
+    assert list(prefetch([], depth=2)) == []
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)

@@ -182,3 +182,21 @@ def test_k_per_step_requires_matching_layout(rng):
         with pytest.raises(ValueError, match="k_per_step"):
             spmm_pallas(jnp.zeros((pad_nodes(n), 8), jnp.float32), blocked,
                         pad_nodes(n), interpret=True, k_per_step=4)
+
+
+def test_tile_256_layout(rng):
+    """Non-default node-tile height (256) stays exact."""
+    n, e, d = 500, 2500, 16
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    fwd, rev, n_pad = prepare_mean_aggregate(src, dst, n, tile=256, edge_chunk=512,
+                                             step_chunks=2)
+    assert n_pad % 256 == 0 and fwd.tile == 256
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+    out = np.asarray(
+        spmm_pallas(jnp.array(x_np), fwd, n_pad, interpret=True,
+                    precision=jax.lax.Precision.HIGHEST, k_per_step=2)
+    )
+    w = mean_weights(dst, n)
+    want = naive_weighted_sum(x_np, src, dst, w, n_pad)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3)
