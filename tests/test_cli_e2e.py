@@ -159,3 +159,17 @@ def test_compare_cli(tmp_path, workspace, built):
     )
     assert r.exit_code == 0, r.output
     assert (tmp_path / "cmp" / "test_pack_metrics.csv").is_file()
+
+
+def test_test_cli_with_cut(trained, built, workspace):
+    """Eval-time frame truncation (--cut) matches training-time CutFrames."""
+    from sldm_gnn_tpu.cli.test import main as test_main
+
+    r = CliRunner().invoke(
+        test_main,
+        [str(built / "test"), str(workspace / "cut_out"), "-w", str(trained), "--cut", "5"],
+    )
+    # snapshot was trained on full frames; --cut changes the model's input
+    # length, which the GRU handles (scan over fewer steps)
+    assert r.exit_code == 0, r.output
+    assert (workspace / "cut_out" / "test_pack_metrics.csv").is_file()

@@ -127,3 +127,22 @@ def test_vmapped_combo_matches_sequential_step(rng):
         p_new,
         state2.params,
     )
+
+
+def test_vmap_sweep_focal_auto_alpha(rng):
+    """Focal loss path with focal_alphas=None derives alpha from pos_weight."""
+    F, L = 4, 1
+    gs = _graphs(rng, 4, F, L)
+    dims = BatchDims(node_capacity=16, edge_capacity=16, graph_capacity=4, num_frames=F, num_labels=L)
+    batch = pad_and_batch(gs, dims)
+    cfg = GruSageConfig(
+        frames_num=F, gru_hidden_size=8, fc1dims=(8,), sage_hidden_dims=(8,),
+        fc2dims=(4,), out_dim=L, emb_dim=2, dropout=None, map_included=False,
+    )
+    model = GruSage(cfg)
+    params, res = train_sweep_vmapped(
+        model, lambda: [batch], lambda: [batch],
+        lrs=[1e-3, 5e-3], weight_decays=[0.0, 0.0], epochs=2,
+        pos_weight=3.0, loss_type="focal", focal_alphas=None, focal_gamma=2.0,
+    )
+    assert np.isfinite(res.train_loss).all()
