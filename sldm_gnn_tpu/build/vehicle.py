@@ -10,17 +10,19 @@ trajectory-proximity edges, decodes the label bitmask, and writes one
 ``pack_<pid>.npz`` per pack plus ``metadata.json``
 (fields parity: gbuilder.py:615-622).
 
-Process parallelism: a ``multiprocessing`` pool over packs mirrors the
-reference's worker/queue ETL (§2.4.2) but with row-group streaming kept in
-the parent. When the native C++ edge kernel (native/libgraphbuild.so) is
-present it is used per worker for the O(V²F) edge computation.
+Worker parallelism: a thread pool over packs mirrors the reference's
+worker/queue ETL (§2.4.2) but with row-group streaming kept in the parent.
+Threads (not processes) on purpose: the O(V²F) hot loop runs in the native
+C++ kernel (native/libgraphbuild.so), whose ctypes calls release the GIL —
+and forked process pools deadlock in environments where the parent has
+live accelerator-client threads (e.g. the remote-TPU plugin).
 """
 
 from __future__ import annotations
 
 import json
 import shutil
-from multiprocessing import Pool
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -56,9 +58,7 @@ def pack_to_graph(
 
 
 def _worker(args):
-    pid, pack_records, vinfo_records, frames_num, m_radius, mlb, active_labels, gpath = args
-    pack_df = pd.DataFrame(pack_records)
-    vinfo_df = pd.DataFrame(vinfo_records) if vinfo_records is not None else None
+    pid, pack_df, vinfo_df, frames_num, m_radius, mlb, active_labels, gpath = args
     g = pack_to_graph(
         pack_df,
         vinfo_df,
@@ -134,8 +134,8 @@ class GraphsBuilder:
                 tasks.append(
                     (
                         pid,
-                        pg.drop(columns=["PackId"]).to_dict("list"),
-                        self.vinfo_df.to_dict("list") if self.vinfo_df is not None else None,
+                        pg.drop(columns=["PackId"]),
+                        self.vinfo_df,
                         self.frames_num,
                         self.m_radius,
                         self._mlb_by_pid(pid),
@@ -146,8 +146,8 @@ class GraphsBuilder:
         pf.close()
 
         if self.n_workers > 1:
-            with Pool(self.n_workers) as pool:
-                for i, _ in enumerate(pool.imap_unordered(_worker, tasks)):
+            with ThreadPoolExecutor(self.n_workers) as pool:
+                for i, _ in enumerate(pool.map(_worker, tasks)):
                     if progress and i % 50 == 0:
                         print(f"built {i + 1}/{len(tasks)} graphs")
         else:

@@ -15,3 +15,10 @@ from .segment import (  # noqa: F401
 )
 from .gru import gru_forward, GRUParams, init_gru_params  # noqa: F401
 from .knn import knn_topk  # noqa: F401
+from .spmm import (  # noqa: F401
+    spmm_xla,
+    spmm_pallas,
+    spmm_apply,
+    prepare_mean_aggregate,
+)
+from .sddmm import sddmm_xla, sddmm_pallas, sddmm_apply, prepare_sddmm  # noqa: F401
