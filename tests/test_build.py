@@ -205,3 +205,37 @@ def test_online_creator_empty_and_norm():
     np.testing.assert_allclose(g.x[0, 0, 0], 1.0)
     # presence flag untouched by normalization
     np.testing.assert_allclose(g.x[0, 0, 5], 1.0)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_trajectory_edges_fuzz(seed):
+    """Randomized graphs across seeds: vectorized (and native when built)
+    edge construction equals the naive loop."""
+    rng = np.random.default_rng(1000 + seed)
+    V = int(rng.integers(1, 30))
+    F = int(rng.integers(1, 20))
+    x = np.zeros((V, F, 6), np.float32)
+    x[:, :, :2] = rng.uniform(-50, 50, (V, F, 2))
+    x[:, :, 5] = (rng.random((V, F)) > rng.uniform(0.1, 0.9)).astype(np.float32)
+    r = float(rng.uniform(5, 60))
+    ei_v, ea_v = build_trajectory_edges(x, r)
+    ei_n, ea_n = naive_trajectory_edges(x, r)
+    np.testing.assert_array_equal(ei_v, ei_n)
+    np.testing.assert_allclose(ea_v, ea_n, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_map_edges_fuzz(seed):
+    rng = np.random.default_rng(2000 + seed)
+    S = int(rng.integers(2, 40))
+    start = rng.uniform(-30, 30, (S, 2)).astype(np.float32)
+    end = (start + rng.uniform(-15, 15, (S, 2))).astype(np.float32)
+    widths = rng.uniform(1, 5, S).astype(np.float32)
+    cgl = rng.random(S) > 0.5
+    cgr = rng.random(S) > 0.5
+    ang = float(rng.uniform(5, 90))
+    prox = float(rng.uniform(0.5, 10))
+    got = build_map_edges(start, end, widths, cgl, cgr,
+                          lat_conn_max_angle_deg=ang, lat_conn_proximity_threshold=prox)
+    want = naive_map_edges(start, end, widths, cgl, cgr, ang, prox)
+    np.testing.assert_array_equal(got, want)
