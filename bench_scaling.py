@@ -47,7 +47,7 @@ def main():
     e = len(src)
     use_pallas = jax.default_backend() not in ("cpu",)
 
-    base = None
+    base_rate = base_ep = None
     for ep in points:
         mesh = make_mesh(dp=1, ep=ep, devices=jax.devices()[:ep])
         params = {
@@ -75,8 +75,11 @@ def main():
         jax.tree.map(lambda a: a.block_until_ready(), out)
         t = (time.perf_counter() - t0) / iters
         eps_rate = e / t
-        if base is None:
-            base = eps_rate
+        if base_rate is None:
+            base_rate, base_ep = eps_rate, ep
+        # efficiency = per-device rate relative to the first measured point's
+        # per-device rate (exact when the sweep starts at 1 device)
+        eff = (eps_rate / ep) / (base_rate / base_ep)
         print(
             json.dumps(
                 {
@@ -84,7 +87,7 @@ def main():
                     "devices": ep,
                     "value": round(eps_rate, 1),
                     "unit": "edges/s",
-                    "scaling_efficiency": round(eps_rate / (base * ep), 3),
+                    "scaling_efficiency": round(eff, 3),
                     "backend": jax.default_backend(),
                 }
             )

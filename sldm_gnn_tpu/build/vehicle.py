@@ -99,6 +99,17 @@ class GraphsBuilder:
 
         ypath = self.dirpath / "labels.parquet"
         self.labels_df = pd.read_parquet(ypath) if ypath.is_file() else None
+        # O(1) label lookup per pack (the DataFrame-scan version is O(P^2)
+        # over the dataset); duplicate PackIds are rejected here once
+        if self.labels_df is not None:
+            if self.labels_df["PackId"].duplicated().any():
+                dupes = self.labels_df["PackId"][self.labels_df["PackId"].duplicated()]
+                raise ValueError(f"Multiple label rows for PackId(s) {sorted(set(dupes))[:5]}")
+            self._mlb_map = dict(
+                zip(self.labels_df["PackId"].tolist(), self.labels_df["MLBEncoded"].tolist())
+            )
+        else:
+            self._mlb_map = {}
 
         vpath = self.dirpath / "vinfo.parquet"
         if vpath.is_file():
@@ -110,14 +121,8 @@ class GraphsBuilder:
             self.vinfo_df = None
 
     def _mlb_by_pid(self, pid) -> int | None:
-        if self.labels_df is None:
-            return None
-        rows = self.labels_df[self.labels_df["PackId"] == pid]
-        if len(rows) > 1:
-            raise ValueError(f"Multiple label rows for PackId {pid}")
-        if len(rows) == 1:
-            return int(rows["MLBEncoded"].values[0])
-        return None
+        mlb = self._mlb_map.get(pid)
+        return int(mlb) if mlb is not None else None
 
     def save(self, *, progress: bool = False) -> Path:
         if self.gpath.exists():
@@ -126,12 +131,14 @@ class GraphsBuilder:
 
         import pyarrow.parquet as pq
 
+        # stream row groups: only one row group's packs are in flight at a
+        # time, bounding peak memory on large datasets
         pf = pq.ParquetFile(self.dirpath / "packs.parquet")
-        tasks = []
-        for rg in range(pf.num_row_groups):
-            batch_df = pf.read_row_group(rg).to_pandas()
-            for pid, pg in batch_df.groupby("PackId"):
-                tasks.append(
+        done = 0
+        with ThreadPoolExecutor(max(self.n_workers, 1)) as pool:
+            for rg in range(pf.num_row_groups):
+                batch_df = pf.read_row_group(rg).to_pandas()
+                tasks = [
                     (
                         pid,
                         pg.drop(columns=["PackId"]),
@@ -142,19 +149,13 @@ class GraphsBuilder:
                         self.active_labels,
                         str(self.gpath),
                     )
-                )
+                    for pid, pg in batch_df.groupby("PackId")
+                ]
+                for _ in pool.map(_worker, tasks):
+                    done += 1
+                    if progress and done % 50 == 1:
+                        print(f"built {done} graphs")
         pf.close()
-
-        if self.n_workers > 1:
-            with ThreadPoolExecutor(self.n_workers) as pool:
-                for i, _ in enumerate(pool.map(_worker, tasks)):
-                    if progress and i % 50 == 0:
-                        print(f"built {i + 1}/{len(tasks)} graphs")
-        else:
-            for i, t in enumerate(tasks):
-                _worker(t)
-                if progress and i % 50 == 0:
-                    print(f"built {i + 1}/{len(tasks)} graphs")
 
         n_samples = (
             int(self.labels_df["PackId"].nunique())

@@ -67,6 +67,9 @@ def run_inference(
     L = cfg.out_dim
     scores_all = np.zeros((len(ds), L), np.float32)
     gt_all = np.full((len(ds), L), -1, np.int32)
+    # padded batches zero-fill missing labels, so labeled-ness must be read
+    # from the raw graphs: unlabeled rows stay at -1 for the caller's check
+    has_label = np.array([ds.get_raw(i).y is not None for i in range(len(ds))])
     cursor = 0
     params = snapshot["params"]
     for batch in loader:
@@ -77,6 +80,7 @@ def run_inference(
         scores_all[cursor : cursor + n] = scores[gm]
         gt_all[cursor : cursor + n] = np.asarray(batch.y)[gm].astype(np.int32)
         cursor += n
+    gt_all[~has_label] = -1
     return scores_all, gt_all, ds.pack_ids
 
 

@@ -18,33 +18,54 @@ _DONE = object()
 
 
 class Prefetcher:
-    """Iterate ``iterable`` in a background thread with a bounded buffer."""
+    """Iterate ``iterable`` in a background thread with a bounded buffer.
+
+    Abandoning iteration mid-stream (consumer exception / early break)
+    stops the worker promptly: the generator's ``finally`` sets a stop
+    flag the producer polls between puts, so no thread is left parked on a
+    full queue holding batch memory."""
 
     def __init__(self, iterable: Iterable[T], depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._err: BaseException | None = None
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for item in iterable:
-                    self._q.put(item)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # propagate to the consumer
                 self._err = e
             finally:
-                self._q.put(_DONE)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(_DONE, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
 
     def __iter__(self) -> Iterator[T]:
-        while True:
-            item = self._q.get()
-            if item is _DONE:
-                self._thread.join()
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is _DONE:
+                    self._thread.join()
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+        finally:
+            self._stop.set()
 
 
 def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:

@@ -22,7 +22,7 @@ dummy coverage chunks needed.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import jax
@@ -44,6 +44,7 @@ class MegaBlockedEdges:
     sblk: jax.Array
     srcdst: jax.Array
     weight: jax.Array
+    tile: int = field(default=TILE, metadata=dict(static=True))
 
     @property
     def num_chunks(self) -> int:
@@ -67,7 +68,8 @@ def to_megakernel_layout(blocked: BlockedEdges, num_nodes_padded: int) -> MegaBl
     order = np.argsort(meta[:, 0], kind="stable")
     meta, src, dst, w = meta[order], src[order], dst[order], w[order]
 
-    nb = num_nodes_padded // TILE
+    tile = blocked.tile
+    nb = num_nodes_padded // tile
     counts = np.bincount(meta[:, 0], minlength=nb)
     ptr = np.zeros(nb + 1, np.int32)
     np.cumsum(counts, out=ptr[1:])
@@ -80,17 +82,19 @@ def to_megakernel_layout(blocked: BlockedEdges, num_nodes_padded: int) -> MegaBl
             sblk=np.zeros(1, np.int32),
             srcdst=np.zeros((1, 1, 2 * ec), np.int32),
             weight=np.zeros((1, 1, ec), np.float32),
+            tile=tile,
         )
     return MegaBlockedEdges(
         chunk_ptr=ptr,
         sblk=meta[:, 1].astype(np.int32),
         srcdst=np.concatenate([src, dst], axis=1).astype(np.int32)[:, None, :],
         weight=w.astype(np.float32)[:, None, :],
+        tile=tile,
     )
 
 
 def _mk_kernel(ptr_ref, sblk_ref, srcdst_hbm, w_hbm, x_hbm, out_ref,
-               acc_ref, xbuf, mbuf, wbuf, sems, *, ec, d, fast):
+               acc_ref, xbuf, mbuf, wbuf, sems, *, ec, d, fast, tile):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -102,7 +106,7 @@ def _mk_kernel(ptr_ref, sblk_ref, srcdst_hbm, w_hbm, x_hbm, out_ref,
     def dmas(slot, c):
         return (
             pltpu.make_async_copy(
-                x_hbm.at[pl.ds(sblk_ref[c] * TILE, TILE), :], xbuf.at[slot], sems.at[slot, 0]
+                x_hbm.at[pl.ds(sblk_ref[c] * tile, tile), :], xbuf.at[slot], sems.at[slot, 0]
             ),
             pltpu.make_async_copy(srcdst_hbm.at[c], mbuf.at[slot], sems.at[slot, 1]),
             pltpu.make_async_copy(w_hbm.at[c], wbuf.at[slot], sems.at[slot, 2]),
@@ -128,7 +132,7 @@ def _mk_kernel(ptr_ref, sblk_ref, srcdst_hbm, w_hbm, x_hbm, out_ref,
         for dma in dmas(slot, c):
             dma.wait()
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ec, TILE), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ec, tile), 1)
         srcl = mbuf[slot, 0, :ec]
         dstl = mbuf[slot, 0, ec:]
         if fast:
@@ -172,8 +176,9 @@ def spmm_pallas_mk(
     from jax.experimental.pallas import tpu as pltpu
 
     n_pad, d = x.shape
-    assert n_pad % TILE == 0
-    nb = n_pad // TILE
+    tile = mk.tile
+    assert n_pad % tile == 0
+    nb = n_pad // tile
     ec = mk.edge_chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -184,24 +189,24 @@ def spmm_pallas_mk(
             pl.BlockSpec(memory_space=pl.ANY),  # weight (HBM)
             pl.BlockSpec(memory_space=pl.ANY),  # x (HBM)
         ],
-        out_specs=pl.BlockSpec((TILE, d), lambda b, ptr, sblk: (b, 0)),
+        out_specs=pl.BlockSpec((tile, d), lambda b, ptr, sblk: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((TILE, d), jnp.float32),      # acc
-            pltpu.VMEM((2, TILE, d), jnp.float32),   # x double buffer
+            pltpu.VMEM((tile, d), jnp.float32),      # acc
+            pltpu.VMEM((2, tile, d), jnp.float32),   # x double buffer
             pltpu.VMEM((2, 1, 2 * ec), jnp.int32),   # src/dst locals
             pltpu.VMEM((2, 1, ec), jnp.float32),     # weights
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     W = mk.num_chunks
-    flops = W * (2 * ec * TILE * TILE + 2 * TILE * TILE * d)
+    flops = W * (2 * ec * tile * tile + 2 * tile * tile * d)
     return pl.pallas_call(
-        partial(_mk_kernel, ec=ec, d=d, fast=fast),
+        partial(_mk_kernel, ec=ec, d=d, fast=fast, tile=tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(W * (TILE * d + 3 * ec) + 2 * n_pad * d) * 4,
+            bytes_accessed=(W * (tile * d + 3 * ec) + 2 * n_pad * d) * 4,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -160,6 +160,15 @@ class StreamingServer:
             self._signal_termination()
 
     def _consumer(self):
+        try:
+            self._consume_loop()
+        except Exception as e:
+            # fail fast: leave no silently-dead consumer behind an alive
+            # producer (unbounded frame buffering + a hung join)
+            self._signal_termination(f"consumer error: {type(e).__name__}: {e}")
+            raise
+
+    def _consume_loop(self):
         engine = InferenceEngine(
             self.snapshot_path, pack_size=self.pack_size, m_radius=self.m_radius
         )

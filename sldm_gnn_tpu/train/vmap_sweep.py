@@ -77,9 +77,10 @@ def train_sweep_vmapped(
     map_data: MapData | None = None,
     seed: int = 0,
 ) -> tuple[Any, VmapSweepResult]:
-    """Train K combinations in lockstep. Returns (stacked_params [K, ...],
-    result). ``lrs``/``weight_decays`` (and optionally per-combo
-    ``focal_alphas``) must all have length K."""
+    """Train K combinations in lockstep. Returns (stacked_params [K, ...]
+    snapshotted at each combo's best validation epoch, result).
+    ``lrs``/``weight_decays`` (and optionally per-combo ``focal_alphas``)
+    must all have length K."""
     K = len(lrs)
     assert len(weight_decays) == K
     lrs_j = jnp.asarray(np.array(lrs, np.float32))
@@ -152,6 +153,7 @@ def train_sweep_vmapped(
     tr_loss = np.zeros((K, epochs), np.float32)
     vl_loss = np.zeros((K, epochs), np.float32)
     best = np.zeros(K, np.float32)
+    best_params = params  # per-combo snapshot at each combo's best val epoch
     count = 0
 
     for epoch in range(epochs):
@@ -187,9 +189,19 @@ def train_sweep_vmapped(
             nb += 1
         vl_acc[:, epoch] = csum / max(n * L, 1)
         vl_loss[:, epoch] = lsum / max(nb, 1)
+        improved = vl_acc[:, epoch] > best
+        if improved.any():
+            imp = jnp.asarray(improved)
+            best_params = jax.tree.map(
+                lambda new, old: jnp.where(
+                    imp.reshape((K,) + (1,) * (new.ndim - 1)), new, old
+                ),
+                params,
+                best_params,
+            )
         best = np.maximum(best, vl_acc[:, epoch])
 
-    return params, VmapSweepResult(
+    return best_params, VmapSweepResult(
         total_train_acc=tr_acc,
         total_val_acc=vl_acc,
         train_loss=tr_loss,

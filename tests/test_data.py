@@ -165,3 +165,16 @@ def test_prefetcher():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="producer failed"):
         list(it)
+
+
+def test_prefetcher_abandoned_iteration_stops_worker():
+    import threading
+    from sldm_gnn_tpu.data.prefetch import Prefetcher
+
+    before = threading.active_count()
+    pf = Prefetcher(iter(range(1000)), depth=2)
+    it = iter(pf)
+    assert next(it) == 0
+    it.close()  # abandon mid-stream (as a consumer exception would)
+    pf._thread.join(timeout=5)
+    assert not pf._thread.is_alive()

@@ -200,3 +200,24 @@ def test_tile_256_layout(rng):
     w = mean_weights(dst, n)
     want = naive_weighted_sum(x_np, src, dst, w, n_pad)
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3)
+
+
+def test_megakernel_respects_layout_tile(rng):
+    """Regression: megakernel must honor a non-default tile (256)."""
+    from sldm_gnn_tpu.ops.spmm_mk import spmm_pallas_mk, to_megakernel_layout
+
+    n, e, d = 500, 1500, 16
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    n_pad = pad_nodes(n, 256)
+    blocked = block_edges(src, dst, n_pad, weight=w, tile=256, edge_chunk=512)
+    mk = to_megakernel_layout(blocked, n_pad)
+    assert mk.tile == 256
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+    out = np.asarray(
+        spmm_pallas_mk(jnp.array(x_np), jax.tree.map(jnp.asarray, mk), n_pad,
+                       fast=False, interpret=True)
+    )
+    want = naive_weighted_sum(x_np, src, dst, w, n_pad)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3)
