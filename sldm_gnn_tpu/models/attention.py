@@ -41,19 +41,20 @@ class AttentionConv(nn.Module):
 
     out_dim: int
     qk_dim: int = 32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int):
-        q = nn.Dense(self.qk_dim, name="q")(x)
-        k = nn.Dense(self.qk_dim, name="k")(x)
-        scores = jnp.sum(q[edge_dst] * k[edge_src], axis=-1) / jnp.sqrt(
-            jnp.float32(self.qk_dim)
-        )
+        q = nn.Dense(self.qk_dim, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.qk_dim, dtype=self.dtype, name="k")(x)
+        scores = jnp.sum(
+            (q[edge_dst] * k[edge_src]).astype(jnp.float32), axis=-1
+        ) / jnp.sqrt(jnp.float32(self.qk_dim))
         alpha = edge_softmax(scores, edge_dst, edge_mask, num_nodes)
         msgs = x[edge_src] * alpha[:, None]
         agg = segment_sum(msgs, edge_dst, num_nodes)
-        out = nn.Dense(self.out_dim, use_bias=True, name="lin_l")(agg)
-        return out + nn.Dense(self.out_dim, use_bias=False, name="lin_r")(x)
+        out = nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype, name="lin_l")(agg)
+        return out + nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype, name="lin_r")(x)
 
 
 class AttentionBlock(nn.Module):
@@ -64,14 +65,15 @@ class AttentionBlock(nn.Module):
     qk_dim: int = 32
     dropout: float | None = None
     negative_slope: float | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int, *, train: bool = False):
         for i, h in enumerate(self.hidden_dims):
-            x = AttentionConv(h, qk_dim=self.qk_dim, name=f"conv{i}")(
+            x = AttentionConv(h, qk_dim=self.qk_dim, dtype=self.dtype, name=f"conv{i}")(
                 x, edge_src, edge_dst, edge_mask, num_nodes
             )
-            x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{i}")(x)
             x = _activation(x, self.negative_slope)
             if self.dropout is not None:
                 x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)

@@ -39,14 +39,15 @@ class SageConv(nn.Module):
 
     out_dim: int
     edge_axis: str | None = None
+    dtype: jnp.dtype | None = None  # computation dtype (bf16 mixed precision)
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int):
         agg = masked_mean_aggregate(
             x, edge_src, edge_dst, edge_mask, num_nodes, axis_name=self.edge_axis
         )
-        out = nn.Dense(self.out_dim, use_bias=True, name="lin_l")(agg)
-        out = out + nn.Dense(self.out_dim, use_bias=False, name="lin_r")(x)
+        out = nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype, name="lin_l")(agg)
+        out = out + nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype, name="lin_r")(x)
         return out
 
 
@@ -57,14 +58,15 @@ class SageBlock(nn.Module):
     dropout: float | None = None
     negative_slope: float | None = None
     edge_axis: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int, *, train: bool = False):
         for i, h in enumerate(self.hidden_dims):
-            x = SageConv(h, edge_axis=self.edge_axis, name=f"conv{i}")(
+            x = SageConv(h, edge_axis=self.edge_axis, dtype=self.dtype, name=f"conv{i}")(
                 x, edge_src, edge_dst, edge_mask, num_nodes
             )
-            x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{i}")(x)
             x = _activation(x, self.negative_slope)
             if self.dropout is not None:
                 x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
@@ -77,11 +79,12 @@ class MLPStack(nn.Module):
     dims: Sequence[int]
     dropout: float | None = None
     negative_slope: float | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         for i, d in enumerate(self.dims):
-            x = nn.Dense(d, name=f"fc{i}")(x)
+            x = nn.Dense(d, dtype=self.dtype, name=f"fc{i}")(x)
             x = _activation(x, self.negative_slope)
             if self.dropout is not None:
                 x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)

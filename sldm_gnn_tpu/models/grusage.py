@@ -70,6 +70,10 @@ class GruSageConfig:
     # reference parity) or 'attention' (edge dot-product attention)
     sage_type: str = "sage"
     attention_qk_dim: int = 32
+    # computation dtype for the dense/SAGE/attention stacks: None (f32
+    # parity) or 'bfloat16' (mixed precision: bf16 matmuls, f32 params and
+    # f32 GRU recurrence/logits)
+    compute_dtype: str | None = None
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -88,13 +92,14 @@ class GruSage(nn.Module):
 
     def setup(self):
         c = self.cfg
+        dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         self.st_emb = nn.Embed(c.num_st_types, c.emb_dim, name="st_emb")
         self.gru = GRUCell(
             input_size=c.dynamic_features_num,
             hidden_size=c.gru_hidden_size,
             num_layers=c.gru_num_layers,
         )
-        self.fc1s = MLPStack(c.fc1dims, dropout=c.dropout, negative_slope=c.negative_slope)
+        self.fc1s = MLPStack(c.fc1dims, dropout=c.dropout, negative_slope=c.negative_slope, dtype=dt)
         if c.map_included:
             self.map_encoder = MapEncoder(
                 num_lane_types=c.num_lane_types,
@@ -110,15 +115,17 @@ class GruSage(nn.Module):
 
             self.sage = AttentionBlock(
                 c.sage_hidden_dims, qk_dim=c.attention_qk_dim,
-                dropout=c.dropout, negative_slope=c.negative_slope,
+                dropout=c.dropout, negative_slope=c.negative_slope, dtype=dt,
             )
         elif c.sage_type == "sage":
             self.sage = SageBlock(
-                c.sage_hidden_dims, dropout=c.dropout, negative_slope=c.negative_slope
+                c.sage_hidden_dims, dropout=c.dropout, negative_slope=c.negative_slope,
+                dtype=dt,
             )
         else:
             raise ValueError(f"Unsupported sage_type: {c.sage_type}")
-        self.fc2s = MLPStack(c.fc2dims, dropout=c.dropout, negative_slope=c.negative_slope)
+        self.fc2s = MLPStack(c.fc2dims, dropout=c.dropout, negative_slope=c.negative_slope, dtype=dt)
+        # logits head stays f32 for loss stability
         self.linout = nn.Dense(c.out_dim, name="linout")
 
     def encode_map(self, map_data: MapData, *, train: bool = False) -> jax.Array:

@@ -231,3 +231,28 @@ def test_baked_map_embeddings_match_live(rng):
         train=False,
     )
     np.testing.assert_allclose(np.asarray(live), np.asarray(baked), rtol=1e-6)
+
+
+def test_bf16_compute_mode(rng):
+    """compute_dtype='bfloat16' runs the dense/SAGE stacks in bf16 with f32
+    params/logits, loosely matching the f32 model on identical weights."""
+    F, L = 8, 2
+    gs = _mk_graphs(rng, 3, F, L)
+    dims = BatchDims(node_capacity=32, edge_capacity=128, graph_capacity=4,
+                     num_frames=F, num_labels=L)
+    batch = jax.tree.map(jnp.asarray, pad_and_batch(gs, dims))
+
+    base = dict(
+        frames_num=F, gru_hidden_size=16, fc1dims=(16,), sage_hidden_dims=(16,),
+        fc2dims=(8,), out_dim=L, emb_dim=4, dropout=None, negative_slope=0.1,
+        map_included=False,
+    )
+    m32 = GruSage(GruSageConfig(**base))
+    m16 = GruSage(GruSageConfig(**base, compute_dtype="bfloat16"))
+    vs = m32.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    # params are f32 in both modes (param_dtype default)
+    assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(vs["params"]))
+    out32 = np.asarray(m32.apply(vs, batch, train=False))
+    out16j = m16.apply(vs, batch, train=False)
+    assert out16j.dtype == jnp.float32  # logits head stays f32
+    np.testing.assert_allclose(np.asarray(out16j), out32, rtol=0.1, atol=0.05)
