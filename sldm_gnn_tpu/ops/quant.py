@@ -38,9 +38,18 @@ def _quant_kernel(seed_ref, x_ref, q_ref, s_ref, *, stochastic):
     scale = jnp.maximum(absmax / 127.0, 1e-12)
     scaled = x / scale
     if stochastic:
+        # pltpu.stochastic_round only targets bf16/fp8 dtypes; int8
+        # stochastic rounding is the classic floor(x + U[0,1)) construction
+        # from raw PRNG bits instead
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
-        q = pltpu.stochastic_round(scaled, bits, target_dtype=jnp.int8)
+        # Mosaic has no uint32->f32 cast: pack the top 23 random bits into a
+        # float32 mantissa with exponent 0 -> uniform in [1, 2), subtract 1
+        mant = jnp.bitwise_or(
+            jnp.right_shift(bits, jnp.uint32(9)), jnp.uint32(0x3F800000)
+        )
+        u = pltpu.bitcast(mant, jnp.float32) - 1.0
+        q = jnp.clip(jnp.floor(scaled + u), -127, 127).astype(jnp.int8)
     else:
         q = jnp.clip(jnp.round(scaled), -127, 127).astype(jnp.int8)
     q_ref[:] = q
