@@ -132,29 +132,73 @@ class GraphsBuilder:
         import pyarrow.parquet as pq
 
         # stream row groups: only one row group's packs are in flight at a
-        # time, bounding peak memory on large datasets
+        # time, bounding peak memory on large datasets. A pack whose rows
+        # straddle a row-group boundary is carried over (its last group is
+        # held back and prepended to the next row group); non-contiguous
+        # reappearance of a pack is data corruption and raises.
+        import warnings
+
+        from .native import available as _native_available
+
+        if self.n_workers > 1 and not _native_available():
+            warnings.warn(
+                "GraphsBuilder: native edge kernel not built "
+                "(make -C native); the numpy fallback holds the GIL so "
+                "thread workers add little parallelism",
+                stacklevel=2,
+            )
+
         pf = pq.ParquetFile(self.dirpath / "packs.parquet")
         done = 0
+        built: set = set()
+        carry: tuple | None = None  # (pid, partial DataFrame)
+
+        def make_task(pid, pg):
+            return (
+                pid,
+                pg.drop(columns=["PackId"]),
+                self.vinfo_df,
+                self.frames_num,
+                self.m_radius,
+                self._mlb_by_pid(pid),
+                self.active_labels,
+                str(self.gpath),
+            )
+
         with ThreadPoolExecutor(max(self.n_workers, 1)) as pool:
             for rg in range(pf.num_row_groups):
                 batch_df = pf.read_row_group(rg).to_pandas()
-                tasks = [
-                    (
-                        pid,
-                        pg.drop(columns=["PackId"]),
-                        self.vinfo_df,
-                        self.frames_num,
-                        self.m_radius,
-                        self._mlb_by_pid(pid),
-                        self.active_labels,
-                        str(self.gpath),
-                    )
-                    for pid, pg in batch_df.groupby("PackId")
-                ]
+                groups = list(batch_df.groupby("PackId", sort=False))
+                if carry is not None:
+                    cpid, cdf = carry
+                    if groups and groups[0][0] == cpid:
+                        groups[0] = (cpid, pd.concat([cdf, groups[0][1]], ignore_index=True))
+                    else:
+                        groups.insert(0, (cpid, cdf))
+                    carry = None
+                if rg + 1 < pf.num_row_groups and groups:
+                    carry = groups.pop()  # may continue in the next row group
+                tasks = []
+                for pid, pg in groups:
+                    if pid in built:
+                        raise ValueError(
+                            f"PackId {pid} reappears non-contiguously across row "
+                            "groups; rewrite packs.parquet with pack-contiguous rows"
+                        )
+                    built.add(pid)
+                    tasks.append(make_task(pid, pg))
                 for _ in pool.map(_worker, tasks):
                     done += 1
                     if progress and done % 50 == 1:
                         print(f"built {done} graphs")
+            if carry is not None:
+                pid, pg = carry
+                if pid in built:
+                    raise ValueError(
+                        f"PackId {pid} reappears non-contiguously across row groups"
+                    )
+                _worker(make_task(pid, pg))
+                done += 1
         pf.close()
 
         n_samples = (

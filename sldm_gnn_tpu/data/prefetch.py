@@ -29,8 +29,10 @@ class Prefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._err: BaseException | None = None
         self._stop = threading.Event()
+        self._iterable = iterable
 
         def worker():
+            iterable = self._iterable
             try:
                 for item in iterable:
                     while not self._stop.is_set():
@@ -51,10 +53,15 @@ class Prefetcher:
                     except queue.Full:
                         continue
 
+        # lazy start: a Prefetcher that is never iterated must not spawn a
+        # worker (it would spin on a full queue holding batches forever)
         self._thread = threading.Thread(target=worker, daemon=True)
-        self._thread.start()
+        self._started = False
 
     def __iter__(self) -> Iterator[T]:
+        if not self._started:
+            self._started = True
+            self._thread.start()
         try:
             while True:
                 item = self._q.get()

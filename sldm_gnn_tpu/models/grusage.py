@@ -92,6 +92,11 @@ class GruSage(nn.Module):
 
     def setup(self):
         c = self.cfg
+        if c.compute_dtype not in (None, "bfloat16", "float32"):
+            raise ValueError(
+                f"Unsupported compute_dtype: {c.compute_dtype!r} "
+                "(use None/'float32' or 'bfloat16')"
+            )
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         self.st_emb = nn.Embed(c.num_st_types, c.emb_dim, name="st_emb")
         self.gru = GRUCell(

@@ -121,6 +121,9 @@ class StreamingServer:
         self.condition = threading.Condition(self.lock)
         self.terminate = threading.Event()
         self.n_scored = 0
+        self._fd: int | None = None
+        self._fd_closed = False
+        self.consumer_error: BaseException | None = None
 
     def _signal_termination(self, reason: str | None = None):
         if reason:
@@ -128,6 +131,14 @@ class StreamingServer:
         self.terminate.set()
         with self.condition:
             self.condition.notify_all()
+        # unblock a producer parked in os.read: closing the fd makes the
+        # blocked read fail/EOF so its termination check runs
+        if self._fd is not None and not self._fd_closed:
+            self._fd_closed = True
+            try:
+                os.close(self._fd)
+            except OSError:
+                pass
 
     def _producer(self, fd: int):
         buffer = ""
@@ -164,9 +175,10 @@ class StreamingServer:
             self._consume_loop()
         except Exception as e:
             # fail fast: leave no silently-dead consumer behind an alive
-            # producer (unbounded frame buffering + a hung join)
+            # producer (unbounded frame buffering + a hung join); the error
+            # is stored so run() re-raises it on the caller's thread
+            self.consumer_error = e
             self._signal_termination(f"consumer error: {type(e).__name__}: {e}")
-            raise
 
     def _consume_loop(self):
         engine = InferenceEngine(
@@ -200,13 +212,17 @@ class StreamingServer:
                     self.frames.popleft()
 
     def run(self):
-        fd = os.open(self.fifo_path, os.O_RDONLY)
+        self._fd = os.open(self.fifo_path, os.O_RDONLY)
         try:
-            t1 = threading.Thread(target=self._producer, args=(fd,))
+            t1 = threading.Thread(target=self._producer, args=(self._fd,))
             t2 = threading.Thread(target=self._consumer)
             t1.start()
             t2.start()
             t1.join()
             t2.join()
         finally:
-            os.close(fd)
+            if not self._fd_closed:
+                self._fd_closed = True
+                os.close(self._fd)
+        if self.consumer_error is not None:
+            raise self.consumer_error

@@ -152,7 +152,9 @@ def train_sweep_vmapped(
     vl_acc = np.zeros((K, epochs), np.float32)
     tr_loss = np.zeros((K, epochs), np.float32)
     vl_loss = np.zeros((K, epochs), np.float32)
-    best = np.zeros(K, np.float32)
+    # -inf so the first epoch always snapshots: a combo that never improves
+    # must still return trained (not random-init) weights
+    best = np.full(K, -np.inf, np.float32)
     best_params = params  # per-combo snapshot at each combo's best val epoch
     count = 0
 
@@ -206,7 +208,7 @@ def train_sweep_vmapped(
         total_val_acc=vl_acc,
         train_loss=tr_loss,
         val_loss=vl_loss,
-        best_val_acc=best,
+        best_val_acc=np.maximum(best, 0.0),
     )
 
 

@@ -239,3 +239,24 @@ def test_map_edges_fuzz(seed):
                           lat_conn_max_angle_deg=ang, lat_conn_proximity_threshold=prox)
     want = naive_map_edges(start, end, widths, cgl, cgr, ang, prox)
     np.testing.assert_array_equal(got, want)
+
+
+def test_row_group_straddling_pack(tmp_path):
+    """A pack spanning parquet row groups must be built once, complete."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    split = make_vehicle_split(tmp_path / "s", n_packs=5, frames_num=8,
+                               max_vehicles=4, seed=9, drop_frame_frac=0.0)
+    # rewrite packs.parquet with tiny row groups so packs straddle them
+    df = pd.read_parquet(split / "packs.parquet")
+    pq.write_table(pa.Table.from_pandas(df), split / "packs.parquet", row_group_size=7)
+
+    gb = GraphsBuilder(split, frames_num=8, m_radius=30.0, active_labels=[0])
+    gpath = gb.save()
+    files = sorted(gpath.glob("pack_*.npz"))
+    assert len(files) == 5
+    # every pack graph has the full vehicle set (no truncated duplicates)
+    for pid, pg in df.groupby("PackId"):
+        z = np.load(gpath / f"pack_{pid}.npz")
+        assert z["x"].shape[0] == pg["VehicleId"].nunique()

@@ -173,3 +173,31 @@ def test_test_cli_with_cut(trained, built, workspace):
     # length, which the GRU handles (scan over fewer steps)
     assert r.exit_code == 0, r.output
     assert (workspace / "cut_out" / "test_pack_metrics.csv").is_file()
+
+
+def test_streaming_server_consumer_error_propagates(trained, tmp_path):
+    """A broken frame schema must terminate the server and raise from run()."""
+    from sldm_gnn_tpu.serve.stream import StreamingServer
+
+    fifo = tmp_path / "bad.fifo"
+    os.mkfifo(fifo)
+    server = StreamingServer(fifo, trained, tmp_path / "o.csv", pack_size=2)
+    err = {}
+
+    def run():
+        try:
+            server.run()
+        except Exception as e:
+            err["e"] = e
+
+    st = threading.Thread(target=run)
+    st.start()
+    with open(fifo, "w") as w:
+        for t in range(3):  # frames missing Width/Length/StationType
+            w.write(json.dumps([{"VehicleId": "v", "X": 1.0, "Y": 1.0,
+                                 "Speed": 1.0, "Angle": 0.0}]) + "\n")
+            w.flush()
+        time.sleep(1.0)  # keep the writer open while the consumer fails
+    st.join(timeout=120)
+    assert not st.is_alive()
+    assert "e" in err, "run() must re-raise the consumer error"

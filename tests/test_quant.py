@@ -37,14 +37,20 @@ def test_pallas_quant_matches_xla(rng):
     "interpret lowering; covered by the on-chip check in BASELINE.md",
 )
 def test_stochastic_rounding_unbiased(rng):
-    # a constant fractional value: stochastic rounding should average to it
-    x = jnp.full((8, 128), 0.3, jnp.float32) * 127.0 / 127.0
+    # rows mix a 1.0 absmax anchor with 0.3 entries so the scaled value
+    # (0.3 * 127 = 38.1) has a nontrivial fraction — a broken PRNG would
+    # bias the mean to 38/127 or 39/127, outside the tolerance
+    row = np.full(128, 0.3, np.float32)
+    row[0] = 1.0
+    x = jnp.asarray(np.tile(row, (8, 1)))
     vals = []
     for seed in range(20):
         q, s = quantize_rows_pallas(x, stochastic=True, seed=seed, block_rows=8)
-        vals.append(np.asarray(dequantize_rows(q, s)).mean())
+        vals.append(np.asarray(dequantize_rows(q, s))[:, 1:].mean())
     mean = np.mean(vals)
-    np.testing.assert_allclose(mean, 0.3, rtol=0.05)
+    np.testing.assert_allclose(mean, 0.3, atol=0.003)
+    # and the quantized values actually dither between the two neighbors
+    assert np.std(vals) > 0
 
 
 def test_int8_matmul_close_to_f32(rng):
