@@ -127,6 +127,7 @@ def train_combination(
     mu_sigma,
     quiet: bool = False,
     epochs_override: int | None = None,
+    checkpoints: bool = False,
 ):
     tr_meta, lt, le, map_data, num_lane_types = _build_data_pipeline(
         comb, inputdir=inputdir, cut=cut, include_map=include_map,
@@ -178,6 +179,12 @@ def train_combination(
                 f"vl_acc={m['val_acc']:.4f} tr_loss={m['train_loss']:.4f} vl_loss={m['val_loss']:.4f}"
             )
 
+    ckpt_mgr = None
+    if checkpoints:
+        from ..train.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(cfgdir / "ckpt", save_every=0, max_to_keep=2)
+
     state, result = train_model(
         model,
         lambda: iter(lt),
@@ -193,7 +200,10 @@ def train_combination(
         seed=i,
         best_state_callback=on_best,
         epoch_callback=on_epoch,
+        checkpoint_manager=ckpt_mgr,
     )
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
 
     params_text = "\n".join(f"{k}: {v}" for k, v in sorted(comb.items()))
     plot_accuracies(result, cfgdir / f"{fbase}_trev_plot.png", label_num=lbnum, params_text=params_text)
@@ -212,8 +222,12 @@ def train_combination(
               help="Train all combinations in lockstep with jax.vmap when they "
                    "share the architecture and differ only in lr/weight_decay "
                    "(the TPU replacement for the reference's process pools).")
+@click.option("--checkpoints", is_flag=True, default=False,
+              help="Per-epoch orbax TrainState checkpoints under each config "
+                   "dir; re-running resumes from the latest step (crash "
+                   "recovery for long runs).")
 @click.option("-y", "--yes", is_flag=True, default=False, help="Skip the confirmation prompt.")
-def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep, yes):
+def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep, checkpoints, yes):
     psc = ParamSweepContext(GRUSAGE_PARAMS_DICT)
     click.echo(f"TOT_COMBINATIONS={len(psc)}")
     if not yes and not click.confirm("Train all combinations?", default=True):
@@ -256,6 +270,7 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
             train_combination(
                 i, comb, inputdir=inputdir, cfgdir=cfgdir, lbnum=lbnum, cut=cut,
                 include_map=include_map, mu_sigma=mu_sigma, epochs_override=epochs_override,
+                checkpoints=checkpoints,
             )
         except Exception as e:  # sweep continues on per-combination failure (main.py:217-222)
             import traceback

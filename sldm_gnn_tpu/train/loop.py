@@ -185,6 +185,7 @@ def train_model(
     epoch_callback: Callable[[int, dict], None] | None = None,
     init_state: TrainState | None = None,
     prefetch_depth: int = 2,
+    checkpoint_manager=None,
 ) -> tuple[TrainState, TrainResult]:
     """Full training run. ``train_batches``/``eval_batches`` are zero-arg
     callables returning fresh per-epoch iterators (the loader re-shuffles).
@@ -212,6 +213,11 @@ def train_model(
         state = fns.init(init_rng, jax.tree.map(jnp.asarray, first))
     else:
         state = init_state
+
+    # crash recovery: resume params/optimizer/step from the latest orbax
+    # checkpoint (train.checkpoint.CheckpointManager) when one exists
+    if checkpoint_manager is not None and checkpoint_manager.latest_step() is not None:
+        state = checkpoint_manager.restore(state)
 
     pl_tracc = np.zeros((L, epochs), np.float32)
     tot_tracc = np.zeros((1, epochs), np.float32)
@@ -288,6 +294,9 @@ def train_model(
             fn = int(((prd == 0) & (gt == 1)).sum())
             bin_cm[:, epoch] = [tn, fp, fn, tp]
             bin_auc[0, epoch] = _roc_auc(gt, scr)
+
+        if checkpoint_manager is not None:
+            checkpoint_manager.maybe_save(state, force=True)
 
         if epoch_callback is not None:
             epoch_callback(

@@ -201,3 +201,28 @@ def test_streaming_server_consumer_error_propagates(trained, tmp_path):
     st.join(timeout=120)
     assert not st.is_alive()
     assert "e" in err, "run() must re-raise the consumer error"
+
+
+def test_train_cli_with_checkpoints_resume(built, workspace):
+    """--checkpoints writes per-epoch orbax state; retrying the same config
+    dir (crash recovery) restores from the latest step."""
+    from sldm_gnn_tpu.cli.train import GRUSAGE_PARAMS_DICT, train_combination
+    from sldm_gnn_tpu.data.dataset import GraphDataset
+    from sldm_gnn_tpu.train.sweep import ParamSweepContext
+
+    comb = next(iter(ParamSweepContext(GRUSAGE_PARAMS_DICT).combinations()))
+    mu_sigma = GraphDataset(built / "train" / ".graphs", normalize_zscore=True).get_mu_sigma()
+    cfgdir = workspace / "ckpt_cfg"
+    cfgdir.mkdir(exist_ok=True)
+
+    kw = dict(inputdir=built, cfgdir=cfgdir, lbnum=2, cut=None, include_map=False,
+              mu_sigma=mu_sigma, quiet=True, epochs_override=2, checkpoints=True)
+    state1, _ = train_combination(0, comb, **kw)
+    ckpts = list((cfgdir / "ckpt").iterdir())
+    assert ckpts, "no checkpoints written"
+    assert int(state1.step) > 0
+
+    # retry the same config dir: must restore from the saved step and
+    # continue (step counter strictly grows past the first run's)
+    state2, _ = train_combination(0, comb, **kw)
+    assert int(state2.step) > int(state1.step)
