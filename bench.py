@@ -45,22 +45,25 @@ def two_layer_sage(params, x, agg):
     return h2
 
 
-def bench_step(fn, params, x, iters):
+def bench_step(fn, params, x, iters, *extra):
     """Timed loop with a data-dependency chain (grads fold back into the
     params) so repeated dispatches are never identical — guards against
-    any request-level caching in remote-execution environments."""
+    any request-level caching in remote-execution environments. ``extra``
+    args (e.g. the blocked edge layouts) are passed as traced jit arguments,
+    NOT closure constants — constants get embedded in the serialized program
+    and overflow remote-compile payload limits at large graph sizes."""
 
     @jax.jit
-    def chained(params, x):
-        gp, gx = fn(params, x)
+    def chained(params, x, *extra):
+        gp, gx = fn(params, x, *extra)
         new_params = jax.tree.map(lambda p, g: p - 1e-9 * g, params, gp)
         return new_params, x - 1e-9 * gx
 
-    params, x = chained(params, x)
+    params, x = chained(params, x, *extra)
     jax.tree.map(lambda a: a.block_until_ready(), (params, x))
     t0 = time.perf_counter()
     for _ in range(iters):
-        params, x = chained(params, x)
+        params, x = chained(params, x, *extra)
     jax.tree.map(lambda a: a.block_until_ready(), (params, x))
     return (time.perf_counter() - t0) / iters
 
@@ -96,19 +99,19 @@ def main():
 
     use_pallas = backend not in ("cpu",)
 
-    def loss_pallas(params, x):
-        agg = lambda h: spmm_apply(h, blocked_fwd, blocked_rev, n_pad, use_pallas, k_per_step)
+    def loss_pallas(params, x, bf, br):
+        agg = lambda h: spmm_apply(h, bf, br, n_pad, use_pallas, k_per_step)
         return jnp.sum(two_layer_sage(params, x, agg))
 
-    def loss_xla(params, x):
+    def loss_xla(params, x, src_j, dst_j, w_j):
         agg = lambda h: spmm_xla(h, src_j, dst_j, w_j, n_pad)
         return jnp.sum(two_layer_sage(params, x, agg))
 
-    step_pallas = jax.jit(jax.grad(loss_pallas, argnums=(0, 1)))
-    step_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))
+    step_pallas = jax.grad(loss_pallas, argnums=(0, 1))
+    step_xla = jax.grad(loss_xla, argnums=(0, 1))
 
-    t_xla = bench_step(step_xla, params, x, iters)
-    t_pallas = bench_step(step_pallas, params, x, iters)
+    t_xla = bench_step(step_xla, params, x, iters, src_j, dst_j, w_j)
+    t_pallas = bench_step(step_pallas, params, x, iters, blocked_fwd, blocked_rev)
 
     t_best = min(t_pallas, t_xla)
     result = {

@@ -197,3 +197,127 @@ void map_edge_fill(const float* start, const float* end, const float* width,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Blocked-edge layout builder (host prep for the Pallas SpMM kernels).
+//
+// Replicates sldm_gnn_tpu/graph/csr.py::block_edges functionally: edges are
+// grouped by (dst_block, src_block), chunked into EC-edge chunks (weight-0
+// padding), every dst block gets at least one chunk, per-dst-block chunk
+// counts are padded to a multiple of step_chunks, and chunks are ordered by
+// ascending dst block. Chunk order within a block may differ from the
+// Python path (sums are order-independent); parity tests compare SpMM
+// outputs. Two-call API: be_plan builds an opaque context and reports the
+// chunk count; be_fill copies the arrays out and frees the context.
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+#include <cstring>
+
+namespace {
+struct BEContext {
+  std::vector<int32_t> meta;       // [W, 2]
+  std::vector<int32_t> src_local;  // [W, ec]
+  std::vector<int32_t> dst_local;  // [W, ec]
+  std::vector<float> weight;       // [W, ec]
+  std::vector<int32_t> edge_id;    // [W, ec]
+  int64_t ec = 0;
+};
+}  // namespace
+
+extern "C" {
+
+void* be_plan(const int64_t* src, const int64_t* dst, const float* w,
+              int64_t E, int64_t num_nodes_padded, int64_t tile, int64_t ec,
+              int64_t step_chunks, int64_t* out_num_chunks) {
+  const int64_t nb = std::max<int64_t>((num_nodes_padded + tile - 1) / tile, 1);
+  auto* ctx = new BEContext();
+  ctx->ec = ec;
+
+  // sort edge ids by (dst_block, src_block): pack (group_key, edge_id)
+  // into one uint64 so the sort runs on contiguous keys without the
+  // comparator's per-compare divisions (stable by construction). Falls
+  // back to a comparator sort when E or the key range overflow the packing.
+  std::vector<int64_t> order(E);
+  if (E < (1ll << 28) && nb * nb < (1ll << 36)) {
+    std::vector<uint64_t> keyed(E);
+    for (int64_t i = 0; i < E; ++i) {
+      const uint64_t key = (uint64_t)((dst[i] / tile) * nb + (src[i] / tile));
+      keyed[i] = (key << 28) | (uint64_t)i;
+    }
+    std::sort(keyed.begin(), keyed.end());
+    for (int64_t i = 0; i < E; ++i)
+      order[i] = (int64_t)(keyed[i] & ((1ull << 28) - 1));
+  } else {
+    for (int64_t i = 0; i < E; ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      const int64_t ka = (dst[a] / tile) * nb + (src[a] / tile);
+      const int64_t kb = (dst[b] / tile) * nb + (src[b] / tile);
+      if (ka != kb) return ka < kb;
+      return a < b;  // stable
+    });
+  }
+
+  auto emit_chunk = [&](int32_t db, int32_t sb) {
+    ctx->meta.push_back(db);
+    ctx->meta.push_back(sb);
+    ctx->src_local.insert(ctx->src_local.end(), ec, 0);
+    ctx->dst_local.insert(ctx->dst_local.end(), ec, 0);
+    ctx->weight.insert(ctx->weight.end(), ec, 0.0f);
+    ctx->edge_id.insert(ctx->edge_id.end(), ec, 0);
+  };
+
+  int64_t i = 0;
+  for (int64_t db = 0; db < nb; ++db) {
+    int64_t chunks_this_db = 0;
+    // consume all groups for this dst block
+    while (i < E && dst[order[i]] / tile == db) {
+      const int64_t sb = src[order[i]] / tile;
+      // one (db, sb) group
+      int64_t slot = ec;  // force new chunk at group start
+      while (i < E && dst[order[i]] / tile == db && src[order[i]] / tile == sb) {
+        if (slot == ec) {
+          emit_chunk((int32_t)db, (int32_t)sb);
+          ++chunks_this_db;
+          slot = 0;
+        }
+        const int64_t e = order[i];
+        const int64_t base = ((int64_t)(ctx->meta.size() / 2) - 1) * ec;
+        ctx->src_local[base + slot] = (int32_t)(src[e] - sb * tile);
+        ctx->dst_local[base + slot] = (int32_t)(dst[e] - db * tile);
+        ctx->weight[base + slot] = w ? w[e] : 1.0f;
+        ctx->edge_id[base + slot] = (int32_t)e;
+        ++slot;
+        ++i;
+      }
+    }
+    if (chunks_this_db == 0) {
+      emit_chunk((int32_t)db, 0);  // coverage chunk
+      ++chunks_this_db;
+    }
+    if (step_chunks > 1) {
+      while (chunks_this_db % step_chunks) {
+        emit_chunk((int32_t)db, 0);
+        ++chunks_this_db;
+      }
+    }
+  }
+  *out_num_chunks = (int64_t)(ctx->meta.size() / 2);
+  return ctx;
+}
+
+void be_fill(void* handle, int32_t* meta, int32_t* src_local,
+             int32_t* dst_local, float* weight, int32_t* edge_id) {
+  auto* ctx = (BEContext*)handle;
+  std::memcpy(meta, ctx->meta.data(), ctx->meta.size() * sizeof(int32_t));
+  std::memcpy(src_local, ctx->src_local.data(),
+              ctx->src_local.size() * sizeof(int32_t));
+  std::memcpy(dst_local, ctx->dst_local.data(),
+              ctx->dst_local.size() * sizeof(int32_t));
+  std::memcpy(weight, ctx->weight.data(), ctx->weight.size() * sizeof(float));
+  std::memcpy(edge_id, ctx->edge_id.data(),
+              ctx->edge_id.size() * sizeof(int32_t));
+  delete ctx;
+}
+
+}  // extern "C"

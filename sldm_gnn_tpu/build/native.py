@@ -102,3 +102,49 @@ def native_map_edges(
                           lat_conn_proximity_threshold, fwd_dist_threshold,
                           offsets, src, dst)
     return np.stack([src, dst])
+
+
+def _load_blocked():
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_be_ready"):
+        i64 = ctypes.c_int64
+        pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.be_plan.argtypes = [pi64, pi64, ctypes.c_void_p, i64, i64, i64, i64, i64,
+                                ctypes.POINTER(i64)]
+        lib.be_plan.restype = ctypes.c_void_p
+        lib.be_fill.argtypes = [ctypes.c_void_p, pi32, pi32, pi32, pf, pi32]
+        lib._be_ready = True
+    return lib
+
+
+def native_block_edges(src, dst, num_nodes_padded, *, weight=None, tile, edge_chunk,
+                       step_chunks):
+    """Native blocked-layout builder; returns raw arrays or None if the
+    library is unavailable. Chunk order within a dst block may differ from
+    the python builder (functionally equivalent — summation order only)."""
+    lib = _load_blocked()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    E = len(src)
+    # keep the weight array alive across the call
+    w_keep = np.ascontiguousarray(weight, np.float32) if weight is not None else None
+    nchunks = ctypes.c_int64(0)
+    handle = lib.be_plan(
+        src, dst,
+        w_keep.ctypes.data_as(ctypes.c_void_p) if w_keep is not None else None,
+        E, num_nodes_padded, tile, edge_chunk, step_chunks, ctypes.byref(nchunks),
+    )
+    W = nchunks.value
+    meta = np.zeros((W, 2), np.int32)
+    src_local = np.zeros((W, edge_chunk), np.int32)
+    dst_local = np.zeros((W, edge_chunk), np.int32)
+    w_arr = np.zeros((W, edge_chunk), np.float32)
+    eid = np.zeros((W, edge_chunk), np.int32)
+    lib.be_fill(handle, meta, src_local, dst_local, w_arr, eid)
+    return meta, src_local, dst_local, w_arr, eid

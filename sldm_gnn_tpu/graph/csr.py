@@ -79,7 +79,24 @@ def block_edges(
     ``step_chunks`` > 1 pads every dst block's chunk count to a multiple of
     K so the kernel can process K chunks per grid step (amortizing per-step
     overhead); the dummy pad chunks carry weight 0.
+
+    Large edge lists route through the native C++ builder
+    (native/libgraphbuild.so) when built — the python group loop is the
+    practical bottleneck at the ~50M-edge benchmark scale.
     """
+    if len(src) >= 100_000:
+        from ..build.native import native_block_edges
+
+        out = native_block_edges(
+            src, dst, num_nodes, weight=weight, tile=tile,
+            edge_chunk=edge_chunk, step_chunks=step_chunks,
+        )
+        if out is not None:
+            meta, src_local, dst_local, w_arr, eid = out
+            return BlockedEdges(
+                block_meta=meta, src_local=src_local, dst_local=dst_local,
+                weight=w_arr, edge_id=eid, tile=tile,
+            )
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     E = src.shape[0]

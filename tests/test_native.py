@@ -71,3 +71,53 @@ def test_native_empty_graph(native_lib):
     x1[:, :, 5] = 1.0
     ei, ea = build_trajectory_edges(x1, 10.0, allow_native=True)
     assert ei.shape == (2, 0)
+
+
+def test_native_block_edges_matches_python(native_lib, rng):
+    """Native blocked-layout builder: SpMM result equality with the python
+    builder (chunk order within a dst block may legitimately differ)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sldm_gnn_tpu.graph.csr import block_edges, pad_nodes
+    from sldm_gnn_tpu.ops.spmm import _spmm_dispatch
+    from sldm_gnn_tpu.build.native import native_block_edges
+    from sldm_gnn_tpu.graph.csr import BlockedEdges
+
+    n, e, d = 700, 5000, 16
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    w = rng.random(e).astype(np.float32)
+    n_pad = pad_nodes(n)
+
+    py = block_edges.__wrapped__ if hasattr(block_edges, "__wrapped__") else None
+    # python path: force below-threshold logic by calling with the native
+    # lib disabled via env knob on a copy of the args
+    import sldm_gnn_tpu.build.native as nat
+    import os
+
+    os.environ["SLDM_GNN_TPU_NO_NATIVE"] = "1"
+    nat._lib = None
+    try:
+        blocked_py = block_edges(src, dst, n_pad, weight=w, step_chunks=2)
+    finally:
+        os.environ.pop("SLDM_GNN_TPU_NO_NATIVE")
+        nat._lib = None
+
+    out = native_block_edges(src, dst, n_pad, weight=w, tile=128, edge_chunk=256,
+                             step_chunks=2)
+    assert out is not None
+    meta, sl, dl, wa, eid = out
+    blocked_c = BlockedEdges(block_meta=meta, src_local=sl, dst_local=dl,
+                             weight=wa, edge_id=eid, tile=128)
+    assert blocked_c.num_chunks % 2 == 0
+    # dst blocks contiguous ascending
+    assert (np.diff(meta[:, 0]) >= 0).all()
+    # every real edge present exactly once
+    valid = wa.reshape(-1) != 0
+    assert sorted(eid.reshape(-1)[valid].tolist()) == list(range(e))
+
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    out_py = np.asarray(_spmm_dispatch(x, jax.tree.map(jnp.asarray, blocked_py), n_pad, False))
+    out_c = np.asarray(_spmm_dispatch(x, jax.tree.map(jnp.asarray, blocked_c), n_pad, False))
+    np.testing.assert_allclose(out_c, out_py, rtol=1e-4, atol=1e-4)
