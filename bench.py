@@ -37,6 +37,32 @@ def make_local_graph(n: int, deg: int, *, reach: int = 256, seed: int = 0):
     return src.astype(np.int64), dst.astype(np.int64)
 
 
+def spmm_xla_chunked(x, src, dst, w, num_nodes, chunk=2_000_000):
+    """Memory-bounded XLA aggregation: the one-shot gather+segment_sum
+    materializes an [E, D] messages array (24+ GB at the ~50M-edge scale),
+    so the baseline scans over fixed-size edge chunks instead."""
+    e = src.shape[0]
+    pad = (-e) % chunk
+    src = jnp.concatenate([src, jnp.zeros(pad, src.dtype)])
+    dst = jnp.concatenate([dst, jnp.full(pad, num_nodes, dst.dtype)])
+    w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
+    nchunks = (e + pad) // chunk
+
+    def body(acc, idx):
+        s, d_, w_ = idx
+        acc = acc + jax.ops.segment_sum(
+            x[s] * w_[:, None], d_, num_segments=num_nodes
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((num_nodes, x.shape[1]), x.dtype)
+    acc, _ = jax.lax.scan(
+        body, acc0,
+        (src.reshape(nchunks, chunk), dst.reshape(nchunks, chunk), w.reshape(nchunks, chunk)),
+    )
+    return acc
+
+
 def two_layer_sage(params, x, agg):
     h = agg(x)
     h = jnp.maximum(h @ params["w0a"] + x @ params["w0b"], 0.0)
@@ -61,10 +87,14 @@ def bench_step(fn, params, x, iters, *extra):
 
     params, x = chained(params, x, *extra)
     jax.tree.map(lambda a: a.block_until_ready(), (params, x))
+    float(x.ravel()[0])  # warm value-fetch path
     t0 = time.perf_counter()
     for _ in range(iters):
         params, x = chained(params, x, *extra)
-    jax.tree.map(lambda a: a.block_until_ready(), (params, x))
+    # a value fetch (not just block_until_ready) closes the timing window:
+    # remote-execution backends have been observed reporting readiness
+    # before large repeated executions actually drain
+    float(x.ravel()[0])
     return (time.perf_counter() - t0) / iters
 
 
@@ -103,8 +133,13 @@ def main():
         agg = lambda h: spmm_apply(h, bf, br, n_pad, use_pallas, k_per_step)
         return jnp.sum(two_layer_sage(params, x, agg))
 
+    xla_big = e * d * 4 > 2_000_000_000  # messages array would exceed ~2GB
+
     def loss_xla(params, x, src_j, dst_j, w_j):
-        agg = lambda h: spmm_xla(h, src_j, dst_j, w_j, n_pad)
+        if xla_big:
+            agg = lambda h: spmm_xla_chunked(h, src_j, dst_j, w_j, n_pad)
+        else:
+            agg = lambda h: spmm_xla(h, src_j, dst_j, w_j, n_pad)
         return jnp.sum(two_layer_sage(params, x, agg))
 
     step_pallas = jax.grad(loss_pallas, argnums=(0, 1))
