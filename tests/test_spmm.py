@@ -221,3 +221,23 @@ def test_megakernel_respects_layout_tile(rng):
     )
     want = naive_weighted_sum(x_np, src, dst, w, n_pad)
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3)
+
+
+def test_bench_chunked_xla_baseline_matches(rng):
+    """bench.py's memory-bounded chunked-scan baseline == one-shot XLA."""
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    n, e, d = 300, 2500, 8
+    src = jnp.array(rng.integers(0, n, e).astype(np.int32))
+    dst = jnp.array(rng.integers(0, n, e).astype(np.int32))
+    w = jnp.array(rng.random(e).astype(np.float32))
+    x = jnp.array(rng.standard_normal((n, d)).astype(np.float32))
+    got = np.asarray(bench.spmm_xla_chunked(x, src, dst, w, n, chunk=600))
+    want = np.asarray(spmm_xla(x, src, dst, w, n))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
