@@ -233,6 +233,15 @@ void* be_plan(const int64_t* src, const int64_t* dst, const float* w,
   const int64_t nb = std::max<int64_t>((num_nodes_padded + tile - 1) / tile, 1);
   auto* ctx = new BEContext();
   ctx->ec = ec;
+  {
+    // pre-size: known upper bound on chunks avoids doubling reallocations
+    const int64_t max_chunks = (E + ec - 1) / ec + nb * std::max<int64_t>(step_chunks, 1);
+    ctx->meta.reserve(2 * max_chunks);
+    ctx->src_local.reserve(max_chunks * ec);
+    ctx->dst_local.reserve(max_chunks * ec);
+    ctx->weight.reserve(max_chunks * ec);
+    ctx->edge_id.reserve(max_chunks * ec);
+  }
 
   // sort edge ids by (dst_block, src_block): pack (group_key, edge_id)
   // into one uint64 so the sort runs on contiguous keys without the
@@ -302,9 +311,17 @@ void* be_plan(const int64_t* src, const int64_t* dst, const float* w,
       }
     }
   }
+  if (i != E) {
+    // edges whose dst block falls outside [0, nb) would be silently lost
+    delete ctx;
+    *out_num_chunks = -1;
+    return nullptr;
+  }
   *out_num_chunks = (int64_t)(ctx->meta.size() / 2);
   return ctx;
 }
+
+void be_free(void* handle) { delete (BEContext*)handle; }
 
 void be_fill(void* handle, int32_t* meta, int32_t* src_local,
              int32_t* dst_local, float* weight, int32_t* edge_id) {

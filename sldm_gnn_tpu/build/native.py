@@ -109,14 +109,20 @@ def _load_blocked():
     if lib is None:
         return None
     if not hasattr(lib, "_be_ready"):
-        i64 = ctypes.c_int64
-        pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-        pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        lib.be_plan.argtypes = [pi64, pi64, ctypes.c_void_p, i64, i64, i64, i64, i64,
-                                ctypes.POINTER(i64)]
-        lib.be_plan.restype = ctypes.c_void_p
-        lib.be_fill.argtypes = [ctypes.c_void_p, pi32, pi32, pi32, pf, pi32]
+        try:
+            i64 = ctypes.c_int64
+            pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+            pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            lib.be_plan.argtypes = [pi64, pi64, ctypes.c_void_p, i64, i64, i64, i64, i64,
+                                    ctypes.POINTER(i64)]
+            lib.be_plan.restype = ctypes.c_void_p
+            lib.be_fill.argtypes = [ctypes.c_void_p, pi32, pi32, pi32, pf, pi32]
+            lib.be_free.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            # stale libgraphbuild.so built before these symbols existed:
+            # fall back to the python builder (rebuild with make -C native)
+            return None
         lib._be_ready = True
     return lib
 
@@ -140,11 +146,20 @@ def native_block_edges(src, dst, num_nodes_padded, *, weight=None, tile, edge_ch
         w_keep.ctypes.data_as(ctypes.c_void_p) if w_keep is not None else None,
         E, num_nodes_padded, tile, edge_chunk, step_chunks, ctypes.byref(nchunks),
     )
+    if nchunks.value < 0 or handle is None:
+        raise ValueError(
+            "native block_edges: edges reference nodes outside the padded "
+            "range (pass num_nodes >= max(src, dst) + 1, tile-padded)"
+        )
     W = nchunks.value
-    meta = np.zeros((W, 2), np.int32)
-    src_local = np.zeros((W, edge_chunk), np.int32)
-    dst_local = np.zeros((W, edge_chunk), np.int32)
-    w_arr = np.zeros((W, edge_chunk), np.float32)
-    eid = np.zeros((W, edge_chunk), np.int32)
+    try:
+        meta = np.zeros((W, 2), np.int32)
+        src_local = np.zeros((W, edge_chunk), np.int32)
+        dst_local = np.zeros((W, edge_chunk), np.int32)
+        w_arr = np.zeros((W, edge_chunk), np.float32)
+        eid = np.zeros((W, edge_chunk), np.int32)
+    except BaseException:
+        lib.be_free(handle)  # context would otherwise leak on OOM
+        raise
     lib.be_fill(handle, meta, src_local, dst_local, w_arr, eid)
     return meta, src_local, dst_local, w_arr, eid

@@ -84,6 +84,15 @@ def block_edges(
     (native/libgraphbuild.so) when built — the python group loop is the
     practical bottleneck at the ~50M-edge benchmark scale.
     """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if len(src) and (
+        src.min() < 0 or dst.min() < 0 or src.max() >= num_nodes or dst.max() >= num_nodes
+    ):
+        raise ValueError(
+            f"edge endpoints out of range [0, {num_nodes}): "
+            f"src [{src.min()}, {src.max()}], dst [{dst.min()}, {dst.max()}]"
+        )
     if len(src) >= 100_000:
         from ..build.native import native_block_edges
 
@@ -97,8 +106,6 @@ def block_edges(
                 block_meta=meta, src_local=src_local, dst_local=dst_local,
                 weight=w_arr, edge_id=eid, tile=tile,
             )
-    src = np.asarray(src, dtype=np.int64)
-    dst = np.asarray(dst, dtype=np.int64)
     E = src.shape[0]
     if weight is None:
         weight = np.ones(E, dtype=np.float32)

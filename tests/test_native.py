@@ -90,19 +90,9 @@ def test_native_block_edges_matches_python(native_lib, rng):
     w = rng.random(e).astype(np.float32)
     n_pad = pad_nodes(n)
 
-    py = block_edges.__wrapped__ if hasattr(block_edges, "__wrapped__") else None
-    # python path: force below-threshold logic by calling with the native
-    # lib disabled via env knob on a copy of the args
-    import sldm_gnn_tpu.build.native as nat
-    import os
-
-    os.environ["SLDM_GNN_TPU_NO_NATIVE"] = "1"
-    nat._lib = None
-    try:
-        blocked_py = block_edges(src, dst, n_pad, weight=w, step_chunks=2)
-    finally:
-        os.environ.pop("SLDM_GNN_TPU_NO_NATIVE")
-        nat._lib = None
+    # e=5000 is below the 100k native-routing threshold, so this exercises
+    # the python builder directly
+    blocked_py = block_edges(src, dst, n_pad, weight=w, step_chunks=2)
 
     out = native_block_edges(src, dst, n_pad, weight=w, tile=128, edge_chunk=256,
                              step_chunks=2)
@@ -121,3 +111,16 @@ def test_native_block_edges_matches_python(native_lib, rng):
     out_py = np.asarray(_spmm_dispatch(x, jax.tree.map(jnp.asarray, blocked_py), n_pad, False))
     out_c = np.asarray(_spmm_dispatch(x, jax.tree.map(jnp.asarray, blocked_c), n_pad, False))
     np.testing.assert_allclose(out_c, out_py, rtol=1e-4, atol=1e-4)
+
+
+def test_native_block_edges_out_of_range_raises(native_lib, rng):
+    """Edges past the padded node range must error loudly, not drop."""
+    from sldm_gnn_tpu.build.native import native_block_edges
+    from sldm_gnn_tpu.graph.csr import block_edges
+
+    src = np.array([0, 300], np.int64)
+    dst = np.array([1, 300], np.int64)  # node 300 outside n_pad=256
+    with pytest.raises(ValueError, match="outside the padded|out of range"):
+        native_block_edges(src, dst, 256, tile=128, edge_chunk=64, step_chunks=1)
+    with pytest.raises(ValueError, match="out of range"):
+        block_edges(src, dst, 256)
