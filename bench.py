@@ -63,12 +63,20 @@ def spmm_xla_chunked(x, src, dst, w, num_nodes, chunk=2_000_000):
     return acc
 
 
-def two_layer_sage(params, x, agg):
+def two_layer_sage(params, x, agg, dtype=jnp.float32):
+    """2-layer mean-aggregate GraphSAGE. ``dtype`` is the compute/storage
+    dtype of activations and layer weights inside the step (master params
+    and the autodiff chain stay f32 outside). bf16 halves the SpMM kernel's
+    dominant X-tile streaming bandwidth; the kernel's DEFAULT precision
+    already rounds MXU operands to bf16, so bf16 storage costs no extra
+    accuracy (ops/spmm.py)."""
+    x = x.astype(dtype)
+    params = jax.tree.map(lambda p: p.astype(dtype), params)
     h = agg(x)
     h = jnp.maximum(h @ params["w0a"] + x @ params["w0b"], 0.0)
     h2 = agg(h)
     h2 = jnp.maximum(h2 @ params["w1a"] + h @ params["w1b"], 0.0)
-    return h2
+    return h2.astype(jnp.float32)
 
 
 def bench_step(fn, params, x, iters, *extra):
@@ -107,8 +115,11 @@ def main():
     backend = jax.default_backend()
     src, dst = make_local_graph(n, deg)
     e = len(src)
+    # node-tile 512 measured best on v5e (42.9 ms vs 47.9 at 256): the kernel
+    # is MXU-utilization-bound, and the [EC,T]x[T,D] one-hot matmuls use the
+    # systolic array better with a 512-deep contraction despite 2x the FLOPs
     k_per_step = int(os.environ.get("BENCH_K_PER_STEP", 2))
-    tile = int(os.environ.get("BENCH_TILE", 256))
+    tile = int(os.environ.get("BENCH_TILE", 512))
     edge_chunk = int(os.environ.get("BENCH_EDGE_CHUNK", 512))
     blocked_fwd, blocked_rev, n_pad = prepare_mean_aggregate(
         src, dst, n, step_chunks=k_per_step, tile=tile, edge_chunk=edge_chunk
@@ -128,19 +139,24 @@ def main():
     w_j = jnp.asarray(mean_weights(dst, n_pad))
 
     use_pallas = backend not in ("cpu",)
+    # compute/storage dtype inside the step; both paths use the same dtype
+    # so vs_baseline stays apples-to-apples. Default bf16: the Pallas
+    # kernel's DEFAULT precision already computes on bf16 MXU operands, so
+    # bf16 activation storage is numerically free and halves HBM traffic.
+    dt = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
     def loss_pallas(params, x, bf, br):
         agg = lambda h: spmm_apply(h, bf, br, n_pad, use_pallas, k_per_step)
-        return jnp.sum(two_layer_sage(params, x, agg))
+        return jnp.sum(two_layer_sage(params, x, agg, dt))
 
-    xla_big = e * d * 4 > 2_000_000_000  # messages array would exceed ~2GB
+    xla_big = e * d * dt.itemsize > 2_000_000_000  # messages array would exceed ~2GB
 
     def loss_xla(params, x, src_j, dst_j, w_j):
         if xla_big:
             agg = lambda h: spmm_xla_chunked(h, src_j, dst_j, w_j, n_pad)
         else:
             agg = lambda h: spmm_xla(h, src_j, dst_j, w_j, n_pad)
-        return jnp.sum(two_layer_sage(params, x, agg))
+        return jnp.sum(two_layer_sage(params, x, agg, dt))
 
     step_pallas = jax.grad(loss_pallas, argnums=(0, 1))
     step_xla = jax.grad(loss_xla, argnums=(0, 1))
@@ -155,6 +171,7 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(t_xla / t_pallas, 3),
         "backend": backend,
+        "dtype": dt.name,
         "nodes": n,
         "edges": e,
         "feat_dim": d,

@@ -77,3 +77,26 @@ class Prefetcher:
 
 def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:
     return iter(Prefetcher(iterable, depth))
+
+
+def prefetch_to_device(iterable: Iterable[T], depth: int = 2, *, sharding=None) -> Iterator[T]:
+    """Prefetch batches AND move them to device in the worker thread.
+
+    ``sharding`` is a ``jax.sharding.Sharding`` (e.g.
+    ``NamedSharding(mesh, P('dp'))`` for the stacked dp batches of
+    :func:`sldm_gnn_tpu.parallel.shard_batch`) applied to every leaf; None
+    places on the default device. Host collation *and* the host→device
+    transfer then overlap device compute, so the train step dequeues
+    already-resident, already-sharded arrays instead of paying the
+    transfer inside its dispatch (the dp-loader item of ROADMAP.md).
+    """
+    import jax
+
+    def gen():
+        for item in iterable:
+            if sharding is None:
+                yield jax.tree.map(jax.numpy.asarray, item)
+            else:
+                yield jax.device_put(item, jax.tree.map(lambda _: sharding, item))
+
+    return prefetch(gen(), depth)

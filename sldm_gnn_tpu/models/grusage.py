@@ -74,6 +74,11 @@ class GruSageConfig:
     # parity) or 'bfloat16' (mixed precision: bf16 matmuls, f32 params and
     # f32 GRU recurrence/logits)
     compute_dtype: str | None = None
+    # round the GRU hidden width up to a multiple of this inside the scan
+    # (MXU lane alignment for the reference's H=96; exact modulo f32
+    # reduction order — ops/gru.py; fwd 2.09->1.41 ms at B=320/T=100/H=96
+    # on v5e); None = run at the stored width
+    gru_pad_to: int | None = 128
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -103,6 +108,7 @@ class GruSage(nn.Module):
             input_size=c.dynamic_features_num,
             hidden_size=c.gru_hidden_size,
             num_layers=c.gru_num_layers,
+            pad_to=c.gru_pad_to,
         )
         self.fc1s = MLPStack(c.fc1dims, dropout=c.dropout, negative_slope=c.negative_slope, dtype=dt)
         if c.map_included:
@@ -202,6 +208,7 @@ class GRUCell(nn.Module):
     input_size: int
     hidden_size: int
     num_layers: int = 1
+    pad_to: int | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -238,4 +245,4 @@ class GRUCell(nn.Module):
             b_hh0=mk("b_hh0", shapes.b_hh0),
             **rest,
         )
-        return gru_forward(params, x)
+        return gru_forward(params, x, pad_to=self.pad_to)

@@ -95,15 +95,62 @@ def _gru_layer(x_seq: jax.Array, w_ih, w_hh, b_ih, b_hh, h0: jax.Array) -> tuple
     return jnp.moveaxis(hs, 0, 1), h_last
 
 
-def gru_forward(params: GRUParams, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+def _pad_gates(w_ih, w_hh, b_ih, b_hh, hidden: int, hp: int):
+    """Zero-pad per-gate parameter blocks from H to Hp lanes (and w_hh's
+    contraction dim). Exact: padded lanes see xr=hr=0 → r=z=0.5, n=0, so a
+    zero-initialized padded hidden state stays exactly zero through every
+    step, and the real lanes' sums gain only zero terms."""
+
+    def padcols(w):
+        d = w.shape[0]
+        return jnp.pad(w.reshape(d, 3, hidden), ((0, 0), (0, 0), (0, hp - hidden))).reshape(
+            d, 3 * hp
+        )
+
+    w_ih_p = padcols(w_ih)
+    w_hh_p = jnp.pad(padcols(w_hh), ((0, hp - hidden), (0, 0)))
+    b_ih_p = jnp.pad(b_ih.reshape(3, hidden), ((0, 0), (0, hp - hidden))).reshape(-1)
+    b_hh_p = jnp.pad(b_hh.reshape(3, hidden), ((0, 0), (0, hp - hidden))).reshape(-1)
+    return w_ih_p, w_hh_p, b_ih_p, b_hh_p
+
+
+def gru_forward(
+    params: GRUParams, x: jax.Array, *, pad_to: int | None = None
+) -> tuple[jax.Array, jax.Array]:
     """Multi-layer GRU over ``x [B, T, D]``.
 
     Returns ``(outputs [B, T, H], h_last [B, H])`` where ``h_last`` is the
     final hidden state of the *top* layer — the reference's
     ``hlast[-1,:,:]`` (grusage.py:160-161).
+
+    ``pad_to`` rounds the hidden width up to a multiple of ``pad_to``
+    inside the scan (e.g. 128 → MXU-aligned 3H lanes for the reference's
+    H=96) and slices the result back; exact modulo f32 reduction order.
     """
     batch = x.shape[0]
     hidden = params.w_hh0.shape[0]
+    if pad_to is not None and hidden % pad_to:
+        hp = ((hidden + pad_to - 1) // pad_to) * pad_to
+        w_ih0, w_hh0, b_ih0, b_hh0 = _pad_gates(
+            params.w_ih0, params.w_hh0, params.b_ih0, params.b_hh0, hidden, hp
+        )
+        rest = []
+        for layer in range(params.w_ih.shape[0]):
+            wi, wh, bi, bh = _pad_gates(
+                params.w_ih[layer], params.w_hh[layer], params.b_ih[layer],
+                params.b_hh[layer], hidden, hp,
+            )
+            # inner layers consume the padded outputs of the layer below
+            rest.append((jnp.pad(wi, ((0, hp - hidden), (0, 0))), wh, bi, bh))
+        padded = GRUParams(
+            w_ih0=w_ih0, w_hh0=w_hh0, b_ih0=b_ih0, b_hh0=b_hh0,
+            w_ih=jnp.stack([r[0] for r in rest]) if rest else params.w_ih[:, :0, :0],
+            w_hh=jnp.stack([r[1] for r in rest]) if rest else params.w_hh[:, :0, :0],
+            b_ih=jnp.stack([r[2] for r in rest]) if rest else params.b_ih[:, :0],
+            b_hh=jnp.stack([r[3] for r in rest]) if rest else params.b_hh[:, :0],
+        )
+        out, h_last = gru_forward(padded, x)
+        return out[..., :hidden], h_last[:, :hidden]
     # derive h0 from x (instead of a bare zeros) so that under shard_map
     # with replication tracking the scan carry inherits x's varying-axes
     # type — a literal zeros carry is "replicated" and fails vma typing

@@ -125,6 +125,12 @@ def spmm_pallas(
     (bf16 operands, fastest, ~1e-3 relative error on f32 inputs) or HIGHEST
     (bit-accurate f32 at ~3x MXU cost) for parity-sensitive paths.
 
+    ``x`` may be bfloat16: DEFAULT precision already rounds the gathered
+    operand to bf16 inside the kernel, so storing features as bf16 loses no
+    additional accuracy while halving the dominant X-tile streaming
+    bandwidth (BASELINE.md floor analysis). The accumulator stays f32; the
+    output adopts ``x.dtype``. HIGHEST precision requires f32 input.
+
     ``k_per_step`` processes K chunks per grid step (the layout must have
     been built with ``step_chunks=K`` so chunk groups share a dst block),
     amortizing per-grid-step overhead.
@@ -135,6 +141,8 @@ def spmm_pallas(
     n_pad, d = x.shape
     tile = blocked.tile
     assert n_pad % tile == 0, f"x rows {n_pad} not a multiple of {tile}"
+    if precision == jax.lax.Precision.HIGHEST and x.dtype != jnp.float32:
+        raise ValueError(f"HIGHEST-precision SpMM requires f32 input, got {x.dtype}")
     W = blocked.num_chunks
     ec = blocked.src_local.shape[1]
     K = k_per_step
@@ -175,7 +183,9 @@ def spmm_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=(W * tile * d + n_pad * d) * 4, transcendentals=0
+            flops=flops,
+            bytes_accessed=(W * tile * d + n_pad * d) * x.dtype.itemsize,
+            transcendentals=0,
         ),
         interpret=interpret,
     )(dblk, sblk, src3, dst3, w3, *([x] * K))

@@ -16,7 +16,10 @@ from .edge_partition import (  # noqa: F401
 )
 from .halo import (  # noqa: F401
     HaloPlan,
+    HaloPlanSplit,
     plan_halo_partition,
+    split_halo_plan,
     halo_aggregate,
+    halo_aggregate_overlapped,
     make_halo_sage_step,
 )

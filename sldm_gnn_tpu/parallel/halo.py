@@ -139,6 +139,99 @@ def plan_halo_partition(
     return plan, n_local
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HaloPlanSplit:
+    """Interior/boundary-split halo plan (stacked per-shard, leading dim ep).
+
+    Interior edges (source owned by the same shard) carry no dependency on
+    the all-to-all, so their aggregation is structurally overlappable with
+    the boundary exchange — the scheduler can hide the collective behind
+    the interior segment-sum instead of relying on it discovering the
+    independence inside one fused gather (SURVEY.md §7 hard part 3).
+
+    send_idx [ep, ep, H]     — as :class:`HaloPlan`.
+    int_src  [ep, Ei] int32  — interior edge sources (local rows).
+    int_dst  [ep, Ei] int32  — interior destinations; padding -> n_local.
+    int_w    [ep, Ei] f32    — interior weights (0 on padding).
+    hal_src  [ep, Eh] int32  — boundary sources, indexing the received halo
+                               table [ep*H] (q * H + pos).
+    hal_dst  [ep, Eh] int32  — boundary destinations; padding -> n_local.
+    hal_w    [ep, Eh] f32    — boundary weights (0 on padding).
+    """
+
+    send_idx: jax.Array
+    int_src: jax.Array
+    int_dst: jax.Array
+    int_w: jax.Array
+    hal_src: jax.Array
+    hal_dst: jax.Array
+    hal_w: jax.Array
+
+    @property
+    def ep(self) -> int:
+        return self.send_idx.shape[0]
+
+
+def split_halo_plan(plan: HaloPlan, n_local: int) -> HaloPlanSplit:
+    """Split a :class:`HaloPlan` into interior and boundary edge lists
+    (host-side numpy; pads each list to its per-shard maximum)."""
+    ep = plan.send_idx.shape[0]
+    h_max = plan.send_idx.shape[2]
+    src = np.asarray(plan.src_local)
+    dst = np.asarray(plan.dst_local)
+    w = np.asarray(plan.weight)
+
+    interior = [np.nonzero((src[p] < n_local) & (dst[p] < n_local))[0] for p in range(ep)]
+    boundary = [np.nonzero((src[p] >= n_local) & (dst[p] < n_local))[0] for p in range(ep)]
+    ei = max(max((len(e) for e in interior), default=1), 1)
+    eh = max(max((len(e) for e in boundary), default=1), 1)
+
+    int_src = np.zeros((ep, ei), np.int32)
+    int_dst = np.full((ep, ei), n_local, np.int32)
+    int_w = np.zeros((ep, ei), np.float32)
+    hal_src = np.zeros((ep, eh), np.int32)
+    hal_dst = np.full((ep, eh), n_local, np.int32)
+    hal_w = np.zeros((ep, eh), np.float32)
+    for p in range(ep):
+        ii, bb = interior[p], boundary[p]
+        int_src[p, : len(ii)] = src[p][ii]
+        int_dst[p, : len(ii)] = dst[p][ii]
+        int_w[p, : len(ii)] = w[p][ii]
+        hal_src[p, : len(bb)] = src[p][bb] - n_local  # index into [ep*H] halo table
+        hal_dst[p, : len(bb)] = dst[p][bb]
+        hal_w[p, : len(bb)] = w[p][bb]
+
+    return HaloPlanSplit(
+        send_idx=plan.send_idx, int_src=int_src, int_dst=int_dst, int_w=int_w,
+        hal_src=hal_src, hal_dst=hal_dst, hal_w=hal_w,
+    )
+
+
+def halo_aggregate_overlapped(
+    x_local, plan_local: HaloPlanSplit, n_local: int, *, axis_name: str = "ep"
+):
+    """Inside shard_map: boundary all-to-all overlapped with interior
+    aggregation. The interior segment-sum has no data dependency on the
+    collective, so the latency-hiding scheduler runs them concurrently;
+    only the (much smaller) boundary segment-sum waits on the halo."""
+    send_idx = plan_local.send_idx[0]  # [ep, H]
+    d = x_local.shape[1]
+
+    outgoing = x_local[send_idx]  # [ep, H, D]
+    halo = jax.lax.all_to_all(outgoing, axis_name, split_axis=0, concat_axis=0)
+
+    # interior: depends only on x_local — overlaps the exchange
+    msgs_i = x_local[plan_local.int_src[0]] * plan_local.int_w[0][:, None].astype(x_local.dtype)
+    acc = jax.ops.segment_sum(msgs_i, plan_local.int_dst[0], num_segments=n_local + 1)
+
+    # boundary: waits on the halo table
+    table = halo.reshape(-1, d)
+    msgs_h = table[plan_local.hal_src[0]] * plan_local.hal_w[0][:, None].astype(x_local.dtype)
+    acc = acc + jax.ops.segment_sum(msgs_h, plan_local.hal_dst[0], num_segments=n_local + 1)
+    return acc[:n_local]
+
+
 def halo_aggregate(x_local, plan_local: HaloPlan, n_local: int, *, axis_name: str = "ep"):
     """Inside shard_map: x_local [n_local, D] (this shard's rows); plan
     arrays arrive with local leading dim 1. Returns [n_local, D] sums."""
@@ -154,20 +247,30 @@ def halo_aggregate(x_local, plan_local: HaloPlan, n_local: int, *, axis_name: st
     return jax.ops.segment_sum(msgs, dst_local, num_segments=n_local)
 
 
-def make_halo_sage_step(mesh: Mesh, plan: HaloPlan, n_local: int, *, axis_name: str = "ep"):
+def make_halo_sage_step(
+    mesh: Mesh,
+    plan: HaloPlan | HaloPlanSplit,
+    n_local: int,
+    *,
+    axis_name: str = "ep",
+    overlap: bool = False,
+):
     """Jitted fwd+bwd of a 2-layer GraphSAGE with halo-exchange aggregation.
 
     ``step(params, x_stack) -> (grads, dx)`` where x_stack is [ep, n_local, D]
     sharded over the ep axis. The comparison workload for the replicated
     edge_partition path (same math, O(boundary) instead of O(N) comms).
+    ``overlap=True`` takes a :class:`HaloPlanSplit` and aggregates interior
+    edges concurrently with the boundary all-to-all.
     """
     plan_specs = jax.tree.map(lambda _: P(axis_name), plan)
+    aggregate = halo_aggregate_overlapped if overlap else halo_aggregate
 
     def fwd(params, x_stack, plan_l):
         xl = x_stack[0]
-        a1 = halo_aggregate(xl, plan_l, n_local, axis_name=axis_name)
+        a1 = aggregate(xl, plan_l, n_local, axis_name=axis_name)
         h = jnp.maximum(a1 @ params["w0a"] + xl @ params["w0b"], 0.0)
-        a2 = halo_aggregate(h, plan_l, n_local, axis_name=axis_name)
+        a2 = aggregate(h, plan_l, n_local, axis_name=axis_name)
         h2 = jnp.maximum(a2 @ params["w1a"] + h @ params["w1b"], 0.0)
         return jax.lax.psum(jnp.sum(h2), axis_name)
 

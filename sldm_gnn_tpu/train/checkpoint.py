@@ -1,4 +1,5 @@
-"""Step-level checkpoint/resume via orbax.
+"""Step-level checkpoint/resume via orbax, with async saves and preemption
+handling.
 
 A superset of the reference's best-snapshot-only persistence (SURVEY.md
 §5.4: "No mid-training resume"): full TrainState (params + optimizer
@@ -6,10 +7,21 @@ moments + step) is checkpointed every N steps with retention, and training
 resumes exactly from the latest step. The rich *model snapshot* for
 eval/serving stays in :mod:`sldm_gnn_tpu.train.snapshot` — this module is
 about fault tolerance of long runs.
+
+Async mode (default) hands the serialized state to orbax's background
+writer so the train loop never blocks on storage; ``close()`` (and any
+restore) drains pending writes. Preemption handling: a SIGTERM/SIGINT (the
+cloud-TPU preemption notice) sets a flag; the train loop's per-step hook
+then force-saves the exact current step and raises
+:class:`TrainingPreempted`, so a preempted run resumes losslessly.
+Multi-host preemption coordination additionally goes through orbax's
+``reached_preemption`` (jax.monitoring sync point) when available.
 """
 
 from __future__ import annotations
 
+import signal
+import threading
 from pathlib import Path
 from typing import Any
 
@@ -19,27 +31,97 @@ import numpy as np
 from .loop import TrainState
 
 
+class TrainingPreempted(RuntimeError):
+    """Raised by the step hook after the preemption checkpoint is durable."""
+
+    def __init__(self, step: int):
+        super().__init__(f"training preempted; checkpoint saved at step {step}")
+        self.step = step
+
+
 class CheckpointManager:
-    def __init__(self, directory: Path | str, *, max_to_keep: int = 3, save_every: int = 100):
+    def __init__(
+        self,
+        directory: Path | str,
+        *,
+        max_to_keep: int = 3,
+        save_every: int = 100,
+        async_save: bool = True,
+        handle_signals: bool = True,
+    ):
         import orbax.checkpoint as ocp
 
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
         self.save_every = save_every
+        self.async_save = async_save
         self._mgr = ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                create=True,
+                enable_async_checkpointing=async_save,
+            ),
         )
+        self._preempted = threading.Event()
+        self._prev_handlers: dict[int, Any] = {}
+        if handle_signals and threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM,):
+                prev = signal.getsignal(sig)
+                self._prev_handlers[sig] = prev
 
-    def maybe_save(self, state: TrainState, *, force: bool = False) -> bool:
+                def _handler(signum, frame, prev=prev):
+                    self._preempted.set()
+                    if callable(prev) and prev not in (signal.SIG_IGN, signal.SIG_DFL):
+                        prev(signum, frame)
+
+                signal.signal(sig, _handler)
+
+    # ------------------------------------------------------------- saving
+
+    def maybe_save(self, state: TrainState, *, force: bool = False, step: int | None = None) -> bool:
         import orbax.checkpoint as ocp
 
-        step = int(state.step)
+        step = int(state.step) if step is None else step
         if not force and (self.save_every <= 0 or step % self.save_every != 0):
             return False
-        self._mgr.save(step, args=ocp.args.StandardSave(_to_pytree(state)))
+        if step in self._mgr.all_steps():  # e.g. epoch-end save right after a periodic one
+            return False
+        saved = self._mgr.save(step, args=ocp.args.StandardSave(_to_pytree(state)))
+        if not self.async_save:
+            self._mgr.wait_until_finished()
+        return bool(saved)
+
+    @property
+    def preempted(self) -> bool:
+        return self._preempted.is_set()
+
+    def on_step(self, state: TrainState, step: int | None = None) -> None:
+        """Per-step hook for the train loop: periodic async save, plus the
+        preemption path — force-save the exact step, drain the write, raise.
+
+        Pass ``step`` (a host-side counter) to avoid forcing a device sync
+        on ``state.step`` every step — on a remote-TPU tunnel that fetch is
+        a full roundtrip.
+        """
+        if step is None:
+            step = int(state.step)
+        if not self.preempted and (self.save_every <= 0 or step % self.save_every):
+            return  # fast path: no host<->device traffic at all
+        try:
+            orbax_preempted = self._mgr.reached_preemption(step)
+        except Exception:  # single-process: no jax.distributed sync point
+            orbax_preempted = False
+        if self.preempted or orbax_preempted:
+            self.maybe_save(state, force=True, step=step)
+            self._mgr.wait_until_finished()
+            raise TrainingPreempted(step)
+        self.maybe_save(state, step=step)
+
+    def wait(self) -> None:
         self._mgr.wait_until_finished()
-        return True
+
+    # ----------------------------------------------------------- restoring
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
@@ -47,6 +129,7 @@ class CheckpointManager:
     def restore(self, template: TrainState, step: int | None = None) -> TrainState:
         import orbax.checkpoint as ocp
 
+        self._mgr.wait_until_finished()  # drain in-flight async writes first
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
@@ -62,7 +145,14 @@ class CheckpointManager:
         )
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
+        for sig, prev in self._prev_handlers.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, TypeError):  # not main thread / exotic handler
+                pass
+        self._prev_handlers.clear()
 
 
 def _to_pytree(state: TrainState) -> dict[str, Any]:

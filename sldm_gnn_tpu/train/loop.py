@@ -218,6 +218,8 @@ def train_model(
     # checkpoint (train.checkpoint.CheckpointManager) when one exists
     if checkpoint_manager is not None and checkpoint_manager.latest_step() is not None:
         state = checkpoint_manager.restore(state)
+    # host-side mirror of state.step: avoids a device sync per train step
+    host_step = int(state.step) if checkpoint_manager is not None else 0
 
     pl_tracc = np.zeros((L, epochs), np.float32)
     tot_tracc = np.zeros((1, epochs), np.float32)
@@ -239,6 +241,10 @@ def train_model(
             rng, step_rng = jax.random.split(rng)
             state, m = fns.train_step(state, jax.tree.map(jnp.asarray, batch), step_rng)
             step_metrics.append(m)
+            if checkpoint_manager is not None:
+                # periodic async save + preemption exit (TrainingPreempted)
+                host_step += 1
+                checkpoint_manager.on_step(state, step=host_step)
         correct = np.zeros((L,), np.int64)
         n = 0
         loss_sum = 0.0

@@ -91,3 +91,58 @@ def test_step_timer():
         t.add_items(10)
     s = t.summary()
     assert s["steps"] == 3 and s["items_per_s"] > 0 and s["mean_step_s"] >= 0
+
+
+def test_async_save_and_preemption(tmp_path, rng):
+    """Async saves drain on restore/close; a preemption flag makes on_step
+    force-save the exact step and raise TrainingPreempted."""
+    from sldm_gnn_tpu.train.checkpoint import TrainingPreempted
+
+    model, fns, state, batch = _setup(rng)
+    mgr = CheckpointManager(
+        tmp_path / "ckpt", save_every=100, max_to_keep=2, async_save=True,
+        handle_signals=False,
+    )
+
+    host_step = 0
+    for i in range(3):
+        state, _ = fns.train_step(state, batch, jax.random.PRNGKey(i))
+        host_step += 1
+        mgr.on_step(state, step=host_step)  # save_every=100: all no-ops
+    assert mgr.latest_step() is None
+
+    mgr._preempted.set()  # simulate SIGTERM delivery
+    state, _ = fns.train_step(state, batch, jax.random.PRNGKey(9))
+    host_step += 1
+    with pytest.raises(TrainingPreempted) as ei:
+        mgr.on_step(state, step=host_step)
+    assert ei.value.step == 4
+    assert mgr.latest_step() == 4
+
+    restored = mgr.restore(state)
+    assert int(restored.step) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6),
+        restored.params,
+        state.params,
+    )
+    mgr.close()
+
+
+def test_sigterm_sets_preempted_flag(tmp_path, rng):
+    """The installed SIGTERM handler sets the flag (raised via os.kill)."""
+    import os
+    import signal as _signal
+
+    model, fns, state, batch = _setup(rng)
+    mgr = CheckpointManager(tmp_path / "ckpt", save_every=0, handle_signals=True)
+    try:
+        assert not mgr.preempted
+        os.kill(os.getpid(), _signal.SIGTERM)
+        assert mgr.preempted
+    finally:
+        mgr.close()
+    # handler restored: a later close() must not leave the flag handler around
+    assert _signal.getsignal(_signal.SIGTERM) in (
+        _signal.SIG_DFL, _signal.SIG_IGN, _signal.default_int_handler,
+    ) or callable(_signal.getsignal(_signal.SIGTERM))

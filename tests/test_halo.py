@@ -105,3 +105,80 @@ def test_plan_no_cross_shard_edges_zero_halo():
     # all remapped sources are local (< n_local)
     valid = plan.weight > 0
     assert (np.asarray(plan.src_local)[np.asarray(valid)] < n_local).all()
+
+
+def test_overlapped_split_matches_unsplit(rng):
+    """Interior/boundary-split aggregation (overlappable all-to-all) is
+    exactly the unsplit halo aggregation, forward and backward."""
+    from sldm_gnn_tpu.parallel.halo import halo_aggregate_overlapped, split_halo_plan
+
+    ep = 8
+    mesh = make_mesh(dp=1, ep=ep)
+    n, e, d = 120, 900, 16
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    plan, n_local = plan_halo_partition(src, dst, n, ep)
+    splan = split_halo_plan(plan, n_local)
+    # every edge lands in exactly one of the two lists
+    assert (np.asarray(splan.int_w) > 0).sum() + (np.asarray(splan.hal_w) > 0).sum() == e
+
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x_stack = jnp.asarray(_stack_x(x, ep, n_local))
+    plan_j = jax.tree.map(jnp.asarray, plan)
+    splan_j = jax.tree.map(jnp.asarray, splan)
+
+    agg_u = shard_map(
+        lambda xs, pl: halo_aggregate(xs[0], pl, n_local)[None],
+        mesh=mesh, in_specs=(P("ep"), jax.tree.map(lambda _: P("ep"), plan_j)),
+        out_specs=P("ep"),
+    )
+    agg_s = shard_map(
+        lambda xs, pl: halo_aggregate_overlapped(xs[0], pl, n_local)[None],
+        mesh=mesh, in_specs=(P("ep"), jax.tree.map(lambda _: P("ep"), splan_j)),
+        out_specs=P("ep"),
+    )
+    out_u = np.asarray(agg_u(x_stack, plan_j))
+    out_s = np.asarray(agg_s(x_stack, splan_j))
+    np.testing.assert_allclose(out_s, out_u, rtol=1e-5, atol=1e-6)
+
+
+def test_overlapped_sage_step_matches_reference(rng):
+    from sldm_gnn_tpu.parallel.halo import split_halo_plan
+
+    ep = 4
+    mesh = make_mesh(dp=2, ep=ep)
+    n, e, d = 64, 400, 8
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    plan, n_local = plan_halo_partition(src, dst, n, ep)
+    splan = jax.tree.map(jnp.asarray, split_halo_plan(plan, n_local))
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x_stack = jnp.asarray(_stack_x(x, ep, n_local))
+    params = {
+        k: jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.1)
+        for k in ("w0a", "w0b", "w1a", "w1b")
+    }
+
+    step = make_halo_sage_step(mesh, splan, n_local, overlap=True)
+    grads_sharded, dx_sharded = step(params, x_stack)
+
+    w = jnp.asarray(mean_weights(dst, n))
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    n_pad = ep * n_local
+    xp = jnp.asarray(np.concatenate([x, np.zeros((n_pad - n, d), np.float32)]))
+
+    def ref(params, xfull):
+        a1 = spmm_xla(xfull, srcj, dstj, w, n_pad)
+        h = jnp.maximum(a1 @ params["w0a"] + xfull @ params["w0b"], 0.0)
+        a2 = spmm_xla(h, srcj, dstj, w, n_pad)
+        return jnp.sum(jnp.maximum(a2 @ params["w1a"] + h @ params["w1b"], 0.0))
+
+    grads_ref, dx_ref = jax.grad(ref, argnums=(0, 1))(params, xp)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        grads_sharded,
+        grads_ref,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_sharded).reshape(n_pad, d), np.asarray(dx_ref), rtol=2e-4, atol=2e-5
+    )

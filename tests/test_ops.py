@@ -109,6 +109,30 @@ def test_gru_matches_torch_two_layers(rng):
     np.testing.assert_allclose(np.asarray(h_j), h_t[-1].numpy(), rtol=1e-5, atol=1e-5)
 
 
+def test_gru_pad_to_matches_unpadded(rng):
+    """MXU-aligned hidden padding (pad_to) is exact modulo reduction order,
+    including through the backward pass, for 1- and 2-layer stacks."""
+    torch.manual_seed(2)
+    B, T, D, H = 5, 13, 6, 24
+    for layers in (1, 2):
+        gru = torch.nn.GRU(D, H, num_layers=layers, batch_first=True)
+        params = _torch_gru_to_params(gru)
+        x = jnp.array(rng.standard_normal((B, T, D)).astype(np.float32))
+        out0, h0 = gru_forward(params, x)
+        out1, h1 = gru_forward(params, x, pad_to=32)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-6, atol=1e-6)
+
+        g0 = jax.grad(lambda p: jnp.sum(gru_forward(p, x)[1] ** 2))(params)
+        g1 = jax.grad(lambda p: jnp.sum(gru_forward(p, x, pad_to=32)[1] ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
+
+        # already-aligned width: pad_to is a no-op
+        out2, h2 = gru_forward(params, x, pad_to=24)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(h0), rtol=0, atol=0)
+
+
 def test_knn_matches_torch_topk(rng):
     V, S, K = 20, 57, 5
     pts = rng.standard_normal((V, 2)).astype(np.float32)

@@ -172,3 +172,28 @@ def test_ep_sharded_aggregate_matches_xla(rng):
         (grads_sharded, gx_sharded),
         (grads_ref, gx_ref),
     )
+
+
+def test_prefetch_to_device_sharded(rng):
+    """Worker-thread device_put delivers dp-sharded, value-identical batches."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sldm_gnn_tpu.data.prefetch import prefetch_to_device
+
+    F, L, DP = 4, 2, 8
+    mesh = make_mesh(dp=DP)
+    dims = BatchDims(node_capacity=8, edge_capacity=16, graph_capacity=1,
+                     num_frames=F, num_labels=L)
+    stacked_batches = [
+        shard_batch([pad_and_batch(_graphs(rng, 1, F, L), dims) for _ in range(DP)])
+        for _ in range(3)
+    ]
+    sh = NamedSharding(mesh, P("dp"))
+    out = list(prefetch_to_device(iter(stacked_batches), depth=2, sharding=sh))
+    assert len(out) == 3
+    for got, want in zip(out, stacked_batches):
+        leaves_g = jax.tree.leaves(got)
+        leaves_w = jax.tree.leaves(want)
+        for g, w in zip(leaves_g, leaves_w):
+            assert g.sharding == sh
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

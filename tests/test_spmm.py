@@ -241,3 +241,53 @@ def test_bench_chunked_xla_baseline_matches(rng):
     got = np.asarray(bench.spmm_xla_chunked(x, src, dst, w, n, chunk=600))
     want = np.asarray(spmm_xla(x, src, dst, w, n))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_bf16_feature_storage(rng):
+    """bf16 feature storage (halved X streaming) matches naive within the
+    DEFAULT-precision tolerance; output adopts bf16; HIGHEST rejects bf16."""
+    n, e, d = 200, 1500, 128
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    n_pad = pad_nodes(n)
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+
+    blocked = block_edges(src, dst, n_pad, weight=w)
+    out = spmm_pallas(jnp.array(x_np, jnp.bfloat16), blocked, n_pad, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    want = naive_weighted_sum(x_np, src, dst, w, n_pad)
+    np.testing.assert_allclose(np.asarray(out, np.float32), want, rtol=5e-2, atol=5e-2)
+
+    with pytest.raises(ValueError, match="HIGHEST"):
+        spmm_pallas(
+            jnp.array(x_np, jnp.bfloat16), blocked, n_pad, interpret=True,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+def test_bench_two_layer_sage_bf16_close_to_f32(rng):
+    """bench's bf16 compute mode tracks the f32 result (XLA dispatch path)."""
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    n, e, d = 150, 900, 32
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    bf, br, n_pad = prepare_mean_aggregate(src, dst, n)
+    x = jnp.array(rng.standard_normal((n_pad, d)).astype(np.float32))
+    params = {
+        k: jnp.array(rng.standard_normal((d, d)).astype(np.float32) * 0.05)
+        for k in ("w0a", "w0b", "w1a", "w1b")
+    }
+    agg = lambda h: spmm_apply(h, bf, br, n_pad, False)
+    out32 = np.asarray(bench.two_layer_sage(params, x, agg, jnp.float32))
+    out16 = np.asarray(bench.two_layer_sage(params, x, agg, jnp.bfloat16))
+    assert out16.dtype == np.float32  # cast back at the boundary
+    scale = np.abs(out32).max() + 1e-6
+    assert np.abs(out16 - out32).max() / scale < 5e-2
