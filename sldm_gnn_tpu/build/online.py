@@ -90,3 +90,307 @@ class GraphOnlineCreator:
             y=y,
             pos_raw=pos_raw,
         )
+
+
+class IncrementalGraphOnlineCreator:
+    """Stride-1 sliding-window graph construction in O(V²) per frame.
+
+    The plain :class:`GraphOnlineCreator` recomputes the full O(V²·F)
+    pairwise-trajectory problem per window; under a stride-1 stream
+    (serve/stream.py, reference rcv.py:89-91) consecutive windows share
+    F-1 frames. This creator maintains ring buffers + decremental pair
+    statistics so each ``push`` costs:
+
+      * O(V) featurization of the one incoming frame,
+      * O(V²) pairwise distances of the one incoming frame,
+      * O(V²) add/subtract of the mean/mean-square/count accumulators,
+      * O(V²·F) *memory-bound masked min/max reduction* over precomputed
+        ring distances at emit (no sqrt/diff recompute — the compute-heavy
+        part of the full rebuild).
+
+    Accumulators run in float64 and are refreshed from the ring every F
+    pushes, so subtract-on-evict rounding can never drift. Emitted graphs
+    match :class:`GraphOnlineCreator` exactly (tests) under the data
+    contract that Width/Length/StationType are static per vehicle — true
+    of the reference, whose static features come from the per-vehicle
+    ``vinfo`` table (/root/reference/src/gbuilder.py:476).
+    """
+
+    _ABSENT = None  # placeholder; absent-frame features depend on length
+
+    def __init__(
+        self,
+        frames_num: int,
+        m_radius: float,
+        active_labels: list[int] | None = None,
+        *,
+        norm_stats: dict | None = None,
+        capacity: int = 32,
+    ):
+        # reuse the full creator for validation + as the emit fallback pieces
+        self._proto = GraphOnlineCreator(
+            frames_num, m_radius, active_labels, norm_stats=norm_stats
+        )
+        self.frames_num = frames_num
+        self.m_radius = m_radius
+        self._cap = max(capacity, 4)
+        self._alloc(self._cap)
+        self._vid2slot: dict = {}
+        self._free: list[int] = list(range(self._cap))[::-1]
+        self._head = 0  # ring position of the OLDEST frame
+        self._n_frames = 0  # frames currently in the window (<= frames_num)
+        self._pushes_since_refresh = 0
+
+    # ------------------------------------------------------------ storage
+
+    def _alloc(self, cap: int):
+        F = self.frames_num
+        self._x = np.zeros((cap, F, 6), np.float32)  # transformed features, ring on axis 1
+        self._x[:, :, 4] = 1.0  # absent frames: hcos = cos(0) = 1
+        self._present = np.zeros((cap, F), bool)
+        self._d = np.zeros((F, cap, cap), np.float32)  # per-frame pair distances
+        self._dsum = np.zeros((cap, cap), np.float64)
+        self._d2sum = np.zeros((cap, cap), np.float64)
+        self._cnt = np.zeros((cap, cap), np.int64)
+        # lazy sliding-window min/max: value + the ring position attaining
+        # it; a pair is recomputed from the ring only when the attaining
+        # frame is evicted (amortized O(V²)/stride instead of O(V²·F)/emit)
+        self._dmin = np.full((cap, cap), np.inf, np.float32)
+        self._dmin_pos = np.full((cap, cap), -1, np.int32)
+        self._dmax = np.full((cap, cap), -np.inf, np.float32)
+        self._dmax_pos = np.full((cap, cap), -1, np.int32)
+        self._vids: list = [None] * cap  # VehicleIds may be any sortable type
+        self._wl = np.zeros((cap, 2), np.float32)  # width, length
+        self._stt = np.zeros(cap, np.int32)
+
+    def _grow(self):
+        old_cap = self._cap
+        cap = old_cap * 2
+        x, present, d = self._x, self._present, self._d
+        dsum, d2sum, cnt = self._dsum, self._d2sum, self._cnt
+        dmin, dmin_pos, dmax, dmax_pos = self._dmin, self._dmin_pos, self._dmax, self._dmax_pos
+        vids, wl, stt = self._vids, self._wl, self._stt
+        self._alloc(cap)
+        self._x[:old_cap] = x
+        self._present[:old_cap] = present
+        self._d[:, :old_cap, :old_cap] = d
+        self._dsum[:old_cap, :old_cap] = dsum
+        self._d2sum[:old_cap, :old_cap] = d2sum
+        self._cnt[:old_cap, :old_cap] = cnt
+        self._dmin[:old_cap, :old_cap] = dmin
+        self._dmin_pos[:old_cap, :old_cap] = dmin_pos
+        self._dmax[:old_cap, :old_cap] = dmax
+        self._dmax_pos[:old_cap, :old_cap] = dmax_pos
+        self._vids[:old_cap] = vids[:old_cap]
+        self._wl[:old_cap] = wl
+        self._stt[:old_cap] = stt
+        self._free.extend(range(cap - 1, old_cap - 1, -1))
+        self._cap = cap
+
+    def _slot_for(self, vid, width, length, sttype) -> int:
+        s = self._vid2slot.get(vid)
+        if s is not None:
+            return s
+        if not self._free:
+            self._grow()
+        s = self._free.pop()
+        self._vid2slot[vid] = s
+        self._vids[s] = vid
+        self._wl[s] = (width, length)
+        self._stt[s] = sttype
+        # absent-frame features for this vehicle: rescaled origin at angle 0
+        self._x[s] = 0.0
+        self._x[s, :, 0] = -length / 2.0
+        self._x[s, :, 4] = 1.0
+        self._present[s] = False
+        self._d[:, s, :] = 0.0
+        self._d[:, :, s] = 0.0
+        self._dsum[s, :] = self._dsum[:, s] = 0.0
+        self._d2sum[s, :] = self._d2sum[:, s] = 0.0
+        self._cnt[s, :] = self._cnt[:, s] = 0
+        self._dmin[s, :] = self._dmin[:, s] = np.inf
+        self._dmin_pos[s, :] = self._dmin_pos[:, s] = -1
+        self._dmax[s, :] = self._dmax[:, s] = -np.inf
+        self._dmax_pos[s, :] = self._dmax_pos[:, s] = -1
+        return s
+
+    # ------------------------------------------------------------- update
+
+    def push(self, frame_df: pd.DataFrame):
+        """Ingest one frame (rows: VehicleId, X, Y, Speed, Angle, Width,
+        Length, StationType). Evicts the oldest frame once the window is
+        full. Call :meth:`window` to emit the current graph."""
+        F = self.frames_num
+        pos = self._head if self._n_frames >= F else (self._head + self._n_frames) % F
+
+        if self._n_frames >= F:
+            # evict the oldest frame's contribution from the accumulators
+            co_old = np.outer(self._present[:, pos], self._present[:, pos])
+            d_old = self._d[pos]
+            self._dsum -= d_old * co_old
+            self._d2sum -= d_old * d_old * co_old
+            self._cnt -= co_old
+            self._present[:, pos] = False
+            self._head = (self._head + 1) % F
+            # lazy min/max maintenance: pairs left without co-present frames
+            # reset; pairs whose extremum lived in the evicted frame recompute
+            empty = self._cnt == 0
+            self._dmin[empty] = np.inf
+            self._dmin_pos[empty] = -1
+            self._dmax[empty] = -np.inf
+            self._dmax_pos[empty] = -1
+            stale = ((self._dmin_pos == pos) | (self._dmax_pos == pos)) & ~empty
+            if stale.any():
+                ii, jj = np.nonzero(stale)
+                dcols = self._d[:, ii, jj]  # [F, n]
+                co = (self._present[ii] & self._present[jj]).T  # [F, n]
+                ar = np.arange(len(ii))
+                dm = np.where(co, dcols, np.inf)
+                k = np.argmin(dm, axis=0)
+                self._dmin[ii, jj] = dm[k, ar]
+                self._dmin_pos[ii, jj] = k
+                dM = np.where(co, dcols, -np.inf)
+                k = np.argmax(dM, axis=0)
+                self._dmax[ii, jj] = dM[k, ar]
+                self._dmax_pos[ii, jj] = k
+        else:
+            self._n_frames += 1
+
+        # clear the ring column, then write the incoming frame
+        self._x[:, pos, :] = 0.0
+        self._x[:, pos, 0] = -self._wl[:, 1] / 2.0
+        self._x[:, pos, 4] = 1.0
+
+        if len(frame_df):
+            vid_arr = frame_df["VehicleId"].to_numpy()
+            wj = frame_df["Width"].to_numpy(np.float32)
+            lj = frame_df["Length"].to_numpy(np.float32)
+            tj = frame_df["StationType"].to_numpy(np.int32)
+            slots = np.array(
+                [self._slot_for(v, wj[i], lj[i], tj[i]) for i, v in enumerate(vid_arr)],
+                np.int64,
+            )
+            ang = np.deg2rad(frame_df["Angle"].to_numpy(np.float32))
+            length = self._wl[slots, 1]
+            px = frame_df["X"].to_numpy(np.float32) - length / 2.0 * np.cos(ang)
+            py = frame_df["Y"].to_numpy(np.float32) - length / 2.0 * np.sin(ang)
+            self._x[slots, pos, 0] = px
+            self._x[slots, pos, 1] = py
+            self._x[slots, pos, 2] = frame_df["Speed"].to_numpy(np.float32)
+            self._x[slots, pos, 3] = np.sin(ang)
+            self._x[slots, pos, 4] = np.cos(ang)
+            self._x[slots, pos, 5] = 1.0
+            self._present[slots, pos] = True
+
+        # pairwise distances of the incoming frame (over ALL slots; masked
+        # by the presence outer product in the accumulators)
+        xy = self._x[:, pos, :2]
+        diff = xy[:, None, :] - xy[None, :, :]
+        d_new = np.sqrt(np.sum(diff * diff, axis=-1), dtype=np.float32)
+        self._d[pos] = d_new
+        co_new = np.outer(self._present[:, pos], self._present[:, pos])
+        self._dsum += d_new.astype(np.float64) * co_new
+        self._d2sum += d_new.astype(np.float64) * d_new * co_new
+        self._cnt += co_new
+        upd = co_new & (d_new < self._dmin)
+        self._dmin[upd] = d_new[upd]
+        self._dmin_pos[upd] = pos
+        upd = co_new & (d_new > self._dmax)
+        self._dmax[upd] = d_new[upd]
+        self._dmax_pos[upd] = pos
+
+        # free slots whose vehicles have left the window entirely
+        alive = self._present.any(axis=1)
+        for vid, s in list(self._vid2slot.items()):
+            if not alive[s]:
+                del self._vid2slot[vid]
+                self._free.append(s)
+
+        # periodic exact refresh: kills float64 subtract-on-evict drift
+        self._pushes_since_refresh += 1
+        if self._pushes_since_refresh >= F:
+            self._refresh_accumulators()
+            self._pushes_since_refresh = 0
+
+    def _refresh_accumulators(self):
+        """Exact rebuild of the float64 sum/count accumulators (the only
+        state with subtract-on-evict drift; the min/max trackers are exact
+        by construction). Restricted to live slots — dead slots are zeroed
+        on (re)allocation."""
+        live = sorted(self._vid2slot.values())
+        if not live:
+            return
+        sl = np.asarray(live, np.int64)
+        ix3 = np.ix_(np.arange(self.frames_num), sl, sl)
+        d = self._d[ix3]  # [F, L, L]
+        pr = self._present[sl]  # [L, F]
+        co = pr.T[:, :, None] & pr.T[:, None, :]
+        ix2 = np.ix_(sl, sl)
+        self._dsum[ix2] = np.sum(d * co, axis=0, dtype=np.float64)
+        self._d2sum[ix2] = np.sum(d.astype(np.float64) ** 2 * co, axis=0)
+        self._cnt[ix2] = co.sum(axis=0, dtype=np.int64)
+
+    # --------------------------------------------------------------- emit
+
+    @property
+    def warm(self) -> bool:
+        return self._n_frames >= self.frames_num
+
+    def window(self, mlb: int | None = None) -> GraphArrays:
+        """Emit the current window's graph (same contract as
+        :class:`GraphOnlineCreator`.__call__)."""
+        F = self.frames_num
+        slots = sorted(self._vid2slot.items())  # sorted by VehicleId
+        if not slots:
+            return self._proto(pd.DataFrame(), mlb)
+        sl = np.array([s for _, s in slots], np.int64)
+        V = len(sl)
+
+        # temporal re-order: ring position head..head+F-1 -> window 0..F-1
+        order = (self._head + np.arange(F)) % F
+        x = self._x[np.ix_(sl, order)]  # [V, F, 6]
+
+        # pair stats restricted to live slots: O(V²) gathers of the
+        # incrementally-maintained min/max/sum/count trackers
+        pair_ix = np.ix_(sl, sl)
+        dmin = self._dmin[pair_ix]
+        cnt = self._cnt[pair_ix]
+        valid = (cnt > 0) & (dmin <= self.m_radius)
+        np.fill_diagonal(valid, False)
+
+        loc = np.argwhere(valid)  # i-major order, matching the reference
+        if len(loc):
+            dmax = self._dmax[pair_ix]
+            cntf = np.maximum(cnt, 1).astype(np.float64)
+            dmean = (self._dsum[pair_ix] / cntf).astype(np.float32)
+            dmsq = (self._d2sum[pair_ix] / cntf).astype(np.float32)
+            ii, jj = loc[:, 0], loc[:, 1]
+            edge_index = np.stack([ii, jj]).astype(np.int32)
+            edge_attr = np.stack(
+                [dmin[ii, jj], dmax[ii, jj], dmean[ii, jj], dmsq[ii, jj]], axis=1
+            ).astype(np.float32)
+        else:
+            edge_index = np.zeros((2, 0), np.int32)
+            edge_attr = np.zeros((0, 4), np.float32)
+
+        y = None
+        if mlb is not None:
+            y = np.array(decode_bitmask(mlb, self._proto.active_labels), dtype=np.float32)
+
+        xdims = self._wl[sl].copy()
+        pos_raw = x[:, :, :2].copy()
+        ns = self._proto.norm_stats
+        if ns is not None:
+            x = x.copy()
+            x[:, :, :-1] = (x[:, :, :-1] - ns["mu"]["x"]) / ns["sigma"]["x"]
+            xdims = (xdims - ns["mu"]["xdims"]) / ns["sigma"]["xdims"]
+
+        return GraphArrays(
+            x=x.astype(np.float32),
+            xsttype=self._stt[sl].copy(),
+            xdims=xdims.astype(np.float32),
+            edge_index=edge_index,
+            edge_attr=edge_attr,
+            y=y,
+            pos_raw=pos_raw,
+        )

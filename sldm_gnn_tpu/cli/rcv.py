@@ -21,9 +21,13 @@ from ..serve.stream import StreamingServer
               default="out.csv", show_default=True)
 @click.option("--m-radius", type=float, default=25.0, show_default=True,
               help="Edge radius for online graph construction.")
-def main(fifo_path, pack_size, snapshot_path, output_csv_file, m_radius):
+@click.option("--incremental", is_flag=True, default=False,
+              help="O(V²)-per-frame sliding-window graph updates instead of "
+                   "a full O(V²·F) rebuild per window (same outputs).")
+def main(fifo_path, pack_size, snapshot_path, output_csv_file, m_radius, incremental):
     server = StreamingServer(
-        fifo_path, snapshot_path, output_csv_file, pack_size=pack_size, m_radius=m_radius
+        fifo_path, snapshot_path, output_csv_file, pack_size=pack_size, m_radius=m_radius,
+        incremental=incremental,
     )
     server.run()
     click.echo("Bye!")

@@ -27,7 +27,7 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 
-from ..build.online import GraphOnlineCreator
+from ..build.online import GraphOnlineCreator, IncrementalGraphOnlineCreator
 from ..graph.batching import BatchDims, pad_and_batch
 from ..models.grusage import GruSage
 from ..train.snapshot import load_snapshot
@@ -45,7 +45,14 @@ def _next_pow2(n: int, lo: int = 4) -> int:
 class InferenceEngine:
     """Snapshot-driven single-window inference with bucketed padding."""
 
-    def __init__(self, snapshot_path: Path | str, *, pack_size: int, m_radius: float = 25.0):
+    def __init__(
+        self,
+        snapshot_path: Path | str,
+        *,
+        pack_size: int,
+        m_radius: float = 25.0,
+        incremental: bool = False,
+    ):
         import jax
         import jax.numpy as jnp
 
@@ -66,6 +73,13 @@ class InferenceEngine:
             has_label=False,
             norm_stats=snap["norm_stat_dict"],
         )
+        self.inc_creator = (
+            IncrementalGraphOnlineCreator(
+                frames_num=pack_size, m_radius=m_radius, norm_stats=snap["norm_stat_dict"]
+            )
+            if incremental
+            else None
+        )
         self.pack_size = pack_size
         self._jax = jax
         self._jnp = jnp
@@ -85,7 +99,25 @@ class InferenceEngine:
 
     def score_window(self, pack_df: pd.DataFrame) -> np.ndarray | None:
         """Score one sliding window; None for an empty window."""
-        g = self.creator(pack_df)
+        return self._score_graph(self.creator(pack_df))
+
+    @property
+    def warm(self) -> bool:
+        """Incremental mode: whether a full window has been pushed."""
+        return self.inc_creator is not None and self.inc_creator.warm
+
+    def push_frame(self, frame_df: pd.DataFrame) -> np.ndarray | None:
+        """Incremental mode: ingest one frame (O(V²) instead of O(V²·F)
+        per stride — build/online.py IncrementalGraphOnlineCreator) and
+        score the current window. None while warming up or when the warm
+        window is empty (check :attr:`warm` to distinguish)."""
+        assert self.inc_creator is not None, "engine not built with incremental=True"
+        self.inc_creator.push(frame_df)
+        if not self.inc_creator.warm:
+            return None
+        return self._score_graph(self.inc_creator.window())
+
+    def _score_graph(self, g) -> np.ndarray | None:
         if g.num_nodes == 0:
             return None
         dims = BatchDims(
@@ -109,12 +141,14 @@ class StreamingServer:
         *,
         pack_size: int,
         m_radius: float = 25.0,
+        incremental: bool = False,
     ):
         self.fifo_path = Path(fifo_path)
         self.snapshot_path = Path(snapshot_path)
         self.output_csv = Path(output_csv)
         self.pack_size = pack_size
         self.m_radius = m_radius
+        self.incremental = incremental
 
         self.frames: deque[pd.DataFrame] = deque()
         self.lock = threading.Lock()
@@ -165,7 +199,9 @@ class StreamingServer:
                     df = pd.DataFrame(data)
                     with self.condition:
                         self.frames.append(df)
-                        if len(self.frames) >= self.pack_size:
+                        # incremental consumer wakes per frame; the classic
+                        # one re-checks its >= pack_size predicate anyway
+                        if self.incremental or len(self.frames) >= self.pack_size:
                             self.condition.notify_all()
         finally:
             self._signal_termination()
@@ -181,6 +217,9 @@ class StreamingServer:
             self._signal_termination(f"consumer error: {type(e).__name__}: {e}")
 
     def _consume_loop(self):
+        if self.incremental:
+            self._consume_loop_incremental()
+            return
         engine = InferenceEngine(
             self.snapshot_path, pack_size=self.pack_size, m_radius=self.m_radius
         )
@@ -210,6 +249,36 @@ class StreamingServer:
             with self.condition:
                 if self.frames:
                     self.frames.popleft()
+
+    def _consume_loop_incremental(self):
+        """Stride-1 consumption with per-frame pushes: the creator carries
+        the window state, so frames are dequeued as they arrive and each
+        push after warmup emits one score line — identical output cadence
+        and '.'-for-empty semantics as the classic loop."""
+        engine = InferenceEngine(
+            self.snapshot_path, pack_size=self.pack_size, m_radius=self.m_radius,
+            incremental=True,
+        )
+        with open(self.output_csv, "w") as f:
+            f.write("Score\n")
+        while True:
+            frame = None
+            with self.condition:
+                while not self.frames and not self.terminate.is_set():
+                    self.condition.wait()
+                if self.frames:
+                    frame = self.frames.popleft()
+            if frame is None:
+                break
+            scores = engine.push_frame(frame)
+            if not engine.warm:
+                continue
+            with open(self.output_csv, "a") as f:
+                if scores is None:
+                    f.write(".\n")
+                else:
+                    f.write(",".join(f"{s:.6f}" for s in np.atleast_1d(scores)) + "\n")
+            self.n_scored += 1
 
     def run(self):
         self._fd = os.open(self.fifo_path, os.O_RDONLY)

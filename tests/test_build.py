@@ -260,3 +260,78 @@ def test_row_group_straddling_pack(tmp_path):
     for pid, pg in df.groupby("PackId"):
         z = np.load(gpath / f"pack_{pid}.npz")
         assert z["x"].shape[0] == pg["VehicleId"].nunique()
+
+
+def test_incremental_online_matches_full_rebuild(rng):
+    """IncrementalGraphOnlineCreator == GraphOnlineCreator on every window
+    of a churning stream (vehicles entering/leaving), with and without
+    normalization; long enough to cross the accumulator-refresh boundary."""
+    from sldm_gnn_tpu.build.online import GraphOnlineCreator, IncrementalGraphOnlineCreator
+
+    F, radius = 6, 12.0
+    norm = {
+        "mu": {"x": np.zeros(5, np.float32) + 0.3, "xdims": np.zeros(2, np.float32)},
+        "sigma": {"x": np.ones(5, np.float32) * 2.0, "xdims": np.ones(2, np.float32)},
+    }
+    full = GraphOnlineCreator(F, radius, norm_stats=norm)
+    inc = IncrementalGraphOnlineCreator(F, radius, norm_stats=norm, capacity=4)
+
+    # static per-vehicle info (the reference's vinfo contract)
+    vinfo = {
+        v: (float(rng.uniform(1.5, 2.5)), float(rng.uniform(3.5, 5.0)), int(rng.integers(0, 6)))
+        for v in range(12)
+    }
+
+    def frame(t):
+        rows = []
+        for v in range(12):
+            # vehicles drift in and out of the stream
+            if (t + v) % 5 == 0 or rng.random() < 0.15:
+                continue
+            w, ln, st = vinfo[v]
+            rows.append(dict(
+                VehicleId=v, FrameId=0, X=float(v * 3 + 0.5 * t + rng.normal()),
+                Y=float(np.sin(0.3 * t + v)), Speed=float(rng.uniform(0, 20)),
+                Angle=float(rng.uniform(0, 360)), Width=w, Length=ln, StationType=st,
+            ))
+        return pd.DataFrame(rows)
+
+    frames = [frame(t) for t in range(3 * F + 2)]
+    checked = 0
+    for t, fr in enumerate(frames):
+        inc.push(fr)
+        if not inc.warm:
+            continue
+        window = frames[t - F + 1 : t + 1]
+        parts = []
+        for rel, wfr in enumerate(window):
+            if len(wfr):
+                p = wfr.copy()
+                p["FrameId"] = rel
+                parts.append(p)
+        pack_df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+        want = full(pack_df)
+        got = inc.window()
+
+        assert got.x.shape == want.x.shape
+        np.testing.assert_allclose(got.x, want.x, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(got.xsttype, want.xsttype)
+        np.testing.assert_allclose(got.xdims, want.xdims, rtol=1e-6)
+        np.testing.assert_array_equal(got.edge_index, want.edge_index)
+        np.testing.assert_allclose(got.edge_attr, want.edge_attr, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got.pos_raw, want.pos_raw, rtol=1e-6, atol=1e-6)
+        checked += 1
+    assert checked >= 2 * F  # crossed at least one refresh boundary
+
+
+def test_incremental_online_empty_and_labels(rng):
+    from sldm_gnn_tpu.build.online import IncrementalGraphOnlineCreator
+
+    F = 3
+    inc = IncrementalGraphOnlineCreator(F, 10.0, active_labels=[0, 1])
+    for _ in range(F):
+        inc.push(pd.DataFrame())
+    g = inc.window(mlb=2)
+    assert g.x.shape == (0, F, 6)
+    assert g.y is None  # empty-window contract matches GraphOnlineCreator
+    assert g.edge_index.shape == (2, 0)

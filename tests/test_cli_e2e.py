@@ -226,3 +226,65 @@ def test_train_cli_with_checkpoints_resume(built, workspace):
     # continue (step counter strictly grows past the first run's)
     state2, _ = train_combination(0, comb, **kw)
     assert int(state2.step) > int(state1.step)
+
+
+def test_streaming_server_incremental_matches_classic(trained, built, tmp_path):
+    """Incremental (O(V²)/frame) server produces the same scores as the
+    classic full-rebuild server on an identical stream (incl. warmup
+    cadence and vehicle churn)."""
+    from sldm_gnn_tpu.serve.stream import StreamingServer
+
+    vinfo = pd.read_parquet(built / "test" / "vinfo.parquet")
+    vids = vinfo["VehicleId"].tolist()[:4]
+    vrows = vinfo.set_index("VehicleId")
+
+    def frame(t, vids_in_frame):
+        return [
+            {
+                "VehicleId": v,
+                "X": 10.0 + 2.0 * t + 3.0 * i,
+                "Y": 5.0 + i + 0.5 * t,
+                "Speed": 8.0 + i,
+                "Angle": 15.0 * t,
+                "Width": float(vrows.loc[v, "Width"]),
+                "Length": float(vrows.loc[v, "Length"]),
+                "StationType": int(vrows.loc[v, "StationType"]),
+            }
+            for i, v in enumerate(vids_in_frame)
+        ]
+
+    n_frames, pack_size = 9, 4
+    streams = []
+    for t in range(n_frames):
+        # churn: vehicle t%4 missing each frame; frame 6 fully empty
+        vset = [] if t == 6 else [v for i, v in enumerate(vids) if i != t % 4]
+        streams.append(json.dumps(frame(t, vset)) + "\n")
+
+    outputs = {}
+    for mode in (False, True):
+        fifo = tmp_path / f"frames_{mode}.fifo"
+        os.mkfifo(fifo)
+        out_csv = tmp_path / f"scores_{mode}.csv"
+        server = StreamingServer(
+            fifo, trained, out_csv, pack_size=pack_size, m_radius=25.0, incremental=mode
+        )
+        st = threading.Thread(target=server.run)
+        st.start()
+        with open(fifo, "w") as w:
+            for line in streams:
+                w.write(line)
+                w.flush()
+        st.join(timeout=180)
+        assert not st.is_alive()
+        outputs[mode] = out_csv.read_text().strip().split("\n")
+
+    classic, incremental = outputs[False], outputs[True]
+    assert classic[0] == incremental[0] == "Score"
+    assert len(classic) == len(incremental) == 1 + (n_frames - pack_size + 1)
+    for a, b in zip(classic[1:], incremental[1:]):
+        if a == "." or b == ".":
+            assert a == b
+        else:
+            va = np.array([float(s) for s in a.split(",")])
+            vb = np.array([float(s) for s in b.split(",")])
+            np.testing.assert_allclose(vb, va, rtol=1e-4, atol=1e-5)
