@@ -1,0 +1,117 @@
+"""Flagship training-step benchmark: full GruSage (GRU + map branch +
+GraphSAGE) jitted fwd+bwd+Adam at the reference's default recipe
+(/root/reference/main.py:22-54 — batch 32, frames 100, hidden 96, emb 8,
+dropout 0.25, map top-k 5) on synthetic graphs with a 1000-segment map.
+
+Prints one JSON line with ms/step and graphs/s. Env knobs: FLAG_BATCH,
+FLAG_FRAMES, FLAG_HIDDEN, FLAG_SEGMENTS, FLAG_ITERS, FLAG_NO_MAP,
+FLAG_GRU_PAD (0 disables the MXU-aligned GRU hidden padding).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sldm_gnn_tpu.graph.batching import BatchDims, pad_and_batch
+from sldm_gnn_tpu.graph.containers import GraphArrays
+from sldm_gnn_tpu.models import GruSage, GruSageConfig
+from sldm_gnn_tpu.models.map_modules import MapData, map_zscore_norm
+from sldm_gnn_tpu.train.loop import build_step_fns, make_optimizer
+
+
+def synth_graph(rng, frames, labels):
+    v = int(rng.integers(8, 12))
+    x = rng.standard_normal((v, frames, 6)).astype(np.float32)
+    x[:, :, 5] = 1.0
+    src, dst = np.meshgrid(np.arange(v), np.arange(v))
+    m = src != dst
+    return GraphArrays(
+        x=x,
+        xsttype=rng.integers(0, 10, v).astype(np.int32),
+        xdims=rng.uniform(1.5, 5.0, (v, 2)).astype(np.float32),
+        edge_index=np.stack([src[m], dst[m]]).astype(np.int32),
+        edge_attr=np.zeros((int(m.sum()), 4), np.float32),
+        y=(rng.random(labels) < 0.3).astype(np.float32),
+    )
+
+
+def synth_map(rng, segments):
+    feats = rng.standard_normal((segments, 9)).astype(np.float32)
+    return MapData(
+        feats=map_zscore_norm(jnp.asarray(feats)),
+        lane_type_cats=jnp.asarray(rng.integers(0, 8, segments).astype(np.int32)),
+        edge_src=jnp.asarray(rng.integers(0, segments, 4 * segments).astype(np.int32)),
+        edge_dst=jnp.asarray(rng.integers(0, segments, 4 * segments).astype(np.int32)),
+        centroids=jnp.asarray(rng.standard_normal((segments, 2)).astype(np.float32) * 100),
+    )
+
+
+def main():
+    b = int(os.environ.get("FLAG_BATCH", 32))
+    frames = int(os.environ.get("FLAG_FRAMES", 100))
+    hidden = int(os.environ.get("FLAG_HIDDEN", 96))
+    segments = int(os.environ.get("FLAG_SEGMENTS", 1000))
+    iters = int(os.environ.get("FLAG_ITERS", 50))
+    with_map = not int(os.environ.get("FLAG_NO_MAP", 0))
+    gru_pad = int(os.environ.get("FLAG_GRU_PAD", 128)) or None
+    labels = 4
+
+    rng = np.random.default_rng(0)
+    graphs = [synth_graph(rng, frames, labels) for _ in range(b)]
+    vmax = max(g.num_nodes for g in graphs)
+    dims = BatchDims(
+        node_capacity=((b * vmax + 7) // 8) * 8,
+        edge_capacity=((sum(g.num_edges for g in graphs) + 127) // 128) * 128,
+        graph_capacity=b,
+        num_frames=frames,
+        num_labels=labels,
+    )
+    batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, dims))
+    map_data = synth_map(rng, segments) if with_map else None
+
+    cfg = GruSageConfig(
+        frames_num=frames,
+        gru_hidden_size=hidden,
+        fc1dims=(hidden,),
+        sage_hidden_dims=(hidden, hidden),
+        fc2dims=(32,),
+        out_dim=labels,
+        emb_dim=8,
+        dropout=0.25,
+        negative_slope=0.1,
+        map_included=with_map,
+        gru_pad_to=gru_pad,
+    )
+    model = GruSage(cfg)
+    fns = build_step_fns(model, make_optimizer(1e-3, 5e-5), map_data=map_data)
+    state = fns.init(jax.random.PRNGKey(0), batch)
+
+    rkey = jax.random.PRNGKey(1)
+    state, m = fns.train_step(state, batch, rkey)
+    jax.tree.map(lambda a: a.block_until_ready(), state.params)
+    float(m["loss"])  # warm the value-fetch path
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rkey = jax.random.fold_in(rkey, i)
+        state, m = fns.train_step(state, batch, rkey)
+    float(m["loss"])  # close the timing window (remote-relay drain)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": "flagship GruSage train step (fwd+bwd+Adam)",
+        "ms_per_step": round(dt * 1e3, 3),
+        "graphs_per_s": round(b / dt, 1),
+        "batch": b, "frames": frames, "hidden": hidden,
+        "map_segments": segments if with_map else 0,
+        "gru_pad_to": gru_pad, "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,9 +17,13 @@ from .edge_partition import (  # noqa: F401
 from .halo import (  # noqa: F401
     HaloPlan,
     HaloPlanSplit,
+    HaloBlockedPlan,
     plan_halo_partition,
+    plan_halo_blocked,
     split_halo_plan,
     halo_aggregate,
     halo_aggregate_overlapped,
+    halo_aggregate_pallas,
     make_halo_sage_step,
+    make_halo_pallas_sage_step,
 )

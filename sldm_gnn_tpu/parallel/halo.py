@@ -286,3 +286,207 @@ def make_halo_sage_step(
         return jax.grad(lambda p, xs: sharded(p, xs, plan), argnums=(0, 1))(params, x_stack)
 
     return step
+
+
+# ------------------------------------------------- blocked-kernel halo path
+
+
+@dataclass(frozen=True)
+class HaloBlockedPlan:
+    """Halo exchange + per-shard Pallas blocked SpMM layouts.
+
+    The interior layout lives in the local node space (depends only on
+    x_local — overlaps the boundary all-to-all); the boundary layout lives
+    in the received-halo row space. Both come with reverse layouts so the
+    aggregation is differentiable through :func:`sldm_gnn_tpu.ops.spmm.
+    spmm_apply` (collective transposes are inserted by JAX for the gather
+    and all_to_all outside the kernels).
+
+    send_idx [ep, ep, H]; the four BlockedEdges pytrees are stacked over a
+    leading ep axis (chunk counts padded to the per-group max).
+    """
+
+    send_idx: np.ndarray
+    int_fwd: "BlockedEdges"
+    int_rev: "BlockedEdges"
+    bnd_fwd: "BlockedEdges"
+    bnd_rev: "BlockedEdges"
+    n_local: int
+    n_pad_local: int
+    n_pad_bnd: int
+    k_per_step: int
+
+
+def _pad_chunks(blocked, w_target: int):
+    """Append all-dummy chunks (weight 0, last dst block) so stacked
+    per-shard layouts share a chunk count; keeps dst-block contiguity and
+    per-block step_chunks multiples."""
+    from ..graph.csr import BlockedEdges
+
+    w = blocked.num_chunks
+    if w == w_target:
+        return blocked
+    pad = w_target - w
+    ec = blocked.src_local.shape[1]
+    last_dblk = int(blocked.block_meta[-1, 0])
+    meta = np.concatenate(
+        [np.asarray(blocked.block_meta),
+         np.stack([np.full(pad, last_dblk, np.int32), np.zeros(pad, np.int32)], 1)]
+    )
+    z = np.zeros((pad, ec), np.int32)
+    zf = np.zeros((pad, ec), np.float32)
+    return BlockedEdges(
+        block_meta=meta,
+        src_local=np.concatenate([np.asarray(blocked.src_local), z]),
+        dst_local=np.concatenate([np.asarray(blocked.dst_local), z]),
+        weight=np.concatenate([np.asarray(blocked.weight), zf]),
+        edge_id=None,
+        tile=blocked.tile,
+    )
+
+
+def plan_halo_blocked(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    ep: int,
+    *,
+    mean: bool = True,
+    tile: int | None = None,
+    edge_chunk: int | None = None,
+    step_chunks: int = 1,
+) -> HaloBlockedPlan:
+    """Build the Pallas-kernel halo plan from a global edge list."""
+    from ..graph.csr import EDGE_CHUNK, TILE, block_edges, pad_nodes
+
+    tile = tile or TILE
+    edge_chunk = edge_chunk or EDGE_CHUNK
+    plan, n_local = plan_halo_partition(src, dst, num_nodes, ep, mean=mean)
+    split = split_halo_plan(plan, n_local)
+    ep_, _, h = split.send_idx.shape
+    assert ep_ == ep
+    n_pad_local = pad_nodes(n_local, tile)
+    n_pad_bnd = pad_nodes(max(ep * h, n_local), tile)
+
+    groups = {k: [] for k in ("if_", "ir", "bf", "br")}
+    for p in range(ep):
+        mi = np.asarray(split.int_w[p]) > 0
+        isrc = np.asarray(split.int_src[p])[mi]
+        idst = np.asarray(split.int_dst[p])[mi]
+        iw = np.asarray(split.int_w[p])[mi]
+        groups["if_"].append(block_edges(isrc, idst, n_pad_local, weight=iw,
+                                         tile=tile, edge_chunk=edge_chunk, step_chunks=step_chunks))
+        groups["ir"].append(block_edges(idst, isrc, n_pad_local, weight=iw,
+                                        tile=tile, edge_chunk=edge_chunk, step_chunks=step_chunks))
+        mb = np.asarray(split.hal_w[p]) > 0
+        bsrc = np.asarray(split.hal_src[p])[mb]  # halo-row space
+        bdst = np.asarray(split.hal_dst[p])[mb]  # local space
+        bw = np.asarray(split.hal_w[p])[mb]
+        groups["bf"].append(block_edges(bsrc, bdst, n_pad_bnd, weight=bw,
+                                        tile=tile, edge_chunk=edge_chunk, step_chunks=step_chunks))
+        groups["br"].append(block_edges(bdst, bsrc, n_pad_bnd, weight=bw,
+                                        tile=tile, edge_chunk=edge_chunk, step_chunks=step_chunks))
+
+    def stack(group):
+        from ..graph.csr import BlockedEdges
+
+        w_max = max(b.num_chunks for b in group)
+        w_max = ((w_max + step_chunks - 1) // step_chunks) * step_chunks
+        # drop edge_id (not needed for aggregation) so every shard's layout
+        # has an identical pytree structure, then pad + stack leaf-wise
+        padded = [
+            _pad_chunks(
+                BlockedEdges(
+                    block_meta=b.block_meta, src_local=b.src_local,
+                    dst_local=b.dst_local, weight=b.weight, edge_id=None, tile=b.tile,
+                ),
+                w_max,
+            )
+            for b in group
+        ]
+        return jax.tree.map(lambda *xs: np.stack(xs), *padded)
+
+    return HaloBlockedPlan(
+        send_idx=np.asarray(plan.send_idx),
+        int_fwd=stack(groups["if_"]),
+        int_rev=stack(groups["ir"]),
+        bnd_fwd=stack(groups["bf"]),
+        bnd_rev=stack(groups["br"]),
+        n_local=n_local,
+        n_pad_local=n_pad_local,
+        n_pad_bnd=n_pad_bnd,
+        k_per_step=step_chunks,
+    )
+
+
+def halo_aggregate_pallas(
+    x_local,
+    send_idx,
+    int_fwd,
+    int_rev,
+    bnd_fwd,
+    bnd_rev,
+    plan: HaloBlockedPlan,
+    *,
+    use_pallas: bool = True,
+    axis_name: str = "ep",
+):
+    """Inside shard_map: halo all-to-all + per-shard blocked-SpMM
+    aggregation. The interior kernel reads only x_local, so it overlaps
+    the collective; the boundary kernel waits on the halo rows. Fully
+    differentiable (spmm_apply custom VJPs + collective transposes)."""
+    from ..ops.spmm import spmm_apply
+
+    d = x_local.shape[1]
+    outgoing = x_local[send_idx[0]]  # [ep, H, D]
+    halo = jax.lax.all_to_all(outgoing, axis_name, split_axis=0, concat_axis=0)
+
+    unstack = lambda t: jax.tree.map(lambda a: a[0], t)
+    xl = jnp.pad(x_local, ((0, plan.n_pad_local - x_local.shape[0]), (0, 0)))
+    out = spmm_apply(
+        xl, unstack(int_fwd), unstack(int_rev), plan.n_pad_local, use_pallas, plan.k_per_step
+    )[: plan.n_local]
+
+    hrows = halo.reshape(-1, d)
+    hb = jnp.pad(hrows, ((0, plan.n_pad_bnd - hrows.shape[0]), (0, 0)))
+    out = out + spmm_apply(
+        hb, unstack(bnd_fwd), unstack(bnd_rev), plan.n_pad_bnd, use_pallas, plan.k_per_step
+    )[: plan.n_local]
+    return out
+
+
+def make_halo_pallas_sage_step(
+    mesh: Mesh, plan: HaloBlockedPlan, *, use_pallas: bool = True, axis_name: str = "ep"
+):
+    """Jitted fwd+bwd of a 2-layer GraphSAGE whose local aggregation runs
+    the blocked Pallas SpMM per shard (the multi-chip path with the
+    single-chip kernel inside)."""
+    send_idx = jnp.asarray(plan.send_idx)
+    layouts = jax.tree.map(jnp.asarray, (plan.int_fwd, plan.int_rev, plan.bnd_fwd, plan.bnd_rev))
+    l_specs = jax.tree.map(lambda _: P(axis_name), layouts)
+
+    def fwd(params, x_stack, send, lts):
+        xl = x_stack[0]
+        agg = lambda h: halo_aggregate_pallas(
+            h, send, *lts, plan, use_pallas=use_pallas, axis_name=axis_name
+        )
+        a1 = agg(xl)
+        h = jnp.maximum(a1 @ params["w0a"] + xl @ params["w0b"], 0.0)
+        a2 = agg(h)
+        h2 = jnp.maximum(a2 @ params["w1a"] + h @ params["w1b"], 0.0)
+        return jax.lax.psum(jnp.sum(h2), axis_name)
+
+    sharded = shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), l_specs),
+        out_specs=P(),
+    )
+
+    @jax.jit
+    def step(params, x_stack):
+        return jax.grad(
+            lambda p, xs: sharded(p, xs, send_idx, layouts), argnums=(0, 1)
+        )(params, x_stack)
+
+    return step

@@ -291,3 +291,49 @@ def test_bench_two_layer_sage_bf16_close_to_f32(rng):
     assert out16.dtype == np.float32  # cast back at the boundary
     scale = np.abs(out32).max() + 1e-6
     assert np.abs(out16 - out32).max() / scale < 5e-2
+
+
+def test_pallas_int8_matches_dequantized_reference(rng):
+    """Int8 SpMM == f32 SpMM over the dequantized features, within bf16
+    scatter rounding; and quant+aggregate tracks the unquantized result
+    within int8 error."""
+    from sldm_gnn_tpu.ops.quant import dequantize_rows, quantize_rows_xla
+    from sldm_gnn_tpu.ops.spmm import spmm_pallas_int8
+
+    n, e, d = 250, 2000, 128
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    n_pad = pad_nodes(n)
+    w = mean_weights(dst, n_pad)
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+
+    blocked = block_edges(src, dst, n_pad, weight=w)
+    xq, xs = quantize_rows_xla(jnp.array(x_np))
+    out = np.asarray(spmm_pallas_int8(xq, xs, blocked, n_pad, interpret=True))
+
+    deq = np.asarray(dequantize_rows(xq, xs))
+    want_q = naive_weighted_sum(deq, src, dst, w, n_pad)
+    np.testing.assert_allclose(out, want_q, rtol=5e-2, atol=5e-3)
+
+    want = naive_weighted_sum(x_np, src, dst, w, n_pad)
+    scale = np.abs(want).max()
+    assert np.abs(out - want).max() / scale < 5e-2
+
+
+def test_pallas_int8_k_per_step(rng):
+    from sldm_gnn_tpu.ops.quant import quantize_rows_xla
+    from sldm_gnn_tpu.ops.spmm import spmm_pallas_int8
+
+    n, e, d = 200, 1200, 64
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    n_pad = pad_nodes(n)
+    w = mean_weights(dst, n_pad)
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+    xq, xs = quantize_rows_xla(jnp.array(x_np))
+
+    b1 = block_edges(src, dst, n_pad, weight=w)
+    b2 = block_edges(src, dst, n_pad, weight=w, step_chunks=2)
+    o1 = np.asarray(spmm_pallas_int8(xq, xs, b1, n_pad, interpret=True))
+    o2 = np.asarray(spmm_pallas_int8(xq, xs, b2, n_pad, interpret=True, k_per_step=2))
+    np.testing.assert_allclose(o2, o1, rtol=1e-5, atol=1e-6)
