@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from sldm_gnn_tpu.graph.csr import pad_nodes
 from sldm_gnn_tpu.ops.spmm import prepare_mean_aggregate, spmm_apply, spmm_xla
+from sldm_gnn_tpu.ops.spmm_dense import DenseBlocks, prepare_dense_mean_aggregate, spmm_dense_apply
 
 
 def make_local_graph(n: int, deg: int, *, reach: int = 256, seed: int = 0):
@@ -115,17 +116,42 @@ def main():
     backend = jax.default_backend()
     src, dst = make_local_graph(n, deg)
     e = len(src)
-    # node-tile 512 measured best on v5e (42.9 ms vs 47.9 at 256): the kernel
-    # is MXU-utilization-bound, and the [EC,T]x[T,D] one-hot matmuls use the
-    # systolic array better with a 512-deep contraction despite 2x the FLOPs
+
+    # SpMM backend selection. 'dense' (ops/spmm_dense.py) turns the static
+    # edge set into precomputed per-block-pair dense adjacency tiles —
+    # ~10x fewer matmul FLOPs than the one-hot form on this locality graph
+    # (2*pairs*T^2*D vs 4*E*T*D), measured 5.35x per aggregation on v5e.
+    # Its A storage is pairs*T^2 per direction, so 'auto' falls back to the
+    # one-hot kernel when fwd+rev tiles would exceed ~4 GB (huge graphs).
+    spmm_backend = os.environ.get("BENCH_SPMM", "auto")
+    dense_tile = int(os.environ.get("BENCH_DENSE_TILE", 256))
+    if spmm_backend == "auto":
+        nb = (n + dense_tile - 1) // dense_tile
+        reach_blocks = 2 * 256 // dense_tile + 2  # make_local_graph reach=256
+        approx_bytes = 2 * nb * reach_blocks * dense_tile * dense_tile * 2
+        spmm_backend = "dense" if approx_bytes < 4_000_000_000 else "onehot"
+
+    # one-hot layout knobs: node-tile 512 measured best on v5e (the kernel
+    # is MXU-utilization-bound; a 512-deep contraction uses the systolic
+    # array better despite 2x the FLOPs; 1024 regresses on VMEM)
     k_per_step = int(os.environ.get("BENCH_K_PER_STEP", 2))
     tile = int(os.environ.get("BENCH_TILE", 512))
     edge_chunk = int(os.environ.get("BENCH_EDGE_CHUNK", 512))
-    blocked_fwd, blocked_rev, n_pad = prepare_mean_aggregate(
-        src, dst, n, step_chunks=k_per_step, tile=tile, edge_chunk=edge_chunk
-    )
-    blocked_fwd = jax.tree.map(jnp.asarray, blocked_fwd)
-    blocked_rev = jax.tree.map(jnp.asarray, blocked_rev)
+    if spmm_backend == "dense":
+        dense_fwd, dense_rev, n_pad = prepare_dense_mean_aggregate(
+            src, dst, n, tile=dense_tile
+        )
+        to_dev = lambda b: DenseBlocks(
+            a=jnp.asarray(b.a).astype(jnp.bfloat16),
+            src_blk=jnp.asarray(b.src_blk), tile=b.tile,
+        )
+        blocked_fwd, blocked_rev = to_dev(dense_fwd), to_dev(dense_rev)
+    else:
+        blocked_fwd, blocked_rev, n_pad = prepare_mean_aggregate(
+            src, dst, n, step_chunks=k_per_step, tile=tile, edge_chunk=edge_chunk
+        )
+        blocked_fwd = jax.tree.map(jnp.asarray, blocked_fwd)
+        blocked_rev = jax.tree.map(jnp.asarray, blocked_rev)
 
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
@@ -146,7 +172,10 @@ def main():
     dt = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
     def loss_pallas(params, x, bf, br):
-        agg = lambda h: spmm_apply(h, bf, br, n_pad, use_pallas, k_per_step)
+        if spmm_backend == "dense":
+            agg = lambda h: spmm_dense_apply(h, bf, br, use_pallas)
+        else:
+            agg = lambda h: spmm_apply(h, bf, br, n_pad, use_pallas, k_per_step)
         return jnp.sum(two_layer_sage(params, x, agg, dt))
 
     xla_big = e * d * dt.itemsize > 2_000_000_000  # messages array would exceed ~2GB
@@ -171,6 +200,7 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(t_xla / t_pallas, 3),
         "backend": backend,
+        "spmm": spmm_backend,
         "dtype": dt.name,
         "nodes": n,
         "edges": e,

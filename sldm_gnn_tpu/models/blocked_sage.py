@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..graph.csr import BlockedEdges
 from ..ops.spmm import spmm_apply
+from ..ops.spmm_dense import DenseBlocks, spmm_dense_apply
 from .blocks import _activation
 
 
@@ -36,8 +37,16 @@ class BlockedSageConv(nn.Module):
     k_per_step: int = 1
 
     @nn.compact
-    def __call__(self, x, blocked_fwd: BlockedEdges, blocked_rev: BlockedEdges, num_nodes: int):
-        agg = spmm_apply(x, blocked_fwd, blocked_rev, num_nodes, self.use_pallas, self.k_per_step)
+    def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int):
+        if isinstance(blocked_fwd, DenseBlocks):
+            # dense-block backend (ops/spmm_dense.py): precomputed adjacency
+            # tiles; ~10x fewer matmul FLOPs on locality graphs, 5.35x
+            # measured per aggregation on v5e (prepare_dense_mean_aggregate)
+            agg = spmm_dense_apply(x, blocked_fwd, blocked_rev, self.use_pallas)
+        else:
+            agg = spmm_apply(
+                x, blocked_fwd, blocked_rev, num_nodes, self.use_pallas, self.k_per_step
+            )
         out = nn.Dense(self.out_dim, use_bias=True, name="lin_l")(agg)
         return out + nn.Dense(self.out_dim, use_bias=False, name="lin_r")(x)
 

@@ -83,3 +83,40 @@ def test_blocked_classifier_trains(rng):
     logits = model.apply({"params": params}, jnp.array(x), fwd, rev, n_pad)[:n]
     acc = float((np.asarray(logits).argmax(1) == y).mean())
     assert acc > 0.95
+
+
+def test_blocked_sage_dense_backend_matches(rng):
+    """Same SAGE math through the dense-block layouts (shared weights with
+    the edge-list blocked path)."""
+    from sldm_gnn_tpu.ops.spmm_dense import prepare_dense_mean_aggregate
+
+    n, e, d = 150, 900, 16
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    fwd, rev, n_pad = prepare_mean_aggregate(src, dst, n)
+    dfwd, drev, n_pad_d = prepare_dense_mean_aggregate(src, dst, n)
+    assert n_pad_d == n_pad
+    x = rng.standard_normal((n_pad, d)).astype(np.float32)
+    x[n:] = 0.0
+    hdims = (8, 8)
+
+    blk = BlockedSageBlock(hdims, dropout=None, negative_slope=0.1, use_pallas=False)
+    vs = blk.init(jax.random.PRNGKey(0), jnp.array(x), fwd, rev, n_pad)
+    out_edges = blk.apply(vs, jnp.array(x), fwd, rev, n_pad)
+    dfwd = jax.tree.map(jnp.asarray, dfwd)
+    drev = jax.tree.map(jnp.asarray, drev)
+    out_dense = blk.apply(vs, jnp.array(x), dfwd, drev, n_pad)
+    np.testing.assert_allclose(
+        np.asarray(out_dense)[:n], np.asarray(out_edges)[:n], rtol=2e-4, atol=2e-5
+    )
+
+    # gradients flow through the dense custom VJP identically
+    def loss(params, layouts):
+        return jnp.sum(blk.apply({"params": params}, jnp.array(x), *layouts, n_pad) ** 2)
+
+    g1 = jax.grad(loss)(vs["params"], (fwd, rev))
+    g2 = jax.grad(loss)(vs["params"], (dfwd, drev))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5),
+        g1, g2,
+    )

@@ -1,0 +1,98 @@
+"""Dense-block SpMM backend: builder, Pallas kernel (interpret), XLA
+reference, custom VJP — vs the naive edge-list aggregation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sldm_gnn_tpu.graph.csr import mean_weights, pad_nodes
+from sldm_gnn_tpu.ops.spmm import spmm_xla
+from sldm_gnn_tpu.ops.spmm_dense import (
+    build_dense_blocks,
+    prepare_dense_mean_aggregate,
+    spmm_dense_apply,
+    spmm_dense_pallas,
+    spmm_dense_xla,
+)
+
+
+def naive(x, src, dst, w, n):
+    out = np.zeros((n, x.shape[1]), np.float32)
+    for e in range(len(src)):
+        out[dst[e]] += w[e] * x[src[e]]
+    return out
+
+
+@pytest.mark.parametrize("n,e,d,tile", [(100, 800, 16, 16), (300, 4000, 32, 64), (50, 0, 8, 16)])
+def test_builder_and_xla_match_naive(rng, n, e, d, tile):
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    blocks = build_dense_blocks(src, dst, n, weight=w, tile=tile)
+    n_pad = pad_nodes(n, tile)
+    x = rng.standard_normal((n_pad, d)).astype(np.float32)
+    out = np.asarray(spmm_dense_xla(jnp.asarray(x), jax.tree.map(jnp.asarray, blocks)))
+    np.testing.assert_allclose(out, naive(x, src, dst, w, n_pad), rtol=1e-4, atol=1e-4)
+
+
+def test_duplicate_edges_sum_weights(rng):
+    n, tile = 40, 8
+    src = np.array([1, 1, 1, 5])
+    dst = np.array([3, 3, 3, 3])
+    w = np.array([0.5, 0.25, 0.125, 1.0], np.float32)
+    blocks = build_dense_blocks(src, dst, n, weight=w, tile=tile)
+    x = rng.standard_normal((pad_nodes(n, tile), 4)).astype(np.float32)
+    out = np.asarray(spmm_dense_xla(jnp.asarray(x), jax.tree.map(jnp.asarray, blocks)))
+    want = naive(x, src, dst, w, pad_nodes(n, tile))
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_interpret_matches_xla(rng):
+    n, e, d, tile = 260, 3000, 128, 128
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = mean_weights(dst, pad_nodes(n, tile))
+    blocks = jax.tree.map(jnp.asarray, build_dense_blocks(src, dst, n, weight=w, tile=tile))
+    x = jnp.asarray(rng.standard_normal((pad_nodes(n, tile), d)).astype(np.float32))
+    got = np.asarray(spmm_dense_pallas(x, blocks, interpret=True))
+    want = np.asarray(spmm_dense_xla(x, blocks))
+    # kernel uses bf16 MXU operands (same as the one-hot DEFAULT path)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_apply_grad_matches_autodiff_of_edge_list(rng):
+    n, e, d, tile = 90, 700, 16, 16
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    fwd, rev, n_pad = prepare_dense_mean_aggregate(src, dst, n, tile=tile)
+    fwd = jax.tree.map(jnp.asarray, fwd)
+    rev = jax.tree.map(jnp.asarray, rev)
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+
+    w = jnp.asarray(mean_weights(dst, n_pad))
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+
+    g1 = jax.grad(lambda x: jnp.sum(spmm_dense_apply(x, fwd, rev, False) * t))(x)
+    g2 = jax.grad(lambda x: jnp.sum(spmm_xla(x, srcj, dstj, w, n_pad) * t))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_flop_advantage_on_local_graph():
+    """On the headline's map-like locality graph the dense-block form does
+    ~an order of magnitude fewer matmul FLOPs than the one-hot form."""
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    n, deg, d, tile, ec = 20_000, 16, 128, 512, 512
+    src, dst = bench.make_local_graph(n, deg)
+    blocks = build_dense_blocks(src, dst, n, tile=tile)
+    dense_flops = 2 * blocks.num_dst_blocks * blocks.s_max * tile * tile * d
+    onehot_flops = 4 * len(src) * tile * d * 1.1  # ~10% chunk padding
+    assert dense_flops * 3 < onehot_flops
