@@ -125,6 +125,7 @@ def main():
     # one-hot kernel when fwd+rev tiles would exceed ~4 GB (huge graphs).
     spmm_backend = os.environ.get("BENCH_SPMM", "auto")
     dense_tile = int(os.environ.get("BENCH_DENSE_TILE", 256))
+    dense_k = int(os.environ.get("BENCH_DENSE_K", 2))  # dst blocks per grid step
     if spmm_backend == "auto":
         nb = (n + dense_tile - 1) // dense_tile
         reach_blocks = 2 * 256 // dense_tile + 2  # make_local_graph reach=256
@@ -139,7 +140,7 @@ def main():
     edge_chunk = int(os.environ.get("BENCH_EDGE_CHUNK", 512))
     if spmm_backend == "dense":
         dense_fwd, dense_rev, n_pad = prepare_dense_mean_aggregate(
-            src, dst, n, tile=dense_tile
+            src, dst, n, tile=dense_tile, pad_blocks_to=dense_k
         )
         to_dev = lambda b: DenseBlocks(
             a=jnp.asarray(b.a).astype(jnp.bfloat16),
@@ -173,7 +174,7 @@ def main():
 
     def loss_pallas(params, x, bf, br):
         if spmm_backend == "dense":
-            agg = lambda h: spmm_dense_apply(h, bf, br, use_pallas)
+            agg = lambda h: spmm_dense_apply(h, bf, br, use_pallas, dense_k)
         else:
             agg = lambda h: spmm_apply(h, bf, br, n_pad, use_pallas, k_per_step)
         return jnp.sum(two_layer_sage(params, x, agg, dt))

@@ -71,11 +71,13 @@ def build_dense_blocks(
     weight: np.ndarray | None = None,
     tile: int = TILE,
     dtype=np.float32,
+    pad_blocks_to: int = 1,
 ) -> DenseBlocks:
     """Host-side construction of the dense adjacency tiles (numpy).
 
     Duplicate (src, dst) edges sum their weights — identical semantics to
-    edge-list aggregation.
+    edge-list aggregation. ``pad_blocks_to`` rounds the dst-block count up
+    (all-zero tiles) so the kernel can run ``step_blocks`` > 1.
     """
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -89,6 +91,7 @@ def build_dense_blocks(
 
     n_pad = pad_nodes(num_nodes, tile)
     nb = n_pad // tile
+    nb = ((nb + pad_blocks_to - 1) // pad_blocks_to) * pad_blocks_to
     db = dst // tile
     sb = src // tile
 
@@ -132,17 +135,18 @@ def build_dense_blocks(
 # ------------------------------------------------------------- Pallas path
 
 
-def _dense_kernel(sblk_ref, a_ref, *x_out, s_max):
-    x_refs = x_out[:s_max]
-    out_ref = x_out[s_max]
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for s in range(s_max):
-        acc += jnp.dot(
-            a_ref[0, s].astype(jnp.bfloat16),
-            x_refs[s][:].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[:] = acc.astype(out_ref.dtype)
+def _dense_kernel(sblk_ref, a_ref, *x_out, s_max, step_blocks, tile):
+    x_refs = x_out[: step_blocks * s_max]
+    out_ref = x_out[step_blocks * s_max]
+    for k in range(step_blocks):
+        acc = jnp.zeros((tile, out_ref.shape[1]), jnp.float32)
+        for s in range(s_max):
+            acc += jnp.dot(
+                a_ref[k, s].astype(jnp.bfloat16),
+                x_refs[k * s_max + s][:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[k * tile : (k + 1) * tile] = acc.astype(out_ref.dtype)
 
 
 def spmm_dense_pallas(
@@ -150,12 +154,15 @@ def spmm_dense_pallas(
     blocks: DenseBlocks,
     *,
     interpret: bool = False,
+    step_blocks: int = 1,
 ):
     """out[i] = sum_e w_e x[src_e] over the precomputed dense tiles.
 
     ``x`` must be padded to ``num_dst_blocks * tile`` rows; f32 or bf16
     (operands are rounded to bf16 on the MXU either way, matching the
-    one-hot kernel's DEFAULT precision).
+    one-hot kernel's DEFAULT precision). ``step_blocks`` processes K dst
+    blocks per grid step, amortizing per-step overhead (num_dst_blocks
+    must be divisible by K — build with ``pad_blocks_to``).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -165,21 +172,28 @@ def spmm_dense_pallas(
     nb = blocks.num_dst_blocks
     s_max = blocks.s_max
     assert n_pad == nb * tile, (n_pad, nb, tile)
+    K = step_blocks
+    if nb % K:
+        raise ValueError(f"num_dst_blocks {nb} not divisible by step_blocks {K}; "
+                         f"build with pad_blocks_to={K}")
+    steps = nb // K
 
     def a_spec():
-        return pl.BlockSpec((1, s_max, tile, tile), lambda b, sblk: (b, 0, 0, 0))
+        return pl.BlockSpec((K, s_max, tile, tile), lambda b, sblk: (b, 0, 0, 0))
 
-    def x_spec(s):
-        return pl.BlockSpec((tile, d), lambda b, sblk, s=s: (sblk[b * s_max + s], 0))
+    def x_spec(k, s):
+        return pl.BlockSpec(
+            (tile, d), lambda b, sblk, k=k, s=s: (sblk[(b * K + k) * s_max + s], 0)
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # flattened [B * S_max] src block ids
-        grid=(nb,),
-        in_specs=[a_spec()] + [x_spec(s) for s in range(s_max)],
-        out_specs=pl.BlockSpec((tile, d), lambda b, sblk: (b, 0)),
+        grid=(steps,),
+        in_specs=[a_spec()] + [x_spec(k, s) for k in range(K) for s in range(s_max)],
+        out_specs=pl.BlockSpec((K * tile, d), lambda b, sblk: (b, 0)),
     )
     return pl.pallas_call(
-        partial(_dense_kernel, s_max=s_max),
+        partial(_dense_kernel, s_max=s_max, step_blocks=K, tile=tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -188,7 +202,7 @@ def spmm_dense_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(blocks.src_blk.reshape(-1), blocks.a, *([x] * s_max))
+    )(blocks.src_blk.reshape(-1), blocks.a, *([x] * (K * s_max)))
 
 
 def spmm_dense_xla(x: jax.Array, blocks: DenseBlocks):
@@ -203,25 +217,28 @@ def spmm_dense_xla(x: jax.Array, blocks: DenseBlocks):
 # --------------------------------------------------- differentiable wrapper
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def spmm_dense_apply(x, blocks_fwd: DenseBlocks, blocks_rev: DenseBlocks, use_pallas: bool):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def spmm_dense_apply(
+    x, blocks_fwd: DenseBlocks, blocks_rev: DenseBlocks, use_pallas: bool,
+    step_blocks: int = 1,
+):
     """Aggregation with a transposed-blocks backward pass."""
-    return _dispatch(x, blocks_fwd, use_pallas)
+    return _dispatch(x, blocks_fwd, use_pallas, step_blocks)
 
 
-def _dispatch(x, blocks, use_pallas):
+def _dispatch(x, blocks, use_pallas, step_blocks=1):
     if use_pallas:
-        return spmm_dense_pallas(x, blocks)
+        return spmm_dense_pallas(x, blocks, step_blocks=step_blocks)
     return spmm_dense_xla(x, blocks)
 
 
-def _fwd(x, blocks_fwd, blocks_rev, use_pallas):
-    return _dispatch(x, blocks_fwd, use_pallas), (blocks_rev,)
+def _fwd(x, blocks_fwd, blocks_rev, use_pallas, step_blocks):
+    return _dispatch(x, blocks_fwd, use_pallas, step_blocks), (blocks_rev,)
 
 
-def _bwd(use_pallas, res, g):
+def _bwd(use_pallas, step_blocks, res, g):
     (blocks_rev,) = res
-    return _dispatch(g, blocks_rev, use_pallas), None, None
+    return _dispatch(g, blocks_rev, use_pallas, step_blocks), None, None
 
 
 spmm_dense_apply.defvjp(_fwd, _bwd)
@@ -234,12 +251,16 @@ def prepare_dense_mean_aggregate(
     *,
     tile: int = TILE,
     dtype=np.float32,
+    pad_blocks_to: int = 1,
 ) -> tuple[DenseBlocks, DenseBlocks, int]:
     """Forward + reverse dense-block layouts for mean aggregation
-    (mirrors ops/spmm.prepare_mean_aggregate)."""
+    (mirrors ops/spmm.prepare_mean_aggregate). Returns layouts plus the
+    padded row count (num_dst_blocks * tile — pad x to this)."""
     from ..graph.csr import mean_weights
 
     w = mean_weights(dst, num_nodes)
-    fwd = build_dense_blocks(src, dst, num_nodes, weight=w, tile=tile, dtype=dtype)
-    rev = build_dense_blocks(dst, src, num_nodes, weight=w, tile=tile, dtype=dtype)
-    return fwd, rev, pad_nodes(num_nodes, tile)
+    fwd = build_dense_blocks(src, dst, num_nodes, weight=w, tile=tile, dtype=dtype,
+                             pad_blocks_to=pad_blocks_to)
+    rev = build_dense_blocks(dst, src, num_nodes, weight=w, tile=tile, dtype=dtype,
+                             pad_blocks_to=pad_blocks_to)
+    return fwd, rev, fwd.num_dst_blocks * tile

@@ -96,3 +96,34 @@ def test_flop_advantage_on_local_graph():
     dense_flops = 2 * blocks.num_dst_blocks * blocks.s_max * tile * tile * d
     onehot_flops = 4 * len(src) * tile * d * 1.1  # ~10% chunk padding
     assert dense_flops * 3 < onehot_flops
+
+
+def test_step_blocks_matches_single(rng):
+    """K dst blocks per grid step == K=1, including the VJP."""
+    n, e, d, tile = 200, 1600, 32, 16
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    fwd, rev, n_pad = prepare_dense_mean_aggregate(src, dst, n, tile=tile, pad_blocks_to=4)
+    assert fwd.num_dst_blocks % 4 == 0
+    fwd = jax.tree.map(jnp.asarray, fwd)
+    rev = jax.tree.map(jnp.asarray, rev)
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+
+    from sldm_gnn_tpu.ops.spmm_dense import spmm_dense_pallas
+
+    o1 = np.asarray(spmm_dense_pallas(x, fwd, interpret=True, step_blocks=1))
+    o4 = np.asarray(spmm_dense_pallas(x, fwd, interpret=True, step_blocks=4))
+    np.testing.assert_allclose(o4, o1, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="step_blocks"):
+        bad_fwd, _, np2 = prepare_dense_mean_aggregate(src, dst, n, tile=tile)
+        if bad_fwd.num_dst_blocks % 5:
+            spmm_dense_pallas(jnp.zeros((np2, d)), jax.tree.map(jnp.asarray, bad_fwd),
+                              interpret=True, step_blocks=5)
+        else:
+            raise ValueError("step_blocks test setup degenerate")
+
+    t = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    g1 = jax.grad(lambda x: jnp.sum(spmm_dense_apply(x, fwd, rev, False, 1) * t))(x)
+    g2 = jax.grad(lambda x: jnp.sum(spmm_dense_apply(x, fwd, rev, False, 4) * t))(x)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-6)
