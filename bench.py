@@ -191,15 +191,19 @@ def main():
     step_pallas = jax.grad(loss_pallas, argnums=(0, 1))
     step_xla = jax.grad(loss_xla, argnums=(0, 1))
 
-    t_xla = bench_step(step_xla, params, x, iters, src_j, dst_j, w_j)
+    # BENCH_SKIP_XLA=1 skips the (slow) XLA comparator — for very large
+    # graphs where the chunked-scan baseline dominates wall time;
+    # vs_baseline is then reported as null
+    skip_xla = bool(int(os.environ.get("BENCH_SKIP_XLA", 0)))
+    t_xla = None if skip_xla else bench_step(step_xla, params, x, iters, src_j, dst_j, w_j)
     t_pallas = bench_step(step_pallas, params, x, iters, blocked_fwd, blocked_rev)
 
-    t_best = min(t_pallas, t_xla)
+    t_best = t_pallas if skip_xla else min(t_pallas, t_xla)
     result = {
         "metric": "edges/s/chip (SpMM fwd+bwd, 2-layer GraphSAGE)",
         "value": round(e / t_best, 1),
         "unit": "edges/s",
-        "vs_baseline": round(t_xla / t_pallas, 3),
+        "vs_baseline": None if skip_xla else round(t_xla / t_pallas, 3),
         "backend": backend,
         "spmm": spmm_backend,
         "dtype": dt.name,
@@ -207,7 +211,7 @@ def main():
         "edges": e,
         "feat_dim": d,
         "pallas_ms": round(t_pallas * 1e3, 3),
-        "xla_ms": round(t_xla * 1e3, 3),
+        "xla_ms": None if skip_xla else round(t_xla * 1e3, 3),
     }
     print(json.dumps(result))
 

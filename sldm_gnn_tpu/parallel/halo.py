@@ -355,9 +355,15 @@ def plan_halo_blocked(
     tile: int | None = None,
     edge_chunk: int | None = None,
     step_chunks: int = 1,
+    backend: str = "onehot",
 ) -> HaloBlockedPlan:
-    """Build the Pallas-kernel halo plan from a global edge list."""
+    """Build the Pallas-kernel halo plan from a global edge list.
+
+    ``backend='dense'`` builds :class:`~sldm_gnn_tpu.ops.spmm_dense.
+    DenseBlocks` layouts instead (precomputed adjacency tiles — the
+    fastest per-shard aggregation for locality graphs)."""
     from ..graph.csr import EDGE_CHUNK, TILE, block_edges, pad_nodes
+    from ..ops.spmm_dense import build_dense_blocks
 
     tile = tile or TILE
     edge_chunk = edge_chunk or EDGE_CHUNK
@@ -368,24 +374,57 @@ def plan_halo_blocked(
     n_pad_local = pad_nodes(n_local, tile)
     n_pad_bnd = pad_nodes(max(ep * h, n_local), tile)
 
+    if backend == "dense":
+        def make(s, d_, w_, npad):
+            return build_dense_blocks(s, d_, npad, weight=w_, tile=tile)
+    elif backend == "onehot":
+        def make(s, d_, w_, npad):
+            return block_edges(s, d_, npad, weight=w_, tile=tile,
+                               edge_chunk=edge_chunk, step_chunks=step_chunks)
+    else:
+        raise ValueError(f"unknown halo backend {backend!r}")
+
     groups = {k: [] for k in ("if_", "ir", "bf", "br")}
     for p in range(ep):
         mi = np.asarray(split.int_w[p]) > 0
         isrc = np.asarray(split.int_src[p])[mi]
         idst = np.asarray(split.int_dst[p])[mi]
         iw = np.asarray(split.int_w[p])[mi]
-        groups["if_"].append(block_edges(isrc, idst, n_pad_local, weight=iw,
-                                         tile=tile, edge_chunk=edge_chunk, step_chunks=step_chunks))
-        groups["ir"].append(block_edges(idst, isrc, n_pad_local, weight=iw,
-                                        tile=tile, edge_chunk=edge_chunk, step_chunks=step_chunks))
+        groups["if_"].append(make(isrc, idst, iw, n_pad_local))
+        groups["ir"].append(make(idst, isrc, iw, n_pad_local))
         mb = np.asarray(split.hal_w[p]) > 0
         bsrc = np.asarray(split.hal_src[p])[mb]  # halo-row space
         bdst = np.asarray(split.hal_dst[p])[mb]  # local space
         bw = np.asarray(split.hal_w[p])[mb]
-        groups["bf"].append(block_edges(bsrc, bdst, n_pad_bnd, weight=bw,
-                                        tile=tile, edge_chunk=edge_chunk, step_chunks=step_chunks))
-        groups["br"].append(block_edges(bdst, bsrc, n_pad_bnd, weight=bw,
-                                        tile=tile, edge_chunk=edge_chunk, step_chunks=step_chunks))
+        groups["bf"].append(make(bsrc, bdst, bw, n_pad_bnd))
+        groups["br"].append(make(bdst, bsrc, bw, n_pad_bnd))
+
+    if backend == "dense":
+        from ..ops.spmm_dense import DenseBlocks
+
+        def stack_dense(group):
+            s_max = max(b.s_max for b in group)
+            padded = []
+            for b in group:
+                pad = s_max - b.s_max
+                padded.append(DenseBlocks(
+                    a=np.pad(np.asarray(b.a), ((0, 0), (0, pad), (0, 0), (0, 0))),
+                    src_blk=np.pad(np.asarray(b.src_blk), ((0, 0), (0, pad))),
+                    tile=b.tile,
+                ))
+            return jax.tree.map(lambda *xs: np.stack(xs), *padded)
+
+        return HaloBlockedPlan(
+            send_idx=np.asarray(plan.send_idx),
+            int_fwd=stack_dense(groups["if_"]),
+            int_rev=stack_dense(groups["ir"]),
+            bnd_fwd=stack_dense(groups["bf"]),
+            bnd_rev=stack_dense(groups["br"]),
+            n_local=n_local,
+            n_pad_local=n_pad_local,
+            n_pad_bnd=n_pad_bnd,
+            k_per_step=step_chunks,
+        )
 
     def stack(group):
         from ..graph.csr import BlockedEdges
@@ -436,22 +475,28 @@ def halo_aggregate_pallas(
     the collective; the boundary kernel waits on the halo rows. Fully
     differentiable (spmm_apply custom VJPs + collective transposes)."""
     from ..ops.spmm import spmm_apply
+    from ..ops.spmm_dense import DenseBlocks, spmm_dense_apply
 
     d = x_local.shape[1]
     outgoing = x_local[send_idx[0]]  # [ep, H, D]
     halo = jax.lax.all_to_all(outgoing, axis_name, split_axis=0, concat_axis=0)
 
     unstack = lambda t: jax.tree.map(lambda a: a[0], t)
+    dense = isinstance(int_fwd, DenseBlocks)
+
+    def agg(x, fwd, rev, n_pad):
+        if dense:
+            return spmm_dense_apply(x, unstack(fwd), unstack(rev), use_pallas)
+        return spmm_apply(
+            x, unstack(fwd), unstack(rev), n_pad, use_pallas, plan.k_per_step
+        )
+
     xl = jnp.pad(x_local, ((0, plan.n_pad_local - x_local.shape[0]), (0, 0)))
-    out = spmm_apply(
-        xl, unstack(int_fwd), unstack(int_rev), plan.n_pad_local, use_pallas, plan.k_per_step
-    )[: plan.n_local]
+    out = agg(xl, int_fwd, int_rev, plan.n_pad_local)[: plan.n_local]
 
     hrows = halo.reshape(-1, d)
     hb = jnp.pad(hrows, ((0, plan.n_pad_bnd - hrows.shape[0]), (0, 0)))
-    out = out + spmm_apply(
-        hb, unstack(bnd_fwd), unstack(bnd_rev), plan.n_pad_bnd, use_pallas, plan.k_per_step
-    )[: plan.n_local]
+    out = out + agg(hb, bnd_fwd, bnd_rev, plan.n_pad_bnd)[: plan.n_local]
     return out
 
 

@@ -249,3 +249,46 @@ def test_halo_blocked_layouts_interpret_kernel(rng):
             )
             want = np.asarray(_spmm_dispatch(x, blk, npad, False, plan.k_per_step))
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_dense_backend_matches_reference(rng):
+    """Dense-tile per-shard halo aggregation == dense single-device
+    reference, fwd+bwd (XLA dispatch of the same dense layouts)."""
+    from sldm_gnn_tpu.parallel.halo import make_halo_pallas_sage_step, plan_halo_blocked
+
+    ep = 4
+    mesh = make_mesh(dp=2, ep=ep)
+    n, e, d = 72, 500, 8
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    plan = plan_halo_blocked(src, dst, n, ep, tile=8, backend="dense")
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x_stack = jnp.asarray(_stack_x(x, ep, plan.n_local))
+    params = {
+        k: jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.1)
+        for k in ("w0a", "w0b", "w1a", "w1b")
+    }
+
+    step = make_halo_pallas_sage_step(mesh, plan, use_pallas=False)
+    grads_sharded, dx_sharded = step(params, x_stack)
+
+    w = jnp.asarray(mean_weights(dst, n))
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    n_pad = ep * plan.n_local
+    xp = jnp.asarray(np.concatenate([x, np.zeros((n_pad - n, d), np.float32)]))
+
+    def ref(params, xfull):
+        a1 = spmm_xla(xfull, srcj, dstj, w, n_pad)
+        h = jnp.maximum(a1 @ params["w0a"] + xfull @ params["w0b"], 0.0)
+        a2 = spmm_xla(h, srcj, dstj, w, n_pad)
+        return jnp.sum(jnp.maximum(a2 @ params["w1a"] + h @ params["w1b"], 0.0))
+
+    grads_ref, dx_ref = jax.grad(ref, argnums=(0, 1))(params, xp)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        grads_sharded,
+        grads_ref,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_sharded).reshape(n_pad, d), np.asarray(dx_ref), rtol=2e-4, atol=2e-5
+    )
