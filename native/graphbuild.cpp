@@ -338,3 +338,96 @@ void be_fill(void* handle, int32_t* meta, int32_t* src_local,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Dense-block adjacency builder (ops/spmm_dense.py fast path).
+//
+// Groups edges by destination block, enumerates each block's unique source
+// blocks in ascending order (matching the python builder's lexsort slot
+// order), and scatter-adds edge weights into per-pair dense [tile, tile]
+// adjacency tiles. Two-call API mirroring be_plan/be_fill: da_plan groups
+// edges and reports s_max; da_fill writes A and src_blk and frees the
+// context. Parallel over destination blocks — each owns its A rows.
+// ---------------------------------------------------------------------------
+
+namespace {
+struct DAContext {
+  int64_t nb = 0, tile = 0, E = 0;
+  std::vector<int64_t> offsets;  // [nb+1] edge-group boundaries
+  std::vector<int64_t> order;    // [E] edge ids grouped by dst block
+  const int64_t* src = nullptr;  // borrowed; caller keeps arrays alive
+  const int64_t* dst = nullptr;
+};
+}  // namespace
+
+extern "C" {
+
+void* da_plan(const int64_t* src, const int64_t* dst, int64_t E,
+              int64_t num_dst_blocks, int64_t tile, int64_t* out_s_max) {
+  auto* ctx = new DAContext();
+  ctx->nb = num_dst_blocks;
+  ctx->tile = tile;
+  ctx->E = E;
+  ctx->src = src;
+  ctx->dst = dst;
+
+  // counting sort by dst block
+  ctx->offsets.assign(num_dst_blocks + 1, 0);
+  for (int64_t e = 0; e < E; ++e) ctx->offsets[dst[e] / tile + 1]++;
+  for (int64_t b = 0; b < num_dst_blocks; ++b) ctx->offsets[b + 1] += ctx->offsets[b];
+  ctx->order.resize(E);
+  {
+    std::vector<int64_t> cursor(ctx->offsets.begin(), ctx->offsets.end() - 1);
+    for (int64_t e = 0; e < E; ++e) ctx->order[cursor[dst[e] / tile]++] = e;
+  }
+
+  int64_t s_max = 1;
+#pragma omp parallel for schedule(dynamic) reduction(max : s_max)
+  for (int64_t b = 0; b < num_dst_blocks; ++b) {
+    std::vector<int64_t> sbs;
+    sbs.reserve(8);
+    for (int64_t k = ctx->offsets[b]; k < ctx->offsets[b + 1]; ++k) {
+      const int64_t sb = src[ctx->order[k]] / tile;
+      if (std::find(sbs.begin(), sbs.end(), sb) == sbs.end()) sbs.push_back(sb);
+    }
+    if ((int64_t)sbs.size() > s_max) s_max = (int64_t)sbs.size();
+  }
+  *out_s_max = s_max;
+  return ctx;
+}
+
+// A: [nb, s_max, tile, tile] float32, zero-initialized by the caller.
+// src_blk: [nb, s_max] int32, zero-initialized by the caller.
+void da_fill(void* handle, const float* w, int64_t s_max, float* A,
+             int32_t* src_blk) {
+  auto* ctx = static_cast<DAContext*>(handle);
+  const int64_t tile = ctx->tile;
+  const int64_t nb = ctx->nb;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t b = 0; b < nb; ++b) {
+    // unique src blocks in ascending order (python lexsort slot parity)
+    std::vector<int64_t> sbs;
+    sbs.reserve(8);
+    for (int64_t k = ctx->offsets[b]; k < ctx->offsets[b + 1]; ++k) {
+      const int64_t sb = ctx->src[ctx->order[k]] / tile;
+      auto it = std::lower_bound(sbs.begin(), sbs.end(), sb);
+      if (it == sbs.end() || *it != sb) sbs.insert(it, sb);
+    }
+    for (size_t s = 0; s < sbs.size(); ++s) src_blk[b * s_max + s] = (int32_t)sbs[s];
+    float* Ab = A + b * s_max * tile * tile;
+    for (int64_t k = ctx->offsets[b]; k < ctx->offsets[b + 1]; ++k) {
+      const int64_t e = ctx->order[k];
+      const int64_t sb = ctx->src[e] / tile;
+      const int64_t slot =
+          std::lower_bound(sbs.begin(), sbs.end(), sb) - sbs.begin();
+      const int64_t i = ctx->dst[e] - b * tile;
+      const int64_t j = ctx->src[e] - sb * tile;
+      Ab[(slot * tile + i) * tile + j] += w[e];
+    }
+  }
+  delete ctx;
+}
+
+void da_free(void* handle) { delete static_cast<DAContext*>(handle); }
+
+}  // extern "C"

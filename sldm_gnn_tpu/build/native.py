@@ -163,3 +163,45 @@ def native_block_edges(src, dst, num_nodes_padded, *, weight=None, tile, edge_ch
         raise
     lib.be_fill(handle, meta, src_local, dst_local, w_arr, eid)
     return meta, src_local, dst_local, w_arr, eid
+
+
+def _load_dense():
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_da_ready"):
+        try:
+            i64 = ctypes.c_int64
+            pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+            pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            lib.da_plan.argtypes = [pi64, pi64, i64, i64, i64, ctypes.POINTER(i64)]
+            lib.da_plan.restype = ctypes.c_void_p
+            lib.da_fill.argtypes = [ctypes.c_void_p, pf, i64, pf, pi32]
+            lib.da_free.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            return None  # stale .so — rebuild with make -C native
+        lib._da_ready = True
+    return lib
+
+
+def native_dense_blocks(src, dst, weight, num_dst_blocks, tile):
+    """Native dense-adjacency-tile builder (ops/spmm_dense.py fast path).
+    Returns (a [nb, s_max, T, T] f32, src_blk [nb, s_max] i32) or None."""
+    lib = _load_dense()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    w = np.ascontiguousarray(weight, np.float32)
+    s_max = ctypes.c_int64(0)
+    handle = lib.da_plan(src, dst, len(src), num_dst_blocks, tile, ctypes.byref(s_max))
+    S = max(int(s_max.value), 1)
+    try:
+        a = np.zeros((num_dst_blocks, S, tile, tile), np.float32)
+        src_blk = np.zeros((num_dst_blocks, S), np.int32)
+    except BaseException:
+        lib.da_free(handle)
+        raise
+    lib.da_fill(handle, w, S, a, src_blk)  # frees the context
+    return a, src_blk

@@ -92,6 +92,16 @@ def build_dense_blocks(
     n_pad = pad_nodes(num_nodes, tile)
     nb = n_pad // tile
     nb = ((nb + pad_blocks_to - 1) // pad_blocks_to) * pad_blocks_to
+
+    if len(src) >= 100_000:
+        from ..build.native import native_dense_blocks
+
+        out = native_dense_blocks(src, dst, weight, nb, tile)
+        if out is not None:
+            a, src_blk = out
+            a = a.astype(dtype, copy=False)  # no-op for the default f32
+            return DenseBlocks(a=a, src_blk=src_blk, tile=tile)
+
     db = dst // tile
     sb = src // tile
 

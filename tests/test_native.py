@@ -124,3 +124,24 @@ def test_native_block_edges_out_of_range_raises(native_lib, rng):
         native_block_edges(src, dst, 256, tile=128, edge_chunk=64, step_chunks=1)
     with pytest.raises(ValueError, match="out of range"):
         block_edges(src, dst, 256)
+
+
+def test_native_dense_blocks_matches_python(rng):
+    """Native dense-adjacency builder == python builder (same slot order)."""
+    from sldm_gnn_tpu.build.native import available, native_dense_blocks
+    from sldm_gnn_tpu.graph.csr import mean_weights, pad_nodes
+    from sldm_gnn_tpu.ops.spmm_dense import build_dense_blocks
+
+    if not available():
+        pytest.skip("native library not built")
+    n, e, tile = 700, 5000, 64
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    w = mean_weights(dst, pad_nodes(n, tile))
+    nb = pad_nodes(n, tile) // tile
+
+    py = build_dense_blocks(src, dst, n, weight=w, tile=tile)  # python (< 100k edges)
+    a_n, sb_n = native_dense_blocks(src, dst, w, nb, tile)
+    assert a_n.shape == py.a.shape
+    np.testing.assert_array_equal(sb_n, np.asarray(py.src_blk))
+    np.testing.assert_allclose(a_n, np.asarray(py.a), rtol=1e-6, atol=1e-7)
