@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from sldm_gnn_tpu.graph.csr import pad_nodes
 from sldm_gnn_tpu.ops.spmm import prepare_mean_aggregate, spmm_apply, spmm_xla
 from sldm_gnn_tpu.ops.spmm_dense import DenseBlocks, prepare_dense_mean_aggregate, spmm_dense_apply
+from sldm_gnn_tpu.ops.spmm_hybrid import prepare_hybrid_mean_aggregate, spmm_hybrid_apply
 
 
 def make_local_graph(n: int, deg: int, *, reach: int = 256, seed: int = 0):
@@ -126,11 +127,24 @@ def main():
     spmm_backend = os.environ.get("BENCH_SPMM", "auto")
     dense_tile = int(os.environ.get("BENCH_DENSE_TILE", 256))
     dense_k = int(os.environ.get("BENCH_DENSE_K", 2))  # dst blocks per grid step
+    # A-tile dtype. int8: mean aggregation factors EXACTLY into integer
+    # count tiles + a per-node 1/deg scale (ops/spmm_dense.py), halving A's
+    # HBM storage and streaming bandwidth vs bf16 — same math, same bf16 MXU
+    # rounding, but the in-kernel i8->bf16 convert costs ~7% when A already
+    # fits (454M vs 487M edges/s at the 3.2M-edge headline). 'auto' therefore
+    # prefers bf16 when its tiles fit the budget and falls back to int8 to
+    # keep the dense backend viable at ~50M-edge scale (6.1 GB int8 vs
+    # 12.3 GB bf16 at config 4).
+    dense_dtype = os.environ.get("BENCH_DENSE_DTYPE", "auto")
+    dense_budget = int(float(os.environ.get("BENCH_DENSE_BUDGET", 8e9)))
+    nb = (n + dense_tile - 1) // dense_tile
+    reach_blocks = 2 * 256 // dense_tile + 2  # make_local_graph reach=256
+    a_bytes = lambda itemsize: 2 * nb * reach_blocks * dense_tile * dense_tile * itemsize
+    if dense_dtype == "auto":
+        dense_dtype = "bfloat16" if a_bytes(2) < dense_budget else "int8"
     if spmm_backend == "auto":
-        nb = (n + dense_tile - 1) // dense_tile
-        reach_blocks = 2 * 256 // dense_tile + 2  # make_local_graph reach=256
-        approx_bytes = 2 * nb * reach_blocks * dense_tile * dense_tile * 2
-        spmm_backend = "dense" if approx_bytes < 4_000_000_000 else "onehot"
+        fits = a_bytes(1 if dense_dtype == "int8" else 2) < dense_budget
+        spmm_backend = "dense" if fits else "onehot"
 
     # one-hot layout knobs: node-tile 512 measured best on v5e (the kernel
     # is MXU-utilization-bound; a 512-deep contraction uses the systolic
@@ -138,14 +152,55 @@ def main():
     k_per_step = int(os.environ.get("BENCH_K_PER_STEP", 2))
     tile = int(os.environ.get("BENCH_TILE", 512))
     edge_chunk = int(os.environ.get("BENCH_EDGE_CHUNK", 512))
-    if spmm_backend == "dense":
+    if spmm_backend == "hybrid":
+        # density-split backend (ops/spmm_hybrid.py): dense tiles for block
+        # pairs above the break-even density within the A budget; one-hot
+        # chunks for stragglers. The play for density-skewed graphs and for
+        # scales where even int8 pure-dense tiles outgrow the budget.
+        hybrid_layout, n_pad = prepare_hybrid_mean_aggregate(
+            src, dst, n, tile=dense_tile, dense_k=dense_k,
+            k_per_step=k_per_step,
+            min_pair_edges=int(os.environ.get("BENCH_HYBRID_MIN", dense_tile // 2)),
+            a_budget_bytes=dense_budget,
+            dense_dtype=np.int8 if dense_dtype == "int8" else np.float32,
+        )
+        dense_frac = hybrid_layout.dense_edge_fraction
+
+        def to_dev_blocks(b):
+            if b is None:
+                return None
+            out = jax.tree.map(jnp.asarray, b)
+            if hasattr(out, "a") and out.a.dtype not in (jnp.int8,):
+                out = DenseBlocks(a=out.a.astype(jnp.bfloat16), src_blk=out.src_blk,
+                                  row_scale=out.row_scale, col_scale=out.col_scale,
+                                  tile=out.tile)
+            return out
+
+        from sldm_gnn_tpu.ops.spmm_hybrid import HybridLayout
+
+        blocked_fwd = HybridLayout(
+            dense_fwd=to_dev_blocks(hybrid_layout.dense_fwd),
+            dense_rev=to_dev_blocks(hybrid_layout.dense_rev),
+            onehot_fwd=to_dev_blocks(hybrid_layout.onehot_fwd),
+            onehot_rev=to_dev_blocks(hybrid_layout.onehot_rev),
+            n_pad=n_pad, dense_k=dense_k, k_per_step=k_per_step,
+        )
+        blocked_rev = None
+    elif spmm_backend == "dense":
         dense_fwd, dense_rev, n_pad = prepare_dense_mean_aggregate(
-            src, dst, n, tile=dense_tile, pad_blocks_to=dense_k
+            src, dst, n, tile=dense_tile, pad_blocks_to=dense_k,
+            dtype=np.int8 if dense_dtype == "int8" else np.float32,
         )
-        to_dev = lambda b: DenseBlocks(
-            a=jnp.asarray(b.a).astype(jnp.bfloat16),
-            src_blk=jnp.asarray(b.src_blk), tile=b.tile,
-        )
+
+        def to_dev(b):
+            a = jnp.asarray(b.a)
+            if a.dtype != jnp.int8:
+                a = a.astype(jnp.bfloat16)
+            opt = lambda s: None if s is None else jnp.asarray(s)
+            return DenseBlocks(a=a, src_blk=jnp.asarray(b.src_blk),
+                               row_scale=opt(b.row_scale),
+                               col_scale=opt(b.col_scale), tile=b.tile)
+
         blocked_fwd, blocked_rev = to_dev(dense_fwd), to_dev(dense_rev)
     else:
         blocked_fwd, blocked_rev, n_pad = prepare_mean_aggregate(
@@ -173,7 +228,9 @@ def main():
     dt = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
     def loss_pallas(params, x, bf, br):
-        if spmm_backend == "dense":
+        if spmm_backend == "hybrid":
+            agg = lambda h: spmm_hybrid_apply(h, bf, use_pallas)
+        elif spmm_backend == "dense":
             agg = lambda h: spmm_dense_apply(h, bf, br, use_pallas, dense_k)
         else:
             agg = lambda h: spmm_apply(h, bf, br, n_pad, use_pallas, k_per_step)
@@ -206,6 +263,8 @@ def main():
         "vs_baseline": None if skip_xla else round(t_xla / t_pallas, 3),
         "backend": backend,
         "spmm": spmm_backend,
+        "dense_dtype": dense_dtype if spmm_backend in ("dense", "hybrid") else None,
+        "dense_frac": round(dense_frac, 4) if spmm_backend == "hybrid" else None,
         "dtype": dt.name,
         "nodes": n,
         "edges": e,

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..graph.csr import BlockedEdges
 from ..ops.spmm import spmm_apply
 from ..ops.spmm_dense import DenseBlocks, spmm_dense_apply
+from ..ops.spmm_hybrid import HybridLayout, spmm_hybrid_apply
 from .blocks import _activation
 
 
@@ -38,7 +39,12 @@ class BlockedSageConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int):
-        if isinstance(blocked_fwd, DenseBlocks):
+        if isinstance(blocked_fwd, HybridLayout):
+            # density-split backend (ops/spmm_hybrid.py): dense tiles for
+            # dense block pairs + one-hot chunks for stragglers; carries
+            # both directions itself (pass blocked_rev=None)
+            agg = spmm_hybrid_apply(x, blocked_fwd, self.use_pallas)
+        elif isinstance(blocked_fwd, DenseBlocks):
             # dense-block backend (ops/spmm_dense.py): precomputed adjacency
             # tiles; ~10x fewer matmul FLOPs on locality graphs, 5.35x
             # measured per aggregation on v5e (prepare_dense_mean_aggregate)

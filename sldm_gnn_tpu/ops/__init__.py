@@ -22,3 +22,16 @@ from .spmm import (  # noqa: F401
     prepare_mean_aggregate,
 )
 from .sddmm import sddmm_xla, sddmm_pallas, sddmm_apply, prepare_sddmm  # noqa: F401
+from .spmm_dense import (  # noqa: F401
+    DenseBlocks,
+    spmm_dense_pallas,
+    spmm_dense_xla,
+    spmm_dense_apply,
+    prepare_dense_mean_aggregate,
+)
+from .spmm_hybrid import (  # noqa: F401
+    HybridLayout,
+    select_dense_edges,
+    prepare_hybrid_mean_aggregate,
+    spmm_hybrid_apply,
+)

@@ -44,14 +44,30 @@ class DenseBlocks:
 
     a        [B, S_max, T, T] — per dst block, its src-block adjacency
                                 tiles (bf16 by default; weights folded in;
-                                all-zero padding tiles).
+                                all-zero padding tiles). May be int8 when
+                                the weights are factored out into
+                                ``row_scale``/``col_scale`` (exact for mean
+                                aggregation, whose 1/deg weight is constant
+                                per dst row — A = diag(s) @ counts). int8
+                                halves A's HBM storage AND streaming
+                                bandwidth, the binding resource at the
+                                ~50M-edge scale.
     src_blk  [B, S_max] int32 — source block index per tile (0 on padding;
                                 the zero A tile makes it a no-op).
+    row_scale [B*T, 1] f32 or None — per-OUTPUT-row scale applied after
+                                the tile matmuls (fwd direction of the
+                                factored mean layout).
+    col_scale [B*T, 1] f32 or None — per-INPUT-row scale applied to x
+                                before the tile matmuls (the transpose of a
+                                row-scaled operator scales its input:
+                                (diag(s)Q)^T = Q^T diag(s) — rev direction).
     tile: static tile height T.
     """
 
     a: jax.Array
     src_blk: jax.Array
+    row_scale: jax.Array | None = None
+    col_scale: jax.Array | None = None
     tile: int = field(default=TILE, metadata=dict(static=True))
 
     @property
@@ -145,10 +161,12 @@ def build_dense_blocks(
 # ------------------------------------------------------------- Pallas path
 
 
-def _dense_kernel(sblk_ref, a_ref, *x_out, s_max, step_blocks, tile):
-    x_refs = x_out[: step_blocks * s_max]
-    out_ref = x_out[step_blocks * s_max]
-    for k in range(step_blocks):
+def _dense_kernel(sblk_ref, a_ref, *x_out, s_max, step_blocks, tile, has_row):
+    K = step_blocks
+    x_refs = x_out[: K * s_max]
+    rs_ref = x_out[K * s_max] if has_row else None
+    out_ref = x_out[K * s_max + (1 if has_row else 0)]
+    for k in range(K):
         acc = jnp.zeros((tile, out_ref.shape[1]), jnp.float32)
         for s in range(s_max):
             acc += jnp.dot(
@@ -156,6 +174,8 @@ def _dense_kernel(sblk_ref, a_ref, *x_out, s_max, step_blocks, tile):
                 x_refs[k * s_max + s][:].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
+        if has_row:
+            acc = acc * rs_ref[k * tile : (k + 1) * tile]
         out_ref[k * tile : (k + 1) * tile] = acc.astype(out_ref.dtype)
 
 
@@ -196,14 +216,30 @@ def spmm_dense_pallas(
             (tile, d), lambda b, sblk, k=k, s=s: (sblk[(b * K + k) * s_max + s], 0)
         )
 
+    has_row = blocks.row_scale is not None
+    if blocks.col_scale is not None:
+        # input-row scale (transpose of a row-scaled operator). Applied as
+        # ONE elementwise pass over x here rather than per-tile inside the
+        # kernel: each x row is read by ~s_max block pairs, so the in-kernel
+        # form repeats the multiply s_max-fold (measured 7.4 vs 6.3 ms per
+        # headline fwd+bwd step).
+        x = (x.astype(jnp.float32) * blocks.col_scale).astype(x.dtype)
+    extra_specs, extra_args = [], []
+    if has_row:
+        extra_specs.append(pl.BlockSpec((K * tile, 1), lambda b, sblk: (b, 0)))
+        extra_args.append(blocks.row_scale)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # flattened [B * S_max] src block ids
         grid=(steps,),
-        in_specs=[a_spec()] + [x_spec(k, s) for k in range(K) for s in range(s_max)],
+        in_specs=[a_spec()]
+        + [x_spec(k, s) for k in range(K) for s in range(s_max)]
+        + extra_specs,
         out_specs=pl.BlockSpec((K * tile, d), lambda b, sblk: (b, 0)),
     )
     return pl.pallas_call(
-        partial(_dense_kernel, s_max=s_max, step_blocks=K, tile=tile),
+        partial(_dense_kernel, s_max=s_max, step_blocks=K, tile=tile,
+                has_row=has_row),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -212,16 +248,21 @@ def spmm_dense_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(blocks.src_blk.reshape(-1), blocks.a, *([x] * (K * s_max)))
+    )(blocks.src_blk.reshape(-1), blocks.a, *([x] * (K * s_max)), *extra_args)
 
 
 def spmm_dense_xla(x: jax.Array, blocks: DenseBlocks):
     """XLA reference: einsum over the same dense tiles (any backend)."""
     nb, s_max, tile, _ = blocks.a.shape
+    if blocks.col_scale is not None:
+        x = (x.astype(jnp.float32) * blocks.col_scale).astype(x.dtype)
     xb = x.reshape(-1, tile, x.shape[1])  # [NB, T, D]
     gathered = xb[blocks.src_blk]  # [B, S_max, T, D]
     out = jnp.einsum("bsij,bsjd->bid", blocks.a.astype(x.dtype), gathered)
-    return out.reshape(nb * tile, x.shape[1])
+    out = out.reshape(nb * tile, x.shape[1])
+    if blocks.row_scale is not None:
+        out = (out.astype(jnp.float32) * blocks.row_scale).astype(x.dtype)
+    return out
 
 
 # --------------------------------------------------- differentiable wrapper
@@ -265,12 +306,42 @@ def prepare_dense_mean_aggregate(
 ) -> tuple[DenseBlocks, DenseBlocks, int]:
     """Forward + reverse dense-block layouts for mean aggregation
     (mirrors ops/spmm.prepare_mean_aggregate). Returns layouts plus the
-    padded row count (num_dst_blocks * tile — pad x to this)."""
+    padded row count (num_dst_blocks * tile — pad x to this).
+
+    ``dtype`` int8 selects the factored layout: mean aggregation's weight
+    is 1/deg(dst) — constant per dst row — so A = diag(1/deg) @ counts
+    factors EXACTLY into int8 count tiles plus a per-node f32 scale. Same
+    math, half the A-tile HBM storage and streaming bandwidth; requires
+    duplicate-edge multiplicity ≤ 127 (raises otherwise).
+    """
     from ..graph.csr import mean_weights
 
+    if np.dtype(dtype) == np.int8:
+        return _prepare_int8_mean_aggregate(src, dst, num_nodes, tile=tile,
+                                            pad_blocks_to=pad_blocks_to)
     w = mean_weights(dst, num_nodes)
     fwd = build_dense_blocks(src, dst, num_nodes, weight=w, tile=tile, dtype=dtype,
                              pad_blocks_to=pad_blocks_to)
     rev = build_dense_blocks(dst, src, num_nodes, weight=w, tile=tile, dtype=dtype,
                              pad_blocks_to=pad_blocks_to)
     return fwd, rev, fwd.num_dst_blocks * tile
+
+
+def _prepare_int8_mean_aggregate(src, dst, num_nodes, *, tile, pad_blocks_to):
+    """Factored mean layouts: int8 duplicate-edge-count tiles; the 1/deg
+    scale rides as ``row_scale`` on the forward layout (output rows) and as
+    ``col_scale`` on the reverse layout (the transpose of diag(s)·Q scales
+    its input: grad_x = Qᵀ @ (s ⊙ g))."""
+    fwd = build_dense_blocks(src, dst, num_nodes, tile=tile, pad_blocks_to=pad_blocks_to)
+    rev = build_dense_blocks(dst, src, num_nodes, tile=tile, pad_blocks_to=pad_blocks_to)
+    cmax = max(fwd.a.max() if fwd.a.size else 0, 1)
+    if cmax > 127:
+        raise ValueError(f"duplicate-edge multiplicity {cmax} overflows int8 counts")
+    n_pad = fwd.num_dst_blocks * tile
+    deg = np.bincount(np.asarray(dst, np.int64), minlength=n_pad)
+    scale = (1.0 / np.maximum(deg, 1)).astype(np.float32).reshape(-1, 1)
+    fwd = DenseBlocks(a=fwd.a.astype(np.int8), src_blk=fwd.src_blk,
+                      row_scale=scale, tile=tile)
+    rev = DenseBlocks(a=rev.a.astype(np.int8), src_blk=rev.src_blk,
+                      col_scale=scale, tile=tile)
+    return fwd, rev, n_pad

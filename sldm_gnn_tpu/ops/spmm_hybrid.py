@@ -1,0 +1,195 @@
+"""Hybrid SpMM backend — dense tiles where dense, one-hot chunks elsewhere.
+
+The dense-block backend (ops/spmm_dense.py) is ~5x faster per aggregation
+than the one-hot kernel (ops/spmm.py) but stores a full [T, T] tile per
+non-empty (dst_block, src_block) pair — on big or density-skewed graphs the
+A tiles outgrow HBM while most tiles are nearly empty. This module splits
+the STATIC edge set once on the host:
+
+  * (dst,src) block pairs carrying >= ``min_pair_edges`` edges (and within
+    the per-block pair cap that bounds A storage) go to the dense backend —
+    break-even is ~T/2 edges per pair by FLOP count, ~0.6*T measured;
+  * all remaining "straggler" edges go to the one-hot blocked kernel.
+
+An aggregation is then the SUM of the two linear operators, and the
+backward pass composes automatically from their transpose-layout custom
+VJPs. The per-block-pair cap is applied symmetrically (a pair must rank
+within the cap both for its dst block and for its src block) so BOTH the
+forward and the transposed reverse dense layout have bounded s_max, giving
+a hard A-storage bound of ``2 * num_blocks * cap * T^2 * itemsize``.
+
+Replaces nothing in the reference (its torch_scatter CSR path has no
+analogue, SURVEY.md §2.3) — this is the TPU-first answer for graphs whose
+block-density distribution is skewed, e.g. dense urban map cores with
+sparse arterial stragglers.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import EDGE_CHUNK, TILE, BlockedEdges, block_edges, mean_weights
+from .spmm import spmm_apply
+from .spmm_dense import DenseBlocks, build_dense_blocks, spmm_dense_apply
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HybridLayout:
+    """Edge set split into a dense-tile part and a one-hot straggler part.
+
+    Either half may be None (degenerate pure-dense / pure-one-hot splits).
+    ``n_pad`` (static) is the padded node count both halves agree on — pad
+    x to this many rows.
+    """
+
+    dense_fwd: DenseBlocks | None
+    dense_rev: DenseBlocks | None
+    onehot_fwd: BlockedEdges | None
+    onehot_rev: BlockedEdges | None
+    n_pad: int = field(metadata=dict(static=True))
+    dense_k: int = field(default=1, metadata=dict(static=True))
+    k_per_step: int = field(default=1, metadata=dict(static=True))
+
+    @property
+    def dense_edge_fraction(self) -> float:
+        return getattr(self, "_dense_frac", float("nan"))
+
+
+def _rank_within_group(group: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Rank of each item within its group, by count descending."""
+    order = np.lexsort((-counts, group))
+    g_sorted = group[order]
+    starts = np.r_[0, np.nonzero(np.diff(g_sorted))[0] + 1] if len(group) else np.zeros(1, np.int64)
+    lens = np.diff(np.r_[starts, len(group)])
+    group_start = np.repeat(starts, lens)
+    rank = np.empty(len(group), np.int64)
+    rank[order] = np.arange(len(group)) - group_start
+    return rank
+
+
+def select_dense_edges(
+    src: np.ndarray,
+    dst: np.ndarray,
+    nb: int,
+    *,
+    tile: int = TILE,
+    min_pair_edges: int | None = None,
+    max_pairs_per_block: int | None = None,
+) -> np.ndarray:
+    """Boolean per-edge mask: True = the edge's (dst,src) block pair is
+    dense enough for the dense-tile backend.
+
+    A pair qualifies when it carries >= ``min_pair_edges`` edges AND ranks
+    within ``max_pairs_per_block`` densest pairs of BOTH its dst block and
+    its src block (the symmetric cap bounds the transposed layout too).
+    """
+    if min_pair_edges is None:
+        min_pair_edges = tile // 2
+    if len(src) == 0:
+        return np.zeros(0, bool)
+    db = np.asarray(dst, np.int64) // tile
+    sb = np.asarray(src, np.int64) // tile
+    key = db * nb + sb
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    sel = counts >= min_pair_edges
+    if max_pairs_per_block is not None:
+        pdb = uniq // nb
+        psb = uniq % nb
+        sel &= _rank_within_group(pdb, counts) < max_pairs_per_block
+        sel &= _rank_within_group(psb, counts) < max_pairs_per_block
+    return sel[inv]
+
+
+def prepare_hybrid_mean_aggregate(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    tile: int = TILE,
+    dense_k: int = 1,
+    k_per_step: int = 1,
+    edge_chunk: int = EDGE_CHUNK,
+    min_pair_edges: int | None = None,
+    a_budget_bytes: float = 4e9,
+    dense_dtype=np.float32,
+) -> tuple[HybridLayout, int]:
+    """Split + build both halves' fwd/rev layouts for mean aggregation.
+
+    ``a_budget_bytes`` bounds the dense A-tile storage (fwd+rev combined)
+    by deriving the per-block pair cap; ``dense_dtype`` int8 uses the
+    factored count-tile form (exact for mean — see
+    ops/spmm_dense.prepare_dense_mean_aggregate).
+
+    Returns (layout, n_pad). Mean weights use the FULL degree regardless of
+    which half an edge lands in.
+    """
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    lcm = math.lcm(tile * dense_k, tile)
+    n_pad = max(((num_nodes + lcm - 1) // lcm) * lcm, lcm)
+    nb = n_pad // tile
+
+    itemsize = np.dtype(dense_dtype).itemsize
+    cap = max(int(a_budget_bytes // (2 * nb * tile * tile * itemsize)), 1)
+
+    w = mean_weights(dst, n_pad)
+    dense_mask = select_dense_edges(
+        src, dst, nb, tile=tile, min_pair_edges=min_pair_edges, max_pairs_per_block=cap
+    )
+
+    dense_fwd = dense_rev = onehot_fwd = onehot_rev = None
+    if dense_mask.any():
+        sd, dd, wd = src[dense_mask], dst[dense_mask], w[dense_mask]
+        if np.dtype(dense_dtype) == np.int8:
+            fwd = build_dense_blocks(sd, dd, n_pad, tile=tile, pad_blocks_to=dense_k)
+            rev = build_dense_blocks(dd, sd, n_pad, tile=tile, pad_blocks_to=dense_k)
+            if fwd.a.size and fwd.a.max() > 127:
+                raise ValueError("duplicate-edge multiplicity overflows int8 counts")
+            deg = np.bincount(dst, minlength=n_pad)  # FULL degree
+            scale = (1.0 / np.maximum(deg, 1)).astype(np.float32).reshape(-1, 1)
+            dense_fwd = DenseBlocks(a=fwd.a.astype(np.int8), src_blk=fwd.src_blk,
+                                    row_scale=scale, tile=tile)
+            dense_rev = DenseBlocks(a=rev.a.astype(np.int8), src_blk=rev.src_blk,
+                                    col_scale=scale, tile=tile)
+        else:
+            dense_fwd = build_dense_blocks(sd, dd, n_pad, weight=wd, tile=tile,
+                                           dtype=dense_dtype, pad_blocks_to=dense_k)
+            dense_rev = build_dense_blocks(dd, sd, n_pad, weight=wd, tile=tile,
+                                           dtype=dense_dtype, pad_blocks_to=dense_k)
+    sparse_mask = ~dense_mask
+    if sparse_mask.any() or not dense_mask.any():
+        ss, ds, ws = src[sparse_mask], dst[sparse_mask], w[sparse_mask]
+        onehot_fwd = block_edges(ss, ds, n_pad, weight=ws, tile=tile,
+                                 edge_chunk=edge_chunk, step_chunks=k_per_step)
+        onehot_rev = block_edges(ds, ss, n_pad, weight=ws, tile=tile,
+                                 edge_chunk=edge_chunk, step_chunks=k_per_step)
+
+    layout = HybridLayout(
+        dense_fwd=dense_fwd, dense_rev=dense_rev,
+        onehot_fwd=onehot_fwd, onehot_rev=onehot_rev,
+        n_pad=n_pad, dense_k=dense_k, k_per_step=k_per_step,
+    )
+    object.__setattr__(layout, "_dense_frac", float(dense_mask.mean()) if len(src) else 0.0)
+    return layout, n_pad
+
+
+def spmm_hybrid_apply(x: jax.Array, layout: HybridLayout, use_pallas: bool) -> jax.Array:
+    """Aggregation as the sum of the two halves' linear operators; the
+    backward composes from their transpose-layout custom VJPs."""
+    out = None
+    if layout.dense_fwd is not None:
+        out = spmm_dense_apply(x, layout.dense_fwd, layout.dense_rev,
+                               use_pallas, layout.dense_k)
+    if layout.onehot_fwd is not None:
+        o = spmm_apply(x, layout.onehot_fwd, layout.onehot_rev, layout.n_pad,
+                       use_pallas, layout.k_per_step)
+        out = o if out is None else out + o
+    if out is None:
+        out = jnp.zeros_like(x)
+    return out

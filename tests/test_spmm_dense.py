@@ -127,3 +127,32 @@ def test_step_blocks_matches_single(rng):
     g1 = jax.grad(lambda x: jnp.sum(spmm_dense_apply(x, fwd, rev, False, 1) * t))(x)
     g2 = jax.grad(lambda x: jnp.sum(spmm_dense_apply(x, fwd, rev, False, 4) * t))(x)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-6)
+
+
+def test_int8_factored_mean_matches_edge_list(rng):
+    """int8 count tiles + per-node 1/deg scales == the f32 folded-weight
+    layout (exact factoring of mean aggregation), fwd and bwd, XLA and
+    Pallas-interpret dispatch."""
+    n, e, d, tile = 300, 4000, 32, 64
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    fwd, rev, n_pad = prepare_dense_mean_aggregate(src, dst, n, tile=tile,
+                                                   dtype=np.int8, pad_blocks_to=2)
+    assert fwd.a.dtype == np.int8 and fwd.row_scale is not None
+    assert rev.a.dtype == np.int8 and rev.col_scale is not None
+    fwd = jax.tree.map(jnp.asarray, fwd)
+    rev = jax.tree.map(jnp.asarray, rev)
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    w = mean_weights(dst, n_pad)
+
+    want = naive(np.asarray(x), src, dst, w, n_pad)
+    np.testing.assert_allclose(np.asarray(spmm_dense_xla(x, fwd)), want,
+                               rtol=1e-4, atol=1e-5)
+    got_pal = np.asarray(spmm_dense_pallas(x, fwd, interpret=True, step_blocks=2))
+    np.testing.assert_allclose(got_pal, want, rtol=5e-2, atol=5e-2)
+
+    srcj, dstj, wj = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+    g1 = jax.grad(lambda x: jnp.sum(spmm_dense_apply(x, fwd, rev, False, 2) * t))(x)
+    g2 = jax.grad(lambda x: jnp.sum(spmm_xla(x, srcj, dstj, wj, n_pad) * t))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
