@@ -108,6 +108,14 @@ def bench_step(fn, params, x, iters, *extra):
     return (time.perf_counter() - t0) / iters
 
 
+def _vlog(msg):
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"[bench +{time.perf_counter() - _T0:.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def main():
     n = int(os.environ.get("BENCH_NODES", 200_000))
     deg = int(os.environ.get("BENCH_DEG", 16))
@@ -152,6 +160,7 @@ def main():
     k_per_step = int(os.environ.get("BENCH_K_PER_STEP", 2))
     tile = int(os.environ.get("BENCH_TILE", 512))
     edge_chunk = int(os.environ.get("BENCH_EDGE_CHUNK", 512))
+    _vlog(f"backend={spmm_backend} dtype={dense_dtype} E={e}")
     if spmm_backend == "hybrid":
         # density-split backend (ops/spmm_hybrid.py): dense tiles for block
         # pairs above the break-even density within the A budget; one-hot
@@ -201,7 +210,10 @@ def main():
                                row_scale=opt(b.row_scale),
                                col_scale=opt(b.col_scale), tile=b.tile)
 
+        _vlog(f"dense layout built: A {dense_fwd.a.nbytes/1e9:.2f}+{dense_rev.a.nbytes/1e9:.2f} GB, s_max {dense_fwd.s_max}/{dense_rev.s_max}")
         blocked_fwd, blocked_rev = to_dev(dense_fwd), to_dev(dense_rev)
+        jax.tree.map(lambda a: a.block_until_ready(), (blocked_fwd, blocked_rev))
+        _vlog("dense layout on device")
     else:
         blocked_fwd, blocked_rev, n_pad = prepare_mean_aggregate(
             src, dst, n, step_chunks=k_per_step, tile=tile, edge_chunk=edge_chunk
@@ -252,8 +264,11 @@ def main():
     # graphs where the chunked-scan baseline dominates wall time;
     # vs_baseline is then reported as null
     skip_xla = bool(int(os.environ.get("BENCH_SKIP_XLA", 0)))
+    _vlog("starting XLA baseline" if not skip_xla else "skipping XLA baseline")
     t_xla = None if skip_xla else bench_step(step_xla, params, x, iters, src_j, dst_j, w_j)
+    _vlog("starting Pallas timing (includes one-time compile)")
     t_pallas = bench_step(step_pallas, params, x, iters, blocked_fwd, blocked_rev)
+    _vlog("Pallas timing done")
 
     t_best = t_pallas if skip_xla else min(t_pallas, t_xla)
     result = {

@@ -43,9 +43,13 @@ def main():
     params = init_gru_params(jax.random.PRNGKey(0), 6, h, 1)
     x = jax.random.normal(jax.random.PRNGKey(1), (b, t, 6), jnp.float32)
 
-    for name, pad in (("stock", None), ("pad128", 128)):
-        fwd = jax.jit(lambda p, x, pad=pad: gru_forward(p, x, pad_to=pad)[1])
-        loss = lambda p, x, pad=pad: jnp.sum(gru_forward(p, x, pad_to=pad)[1] ** 2)
+    blocks = [int(v) for v in os.environ.get("GRU_BLOCKS", "1").split(",")]
+    cases = [("stock", None, 1)] + [
+        (f"pad128_blk{k}" if k > 1 else "pad128", 128, k) for k in blocks
+    ]
+    for name, pad, blk in cases:
+        fwd = jax.jit(lambda p, x, pad=pad, blk=blk: gru_forward(p, x, pad_to=pad, block=blk)[1])
+        loss = lambda p, x, pad=pad, blk=blk: jnp.sum(gru_forward(p, x, pad_to=pad, block=blk)[1] ** 2)
         fwdbwd = jax.jit(jax.grad(loss))
         t_f = timed(fwd, (params, x), iters)
         t_fb = timed(fwdbwd, (params, x), iters)

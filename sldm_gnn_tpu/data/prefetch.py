@@ -79,6 +79,41 @@ def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:
     return iter(Prefetcher(iterable, depth))
 
 
+def dp_batch_groups(batches: Iterable[T], dp: int) -> Iterator[T]:
+    """Group a flat batch stream into stacked groups of ``dp`` (the shape
+    :func:`sldm_gnn_tpu.parallel.data_parallel.make_dp_train_step` shards
+    over mesh axis 'dp').
+
+    A short final group is padded with zeroed batches — their
+    ``graph_mask`` is all-False, so the masked loss/metrics ignore them and
+    every step of an epoch keeps the same static shape (no recompiles).
+    """
+    group: list[T] = []
+    for b in batches:
+        group.append(b)
+        if len(group) == dp:
+            yield _stack_group(group)
+            group = []
+    if group:
+        dummy = _tree_zeros_like(group[-1])
+        group.extend([dummy] * (dp - len(group)))
+        yield _stack_group(group)
+
+
+def _stack_group(group):
+    import jax
+    import numpy as np
+
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *group)
+
+
+def _tree_zeros_like(batch):
+    import jax
+    import numpy as np
+
+    return jax.tree.map(lambda a: np.zeros_like(np.asarray(a)), batch)
+
+
 def prefetch_to_device(iterable: Iterable[T], depth: int = 2, *, sharding=None) -> Iterator[T]:
     """Prefetch batches AND move them to device in the worker thread.
 

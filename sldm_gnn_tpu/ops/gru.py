@@ -73,25 +73,50 @@ def init_gru_params(
     )
 
 
-def _gru_layer(x_seq: jax.Array, w_ih, w_hh, b_ih, b_hh, h0: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Run one GRU layer over [B, T, D] -> (outputs [B, T, H], h_last [B, H])."""
+def _gru_layer(
+    x_seq: jax.Array, w_ih, w_hh, b_ih, b_hh, h0: jax.Array, *, block: int = 1
+) -> tuple[jax.Array, jax.Array]:
+    """Run one GRU layer over [B, T, D] -> (outputs [B, T, H], h_last [B, H]).
+
+    ``block`` unrolls K consecutive frames inside each scan step (blocked
+    recurrence): identical math and f32 reduction order — the recurrence
+    stays strictly sequential — but 1/K the scan-step count. The per-step
+    [B, H]x[H, 3H] matmul is far below MXU saturation at flagship sizes, so
+    the scan's per-step overhead dominates; blocking amortizes it. Used
+    when ``block`` divides T; callers pass T's divisors only.
+    """
     hidden = w_hh.shape[0]
 
     # Precompute all input projections in one big GEMM: [B, T, 3H]
     xproj = jnp.einsum("btd,dh->bth", x_seq, w_ih) + b_ih
 
-    def step(h, xp_t):
+    def cell(h, xp_t):
         hproj = h @ w_hh + b_hh
         xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
         hr, hz, hn = jnp.split(hproj, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
-        return h_new, h_new
+        return (1.0 - z) * n + z * h
 
     xproj_t = jnp.moveaxis(xproj, 1, 0)  # [T, B, 3H]
-    h_last, hs = jax.lax.scan(step, h0, xproj_t)
+    T = xproj_t.shape[0]
+    if block > 1 and T % block == 0:
+        def step(h, xp_blk):  # xp_blk [K, B, 3H]
+            hs = []
+            for k in range(block):
+                h = cell(h, xp_blk[k])
+                hs.append(h)
+            return h, jnp.stack(hs)
+
+        h_last, hs = jax.lax.scan(step, h0, xproj_t.reshape(T // block, block, *xproj_t.shape[1:]))
+        hs = hs.reshape(T, *hs.shape[2:])
+    else:
+        def step1(h, xp):
+            h2 = cell(h, xp)
+            return h2, h2
+
+        h_last, hs = jax.lax.scan(step1, h0, xproj_t)
     return jnp.moveaxis(hs, 0, 1), h_last
 
 
@@ -115,7 +140,7 @@ def _pad_gates(w_ih, w_hh, b_ih, b_hh, hidden: int, hp: int):
 
 
 def gru_forward(
-    params: GRUParams, x: jax.Array, *, pad_to: int | None = None
+    params: GRUParams, x: jax.Array, *, pad_to: int | None = None, block: int = 1
 ) -> tuple[jax.Array, jax.Array]:
     """Multi-layer GRU over ``x [B, T, D]``.
 
@@ -126,6 +151,10 @@ def gru_forward(
     ``pad_to`` rounds the hidden width up to a multiple of ``pad_to``
     inside the scan (e.g. 128 → MXU-aligned 3H lanes for the reference's
     H=96) and slices the result back; exact modulo f32 reduction order.
+
+    ``block`` unrolls that many frames per scan step (blocked recurrence;
+    bit-identical — see :func:`_gru_layer`). Values that don't divide T
+    fall back to 1.
     """
     batch = x.shape[0]
     hidden = params.w_hh0.shape[0]
@@ -149,14 +178,16 @@ def gru_forward(
             b_ih=jnp.stack([r[2] for r in rest]) if rest else params.b_ih[:, :0],
             b_hh=jnp.stack([r[3] for r in rest]) if rest else params.b_hh[:, :0],
         )
-        out, h_last = gru_forward(padded, x)
+        out, h_last = gru_forward(padded, x, block=block)
         return out[..., :hidden], h_last[:, :hidden]
     # derive h0 from x (instead of a bare zeros) so that under shard_map
     # with replication tracking the scan carry inherits x's varying-axes
     # type — a literal zeros carry is "replicated" and fails vma typing
     h0 = jnp.zeros((batch, hidden), dtype=x.dtype) + 0.0 * x[:, 0, 0:1]
 
-    out, h_last = _gru_layer(x, params.w_ih0, params.w_hh0, params.b_ih0, params.b_hh0, h0)
+    out, h_last = _gru_layer(
+        x, params.w_ih0, params.w_hh0, params.b_ih0, params.b_hh0, h0, block=block
+    )
 
     num_rest = params.w_ih.shape[0]
     for layer in range(num_rest):  # static unroll; num_layers is tiny (1-2)
@@ -167,5 +198,6 @@ def gru_forward(
             params.b_ih[layer],
             params.b_hh[layer],
             h0,
+            block=block,
         )
     return out, h_last

@@ -197,3 +197,62 @@ def test_prefetch_to_device_sharded(rng):
         for g, w in zip(leaves_g, leaves_w):
             assert g.sharding == sh
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_dp_group_prefetch_loader(rng):
+    """dp_batch_groups + prefetch_to_device: a flat batch stream becomes
+    mesh-sharded stacked groups (remainder padded with masked-out batches);
+    driving the SPMD step from the prefetcher gives finite, identical-shape
+    steps and the padded group's loss ignores the dummy batches."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sldm_gnn_tpu.data.prefetch import dp_batch_groups, prefetch_to_device
+
+    F, L, DP = 6, 2, 4
+    mesh = make_mesh(dp=DP, ep=2)
+    dims = BatchDims(node_capacity=24, edge_capacity=48, graph_capacity=2,
+                     num_frames=F, num_labels=L)
+    # 6 batches -> one full group of 4 + one padded group (2 real + 2 dummy)
+    flat = [pad_and_batch(_graphs(rng, 2, F, L), dims) for _ in range(6)]
+
+    cfg = GruSageConfig(
+        frames_num=F, gru_hidden_size=8, fc1dims=(8,), sage_hidden_dims=(8,),
+        fc2dims=(8,), out_dim=L, emb_dim=4, dropout=None, negative_slope=0.1,
+        map_included=False,
+    )
+    model = GruSage(cfg)
+    opt = make_optimizer(1e-3, 0.0)
+    fns = build_step_fns(model, opt, loss_type="bce", pos_weight=1.0, map_data=None)
+    state = fns.init(jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, flat[0]))
+    step = make_dp_train_step(model, opt, mesh, loss_type="bce", pos_weight=1.0)
+
+    sharding = NamedSharding(mesh, P("dp"))
+    groups = list(prefetch_to_device(dp_batch_groups(flat, DP), depth=2, sharding=sharding))
+    assert len(groups) == 2
+    for g in groups:
+        assert g.x.shape[0] == DP
+        assert g.x.sharding.is_equivalent_to(sharding, g.x.ndim)
+
+    # padded group: dummy batches carry all-False graph_mask
+    assert not np.asarray(groups[1].graph_mask[2:]).any()
+    state, m0 = step(state, groups[0], jax.random.PRNGKey(1))
+    assert np.isfinite(float(m0["loss"]))
+
+    # the dp step's loss is the EXACT mean over real graphs
+    # (psum(loss*n)/psum(n)) — the all-masked dummy batches contribute
+    # n=0 and so don't dilute it; with equal graph counts per real shard
+    # that's just the mean of the real shards' losses. The step reports
+    # loss at its INCOMING params, so compute the expectation with the
+    # post-step-1 params.
+    from sldm_gnn_tpu.train.losses import masked_graph_loss
+
+    per_shard = []
+    for b in flat[4:6]:
+        bj = jax.tree.map(jnp.asarray, b)
+        logits = model.apply({"params": state.params}, bj, train=False)
+        per_shard.append(float(masked_graph_loss(logits, bj.y, bj.graph_mask,
+                                                 loss_type="bce", pos_weight=1.0)))
+    want_padded_loss = sum(per_shard) / len(per_shard)
+
+    state, m1 = step(state, groups[1], jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss"]), want_padded_loss, rtol=1e-5)
