@@ -120,7 +120,11 @@ def main():
     n = int(os.environ.get("BENCH_NODES", 200_000))
     deg = int(os.environ.get("BENCH_DEG", 16))
     d = int(os.environ.get("BENCH_DIM", 128))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    # 100 iterations by default: on the remote-TPU relay, per-dispatch
+    # tunnel latency is ~1 ms-scale and the closing value fetch costs an
+    # RTT — at 10 iters those inflated the 4.1 ms headline step to 6.6 ms.
+    # Large-graph runs (config 4, ~100 ms/step) can lower this via env.
+    iters = int(os.environ.get("BENCH_ITERS", 100))
 
     backend = jax.default_backend()
     src, dst = make_local_graph(n, deg)

@@ -58,7 +58,9 @@ def main():
     frames = int(os.environ.get("FLAG_FRAMES", 100))
     hidden = int(os.environ.get("FLAG_HIDDEN", 96))
     segments = int(os.environ.get("FLAG_SEGMENTS", 1000))
-    iters = int(os.environ.get("FLAG_ITERS", 50))
+    # ms-scale steps: hundreds of iterations amortize the remote relay's
+    # per-dispatch latency + the closing value-fetch RTT
+    iters = int(os.environ.get("FLAG_ITERS", 300))
     with_map = not int(os.environ.get("FLAG_NO_MAP", 0))
     gru_pad = int(os.environ.get("FLAG_GRU_PAD", 128)) or None
     labels = 4

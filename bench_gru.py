@@ -38,7 +38,9 @@ def main():
     b = int(os.environ.get("GRU_BATCH", 320))
     t = int(os.environ.get("GRU_FRAMES", 100))
     h = int(os.environ.get("GRU_HIDDEN", 96))
-    iters = int(os.environ.get("GRU_ITERS", 20))
+    # sub-ms steps need many iterations to amortize the remote relay's
+    # per-dispatch latency (20 iters reported 1.4 ms for a 0.3 ms step)
+    iters = int(os.environ.get("GRU_ITERS", 200))
 
     params = init_gru_params(jax.random.PRNGKey(0), 6, h, 1)
     x = jax.random.normal(jax.random.PRNGKey(1), (b, t, 6), jnp.float32)

@@ -128,6 +128,7 @@ def train_combination(
     quiet: bool = False,
     epochs_override: int | None = None,
     checkpoints: bool = False,
+    dp: int = 0,
 ):
     tr_meta, lt, le, map_data, num_lane_types = _build_data_pipeline(
         comb, inputdir=inputdir, cut=cut, include_map=include_map,
@@ -185,6 +186,21 @@ def train_combination(
 
         ckpt_mgr = CheckpointManager(cfgdir / "ckpt", save_every=0, max_to_keep=2)
 
+    mesh = None
+    if dp and dp > 1:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if len(devices) < dp:
+            raise click.ClickException(
+                f"--dp {dp} requested but only {len(devices)} device(s) visible"
+            )
+        mesh = make_mesh(dp=dp, devices=devices[:dp])
+        if not quiet:
+            click.echo(f"Data-parallel SPMD over {dp} devices")
+
     state, result = train_model(
         model,
         lambda: iter(lt),
@@ -201,6 +217,7 @@ def train_combination(
         best_state_callback=on_best,
         epoch_callback=on_epoch,
         checkpoint_manager=ckpt_mgr,
+        mesh=mesh,
     )
     if ckpt_mgr is not None:
         ckpt_mgr.close()
@@ -226,8 +243,12 @@ def train_combination(
               help="Per-epoch orbax TrainState checkpoints under each config "
                    "dir; re-running resumes from the latest step (crash "
                    "recovery for long runs).")
+@click.option("--dp", type=int, default=0,
+              help="Data-parallel SPMD training over N devices (shard_map "
+                   "over a 'dp' mesh with AD-inserted gradient psums); "
+                   "0/1 = single device.")
 @click.option("-y", "--yes", is_flag=True, default=False, help="Skip the confirmation prompt.")
-def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep, checkpoints, yes):
+def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep, checkpoints, dp, yes):
     psc = ParamSweepContext(GRUSAGE_PARAMS_DICT)
     click.echo(f"TOT_COMBINATIONS={len(psc)}")
     if not yes and not click.confirm("Train all combinations?", default=True):
@@ -270,7 +291,7 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
             train_combination(
                 i, comb, inputdir=inputdir, cfgdir=cfgdir, lbnum=lbnum, cut=cut,
                 include_map=include_map, mu_sigma=mu_sigma, epochs_override=epochs_override,
-                checkpoints=checkpoints,
+                checkpoints=checkpoints, dp=dp,
             )
         except Exception as e:  # sweep continues on per-combination failure (main.py:217-222)
             import traceback

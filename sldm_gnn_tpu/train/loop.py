@@ -186,12 +186,23 @@ def train_model(
     init_state: TrainState | None = None,
     prefetch_depth: int = 2,
     checkpoint_manager=None,
+    mesh=None,
 ) -> tuple[TrainState, TrainResult]:
     """Full training run. ``train_batches``/``eval_batches`` are zero-arg
     callables returning fresh per-epoch iterators (the loader re-shuffles).
 
     Loss selection parity (src/utils.py:180-196): focal when focal_gamma>0
     with auto alpha = neg_frac, else BCE with pos_weight=neg/pos.
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with a 'dp' axis, e.g. from
+    ``parallel.mesh.make_mesh``) switches the train phase to the SPMD
+    data-parallel step (parallel/data_parallel.py): the loader's flat
+    batch stream is grouped into dp-sized stacks (short tails padded with
+    all-masked dummy batches), prefetched straight to mesh-sharded device
+    memory, and each step consumes dp batches with AD-inserted gradient
+    psums. Loss/accuracy stay exact means over real graphs, so curves are
+    comparable with the single-device path. Eval runs replicated over the
+    mesh. No reference analogue (it is single-GPU, SURVEY.md §2.4).
     """
     L = len(active_labels)
     if focal_gamma > 0:
@@ -206,6 +217,17 @@ def train_model(
     optimizer = make_optimizer(lr, weight_decay)
     fns = build_step_fns(model, optimizer, map_data=map_data, **loss_kw)
 
+    dp = dp_sharding = repl_sharding = dp_step = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.data_parallel import make_dp_train_step
+
+        dp = int(mesh.shape["dp"])
+        dp_step = make_dp_train_step(model, optimizer, mesh, map_data=map_data, **loss_kw)
+        dp_sharding = NamedSharding(mesh, P("dp"))
+        repl_sharding = NamedSharding(mesh, P())
+
     rng = jax.random.PRNGKey(seed)
     first = next(iter(train_batches()))
     if init_state is None:
@@ -213,6 +235,10 @@ def train_model(
         state = fns.init(init_rng, jax.tree.map(jnp.asarray, first))
     else:
         state = init_state
+    if mesh is not None:
+        # replicate state over the mesh up front: jit refuses inputs whose
+        # device sets disagree (single-device params vs mesh-sharded batch)
+        state = jax.device_put(state, repl_sharding)
 
     # crash recovery: resume params/optimizer/step from the latest orbax
     # checkpoint (train.checkpoint.CheckpointManager) when one exists
@@ -236,10 +262,21 @@ def train_model(
         # fetch per epoch so batch prep overlaps device compute
         from ..data.prefetch import prefetch as _prefetch
 
+        if mesh is not None:
+            from ..data.prefetch import dp_batch_groups, prefetch_to_device
+
+            batch_iter = prefetch_to_device(
+                dp_batch_groups(train_batches(), dp), prefetch_depth, sharding=dp_sharding
+            )
+        else:
+            batch_iter = _prefetch(train_batches(), prefetch_depth)
         step_metrics = []
-        for batch in _prefetch(train_batches(), prefetch_depth):
+        for batch in batch_iter:
             rng, step_rng = jax.random.split(rng)
-            state, m = fns.train_step(state, jax.tree.map(jnp.asarray, batch), step_rng)
+            if mesh is not None:
+                state, m = dp_step(state, batch, step_rng)
+            else:
+                state, m = fns.train_step(state, jax.tree.map(jnp.asarray, batch), step_rng)
             step_metrics.append(m)
             if checkpoint_manager is not None:
                 # periodic async save + preemption exit (TrainingPreempted)
@@ -262,7 +299,12 @@ def train_model(
         masks = []
         gts = []
         for batch in _prefetch(eval_batches(), prefetch_depth):
-            m = fns.eval_step(state.params, jax.tree.map(jnp.asarray, batch))
+            batch_dev = jax.tree.map(jnp.asarray, batch)
+            if mesh is not None:
+                # params live replicated on the mesh; put the batch there
+                # too so eval runs replicated (no cross-device-set jit)
+                batch_dev = jax.device_put(batch_dev, repl_sharding)
+            m = fns.eval_step(state.params, batch_dev)
             step_metrics.append(m)
             if L == 1:
                 masks.append(np.asarray(batch.graph_mask))

@@ -288,3 +288,22 @@ def test_streaming_server_incremental_matches_classic(trained, built, tmp_path):
             va = np.array([float(s) for s in a.split(",")])
             vb = np.array([float(s) for s in b.split(",")])
             np.testing.assert_allclose(vb, va, rtol=1e-4, atol=1e-5)
+
+
+def test_train_cli_dp(built, workspace):
+    """--dp 2: the sweep driver trains through the SPMD data-parallel step
+    on the virtual mesh and still produces a loadable snapshot."""
+    from sldm_gnn_tpu.cli.train import main as train_main
+    from sldm_gnn_tpu.train.snapshot import load_snapshot
+
+    outdir = workspace / "out_dp"
+    r = CliRunner().invoke(
+        train_main,
+        [str(built), str(outdir), "-l", "2", "--epochs", "2", "--dp", "2", "-y"],
+    )
+    assert r.exit_code == 0, r.output
+    assert "Data-parallel SPMD over 2 devices" in r.output
+    snaps = list(outdir.glob("config*/GRUSAGE__best_state.pkl"))
+    assert snaps, f"no snapshot produced; output:\n{r.output}"
+    snap = load_snapshot(snaps[0])
+    assert snap["params"]
