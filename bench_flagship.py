@@ -62,7 +62,9 @@ def main():
     # per-dispatch latency + the closing value-fetch RTT
     iters = int(os.environ.get("FLAG_ITERS", 300))
     with_map = not int(os.environ.get("FLAG_NO_MAP", 0))
-    gru_pad = int(os.environ.get("FLAG_GRU_PAD", 128)) or None
+    # default matches GruSageConfig (None = stock width; padding measured
+    # neutral-to-slower at corrected timing, see BASELINE.md)
+    gru_pad = int(os.environ.get("FLAG_GRU_PAD", 0)) or None
     labels = 4
 
     rng = np.random.default_rng(0)

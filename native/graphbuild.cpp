@@ -428,6 +428,45 @@ void da_fill(void* handle, const float* w, int64_t s_max, float* A,
   delete ctx;
 }
 
+// int8 count-tile fill for the factored mean layout (A = diag(1/deg) @
+// counts, ops/spmm_dense.py): same grouping as da_fill but each edge adds
+// 1 to an int8 tile — no [nb, s_max, T, T] float32 transient (9+ GB at
+// ~50M edges on this 2-CPU host). Counts saturate at 127; the returned
+// max count lets the caller reject overflow exactly like the numpy path.
+// A / src_blk zero-initialized by the caller. Frees the context.
+int64_t da_fill_i8(void* handle, int64_t s_max, int8_t* A, int32_t* src_blk) {
+  auto* ctx = static_cast<DAContext*>(handle);
+  const int64_t tile = ctx->tile;
+  const int64_t nb = ctx->nb;
+  int64_t cmax = 0;
+#pragma omp parallel for schedule(dynamic) reduction(max : cmax)
+  for (int64_t b = 0; b < nb; ++b) {
+    std::vector<int64_t> sbs;
+    sbs.reserve(8);
+    for (int64_t k = ctx->offsets[b]; k < ctx->offsets[b + 1]; ++k) {
+      const int64_t sb = ctx->src[ctx->order[k]] / tile;
+      auto it = std::lower_bound(sbs.begin(), sbs.end(), sb);
+      if (it == sbs.end() || *it != sb) sbs.insert(it, sb);
+    }
+    for (size_t s = 0; s < sbs.size(); ++s) src_blk[b * s_max + s] = (int32_t)sbs[s];
+    int8_t* Ab = A + b * s_max * tile * tile;
+    for (int64_t k = ctx->offsets[b]; k < ctx->offsets[b + 1]; ++k) {
+      const int64_t e = ctx->order[k];
+      const int64_t sb = ctx->src[e] / tile;
+      const int64_t slot =
+          std::lower_bound(sbs.begin(), sbs.end(), sb) - sbs.begin();
+      const int64_t i = ctx->dst[e] - b * tile;
+      const int64_t j = ctx->src[e] - sb * tile;
+      int8_t& cell = Ab[(slot * tile + i) * tile + j];
+      const int64_t c = (int64_t)cell + 1;
+      if (c > cmax) cmax = c;
+      if (cell < 127) cell = (int8_t)c;
+    }
+  }
+  delete ctx;
+  return cmax;
+}
+
 void da_free(void* handle) { delete static_cast<DAContext*>(handle); }
 
 }  // extern "C"

@@ -181,6 +181,15 @@ def _load_dense():
             lib.da_free.argtypes = [ctypes.c_void_p]
         except AttributeError:
             return None  # stale .so — rebuild with make -C native
+        try:
+            # added after da_plan/da_fill: its absence (stale .so) only
+            # disables the int8 fast path, not the f32 one
+            pi8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+            lib.da_fill_i8.argtypes = [ctypes.c_void_p, i64, pi8, pi32]
+            lib.da_fill_i8.restype = i64
+            lib._da_i8 = True
+        except AttributeError:
+            lib._da_i8 = False
         lib._da_ready = True
     return lib
 
@@ -205,3 +214,26 @@ def native_dense_blocks(src, dst, weight, num_dst_blocks, tile):
         raise
     lib.da_fill(handle, w, S, a, src_blk)  # frees the context
     return a, src_blk
+
+
+def native_dense_blocks_i8(src, dst, num_dst_blocks, tile):
+    """Native int8 count-tile builder (the factored mean layout's fast
+    path — avoids the f32 tile transient entirely). Returns
+    (a [nb, s_max, T, T] int8, src_blk [nb, s_max] i32, max_count) or
+    None when the native lib is unavailable."""
+    lib = _load_dense()
+    if lib is None or not lib._da_i8:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    s_max = ctypes.c_int64(0)
+    handle = lib.da_plan(src, dst, len(src), num_dst_blocks, tile, ctypes.byref(s_max))
+    S = max(int(s_max.value), 1)
+    try:
+        a = np.zeros((num_dst_blocks, S, tile, tile), np.int8)
+        src_blk = np.zeros((num_dst_blocks, S), np.int32)
+    except BaseException:
+        lib.da_free(handle)
+        raise
+    cmax = int(lib.da_fill_i8(handle, S, a, src_blk))  # frees the context
+    return a, src_blk, cmax

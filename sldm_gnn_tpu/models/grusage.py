@@ -75,10 +75,14 @@ class GruSageConfig:
     # f32 GRU recurrence/logits)
     compute_dtype: str | None = None
     # round the GRU hidden width up to a multiple of this inside the scan
-    # (MXU lane alignment for the reference's H=96; exact modulo f32
-    # reduction order — ops/gru.py; fwd 2.09->1.41 ms at B=320/T=100/H=96
-    # on v5e); None = run at the stored width
-    gru_pad_to: int | None = 128
+    # (MXU lane alignment; exact modulo f32 reduction order — ops/gru.py);
+    # None (default) runs at the stored width. Padding H=96->128 measured
+    # NEUTRAL-to-slower at flagship sizes on v5e once timing amortized the
+    # relay's per-dispatch latency (bench_flagship.py: 2.37-2.58 ms stock
+    # vs 2.50-3.36 ms padded at 300 iters) — the earlier "-33%" reading
+    # was a 20-iteration measurement artifact. Kept as an option for
+    # hidden sizes far off lane alignment.
+    gru_pad_to: int | None = None
 
     def to_dict(self) -> dict:
         return asdict(self)

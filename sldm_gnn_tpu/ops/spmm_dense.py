@@ -332,16 +332,38 @@ def _prepare_int8_mean_aggregate(src, dst, num_nodes, *, tile, pad_blocks_to):
     scale rides as ``row_scale`` on the forward layout (output rows) and as
     ``col_scale`` on the reverse layout (the transpose of diag(s)·Q scales
     its input: grad_x = Qᵀ @ (s ⊙ g))."""
-    fwd = build_dense_blocks(src, dst, num_nodes, tile=tile, pad_blocks_to=pad_blocks_to)
-    rev = build_dense_blocks(dst, src, num_nodes, tile=tile, pad_blocks_to=pad_blocks_to)
-    cmax = max(fwd.a.max() if fwd.a.size else 0, 1)
-    if cmax > 127:
-        raise ValueError(f"duplicate-edge multiplicity {cmax} overflows int8 counts")
-    n_pad = fwd.num_dst_blocks * tile
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    nb = pad_nodes(num_nodes, tile) // tile
+    nb = ((nb + pad_blocks_to - 1) // pad_blocks_to) * pad_blocks_to
+
+    fwd = rev = None
+    if len(src) >= 100_000:
+        # native int8 count fill: no [nb, s_max, T, T] float32 transient
+        # (9+ GB per direction at ~50M edges — it dominated layout prep)
+        from ..build.native import native_dense_blocks_i8
+
+        out_f = native_dense_blocks_i8(src, dst, nb, tile)
+        out_r = native_dense_blocks_i8(dst, src, nb, tile)
+        if out_f is not None and out_r is not None:
+            cmax = max(out_f[2], out_r[2], 1)
+            if cmax > 127:
+                raise ValueError(
+                    f"duplicate-edge multiplicity {cmax} overflows int8 counts"
+                )
+            fwd = DenseBlocks(a=out_f[0], src_blk=out_f[1], tile=tile)
+            rev = DenseBlocks(a=out_r[0], src_blk=out_r[1], tile=tile)
+    if fwd is None:
+        fwd = build_dense_blocks(src, dst, num_nodes, tile=tile, pad_blocks_to=pad_blocks_to)
+        rev = build_dense_blocks(dst, src, num_nodes, tile=tile, pad_blocks_to=pad_blocks_to)
+        cmax = max(fwd.a.max() if fwd.a.size else 0, 1)
+        if cmax > 127:
+            raise ValueError(f"duplicate-edge multiplicity {cmax} overflows int8 counts")
+    n_pad = nb * tile
     deg = np.bincount(np.asarray(dst, np.int64), minlength=n_pad)
     scale = (1.0 / np.maximum(deg, 1)).astype(np.float32).reshape(-1, 1)
-    fwd = DenseBlocks(a=fwd.a.astype(np.int8), src_blk=fwd.src_blk,
+    fwd = DenseBlocks(a=fwd.a.astype(np.int8, copy=False), src_blk=fwd.src_blk,
                       row_scale=scale, tile=tile)
-    rev = DenseBlocks(a=rev.a.astype(np.int8), src_blk=rev.src_blk,
+    rev = DenseBlocks(a=rev.a.astype(np.int8, copy=False), src_blk=rev.src_blk,
                       col_scale=scale, tile=tile)
     return fwd, rev, n_pad

@@ -145,3 +145,30 @@ def test_native_dense_blocks_matches_python(rng):
     assert a_n.shape == py.a.shape
     np.testing.assert_array_equal(sb_n, np.asarray(py.src_blk))
     np.testing.assert_allclose(a_n, np.asarray(py.a), rtol=1e-6, atol=1e-7)
+
+
+def test_native_dense_blocks_i8_matches_python(rng):
+    """Native int8 count-tile fill == python count layout (incl. duplicate
+    edges), and the reported max count is exact."""
+    from sldm_gnn_tpu.build.native import available, native_dense_blocks_i8
+    from sldm_gnn_tpu.graph.csr import pad_nodes
+    from sldm_gnn_tpu.ops.spmm_dense import build_dense_blocks
+
+    if not available():
+        pytest.skip("native library not built")
+    n, e, tile = 700, 5000, 64
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    # force duplicates so counts exceed 1
+    src[:50] = src[0]
+    dst[:50] = dst[0]
+    nb = pad_nodes(n, tile) // tile
+
+    py = build_dense_blocks(src, dst, n, tile=tile)  # unweighted = counts
+    out = native_dense_blocks_i8(src, dst, nb, tile)
+    assert out is not None
+    a_i8, sb_n, cmax = out
+    assert a_i8.dtype == np.int8
+    np.testing.assert_array_equal(sb_n, np.asarray(py.src_blk))
+    np.testing.assert_array_equal(a_i8.astype(np.float32), np.asarray(py.a))
+    assert cmax == int(py.a.max()) == 50

@@ -156,3 +156,37 @@ def test_int8_factored_mean_matches_edge_list(rng):
     g1 = jax.grad(lambda x: jnp.sum(spmm_dense_apply(x, fwd, rev, False, 2) * t))(x)
     g2 = jax.grad(lambda x: jnp.sum(spmm_xla(x, srcj, dstj, wj, n_pad) * t))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_int8_prepare_native_path_matches_python(rng):
+    """Above the native-path threshold (1e5 edges) the int8 factored
+    layouts must be identical to the numpy construction."""
+    from sldm_gnn_tpu.build.native import available
+
+    if not available():
+        pytest.skip("native library not built")
+    n, deg, tile = 20_000, 6, 64
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-40, 41, n * deg), 0, n - 1)
+    assert len(src) >= 100_000
+
+    fwd_n, rev_n, n_pad_n = prepare_dense_mean_aggregate(
+        src, dst, n, tile=tile, dtype=np.int8, pad_blocks_to=2)
+
+    # numpy reference: same function with the native builder disabled
+    import sldm_gnn_tpu.build.native as native_mod
+
+    orig = native_mod.native_dense_blocks_i8
+    native_mod.native_dense_blocks_i8 = lambda *a, **k: None
+    try:
+        fwd_p, rev_p, n_pad_p = prepare_dense_mean_aggregate(
+            src, dst, n, tile=tile, dtype=np.int8, pad_blocks_to=2)
+    finally:
+        native_mod.native_dense_blocks_i8 = orig
+
+    assert n_pad_n == n_pad_p
+    for a, b in ((fwd_n, fwd_p), (rev_n, rev_p)):
+        np.testing.assert_array_equal(np.asarray(a.a), np.asarray(b.a))
+        np.testing.assert_array_equal(np.asarray(a.src_blk), np.asarray(b.src_blk))
+    np.testing.assert_array_equal(np.asarray(fwd_n.row_scale), np.asarray(fwd_p.row_scale))
+    np.testing.assert_array_equal(np.asarray(rev_n.col_scale), np.asarray(rev_p.col_scale))
