@@ -156,7 +156,11 @@ def main():
         dense_dtype = "bfloat16" if a_bytes(2) < dense_budget else "int8"
     if spmm_backend == "auto":
         fits = a_bytes(1 if dense_dtype == "int8" else 2) < dense_budget
-        spmm_backend = "dense" if fits else "onehot"
+        # when even int8 pure-dense tiles outgrow the budget, the hybrid
+        # backend keeps the densest block pairs on the dense path (within
+        # budget) and sends stragglers through the one-hot kernel — it
+        # degrades gracefully to pure one-hot when no pair qualifies
+        spmm_backend = "dense" if fits else "hybrid"
 
     # one-hot layout knobs: node-tile 512 measured best on v5e (the kernel
     # is MXU-utilization-bound; a 512-deep contraction uses the systolic

@@ -35,6 +35,20 @@ TILE = 128
 EDGE_CHUNK = 256
 
 
+def auto_edge_chunk(n_edges: int, edge_chunk: int = EDGE_CHUNK,
+                    max_chunks: int = 65536) -> int:
+    """Scale the chunk width up so the layout's chunk count stays under
+    ``max_chunks``: the SpMM kernel scalar-prefetches per-chunk (dst_block,
+    src_block) metadata into SMEM (~1 MB on v5e), so ~100M-edge layouts at
+    the default width overflow it (observed at 140k chunks: 2 x 548 KB
+    prefetched operands). Doubling keeps the width a power-of-two multiple
+    of the tuned default."""
+    ec = edge_chunk
+    while n_edges > ec * max_chunks:
+        ec *= 2
+    return ec
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class BlockedEdges:

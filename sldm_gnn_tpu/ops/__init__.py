@@ -32,6 +32,8 @@ from .spmm_dense import (  # noqa: F401
 from .spmm_hybrid import (  # noqa: F401
     HybridLayout,
     select_dense_edges,
+    dense_tile_bytes,
+    prepare_auto_mean_aggregate,
     prepare_hybrid_mean_aggregate,
     spmm_hybrid_apply,
 )

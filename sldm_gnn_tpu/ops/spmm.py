@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph.csr import TILE, EDGE_CHUNK, BlockedEdges, block_edges, mean_weights, pad_nodes
+from ..graph.csr import TILE, EDGE_CHUNK, BlockedEdges, auto_edge_chunk, block_edges, mean_weights, pad_nodes
 
 
 # ---------------------------------------------------------------- XLA path
@@ -370,6 +370,7 @@ def prepare_mean_aggregate(
     """
     n_pad = pad_nodes(num_nodes, tile)
     w = mean_weights(dst, num_nodes)
+    edge_chunk = auto_edge_chunk(len(src), edge_chunk)
     fwd = block_edges(src, dst, n_pad, weight=w, tile=tile, edge_chunk=edge_chunk,
                       step_chunks=step_chunks)
     rev = block_edges(dst, src, n_pad, weight=w, tile=tile, edge_chunk=edge_chunk,

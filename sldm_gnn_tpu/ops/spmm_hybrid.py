@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph.csr import EDGE_CHUNK, TILE, BlockedEdges, block_edges, mean_weights
+from ..graph.csr import EDGE_CHUNK, TILE, BlockedEdges, auto_edge_chunk, block_edges, mean_weights
 from .spmm import spmm_apply
 from .spmm_dense import DenseBlocks, build_dense_blocks, spmm_dense_apply
 
@@ -147,15 +147,32 @@ def prepare_hybrid_mean_aggregate(
     if dense_mask.any():
         sd, dd, wd = src[dense_mask], dst[dense_mask], w[dense_mask]
         if np.dtype(dense_dtype) == np.int8:
-            fwd = build_dense_blocks(sd, dd, n_pad, tile=tile, pad_blocks_to=dense_k)
-            rev = build_dense_blocks(dd, sd, n_pad, tile=tile, pad_blocks_to=dense_k)
-            if fwd.a.size and fwd.a.max() > 127:
-                raise ValueError("duplicate-edge multiplicity overflows int8 counts")
+            fwd = rev = None
+            if len(sd) >= 100_000:
+                # native int8 count fill — skips the f32 tile transient
+                # (GBs at config-4+ subsets); nb is already dense_k-padded
+                # via the lcm rounding of n_pad above
+                from ..build.native import native_dense_blocks_i8
+
+                out_f = native_dense_blocks_i8(sd, dd, nb, tile)
+                out_r = native_dense_blocks_i8(dd, sd, nb, tile)
+                if out_f is not None and out_r is not None:
+                    if max(out_f[2], out_r[2]) > 127:
+                        raise ValueError(
+                            "duplicate-edge multiplicity overflows int8 counts"
+                        )
+                    fwd = DenseBlocks(a=out_f[0], src_blk=out_f[1], tile=tile)
+                    rev = DenseBlocks(a=out_r[0], src_blk=out_r[1], tile=tile)
+            if fwd is None:
+                fwd = build_dense_blocks(sd, dd, n_pad, tile=tile, pad_blocks_to=dense_k)
+                rev = build_dense_blocks(dd, sd, n_pad, tile=tile, pad_blocks_to=dense_k)
+                if fwd.a.size and fwd.a.max() > 127:
+                    raise ValueError("duplicate-edge multiplicity overflows int8 counts")
             deg = np.bincount(dst, minlength=n_pad)  # FULL degree
             scale = (1.0 / np.maximum(deg, 1)).astype(np.float32).reshape(-1, 1)
-            dense_fwd = DenseBlocks(a=fwd.a.astype(np.int8), src_blk=fwd.src_blk,
+            dense_fwd = DenseBlocks(a=fwd.a.astype(np.int8, copy=False), src_blk=fwd.src_blk,
                                     row_scale=scale, tile=tile)
-            dense_rev = DenseBlocks(a=rev.a.astype(np.int8), src_blk=rev.src_blk,
+            dense_rev = DenseBlocks(a=rev.a.astype(np.int8, copy=False), src_blk=rev.src_blk,
                                     col_scale=scale, tile=tile)
         else:
             dense_fwd = build_dense_blocks(sd, dd, n_pad, weight=wd, tile=tile,
@@ -165,10 +182,11 @@ def prepare_hybrid_mean_aggregate(
     sparse_mask = ~dense_mask
     if sparse_mask.any() or not dense_mask.any():
         ss, ds, ws = src[sparse_mask], dst[sparse_mask], w[sparse_mask]
+        ec = auto_edge_chunk(len(ss), edge_chunk)
         onehot_fwd = block_edges(ss, ds, n_pad, weight=ws, tile=tile,
-                                 edge_chunk=edge_chunk, step_chunks=k_per_step)
+                                 edge_chunk=ec, step_chunks=k_per_step)
         onehot_rev = block_edges(ds, ss, n_pad, weight=ws, tile=tile,
-                                 edge_chunk=edge_chunk, step_chunks=k_per_step)
+                                 edge_chunk=ec, step_chunks=k_per_step)
 
     layout = HybridLayout(
         dense_fwd=dense_fwd, dense_rev=dense_rev,
@@ -193,3 +211,75 @@ def spmm_hybrid_apply(x: jax.Array, layout: HybridLayout, use_pallas: bool) -> j
     if out is None:
         out = jnp.zeros_like(x)
     return out
+
+
+def dense_tile_bytes(src, dst, num_nodes, *, tile: int = TILE, dense_k: int = 1,
+                     itemsize: int = 2) -> int:
+    """Exact fwd+rev dense A-tile storage for this edge set (bytes).
+
+    The dense layout is [nb, s_max, T, T] per direction where s_max is the
+    max distinct src (resp. dst) blocks touching any dst (resp. src) block
+    — computed from the real block-pair structure, not a locality
+    heuristic."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    lcm = math.lcm(tile * dense_k, tile)
+    n_pad = max(((num_nodes + lcm - 1) // lcm) * lcm, lcm)
+    nb = n_pad // tile
+    if not len(src):
+        return 0
+    pairs = np.unique(dst // tile * nb + src // tile)
+    s_fwd = int(np.bincount(pairs // nb).max())
+    s_rev = int(np.bincount(pairs % nb).max())
+    return nb * (s_fwd + s_rev) * tile * tile * itemsize
+
+
+def prepare_auto_mean_aggregate(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    tile: int = TILE,
+    dense_k: int = 1,
+    k_per_step: int = 1,
+    edge_chunk: int = EDGE_CHUNK,
+    a_budget_bytes: float = 8e9,
+    min_pair_edges: int | None = None,
+):
+    """Pick the fastest SpMM layout for a static edge set under an A-tile
+    HBM budget (the bench's selection policy, as a library surface):
+
+      1. pure dense, bf16 weight tiles — fastest (764M edges/s at the
+         3.2M-edge headline) when the full pair set fits the budget;
+      2. pure dense, int8-factored count tiles — half the A storage at a
+         ~7% in-kernel dequant cost (611M edges/s at 48M edges);
+      3. hybrid density split — densest pairs on the dense path within
+         budget, stragglers through the one-hot kernel;
+      4. (degenerate hybrid) pure one-hot when no pair qualifies.
+
+    Returns ``(layout_fwd, layout_rev, n_pad)`` ready for
+    ``models.blocked_sage`` / ``spmm_*_apply`` — ``layout_rev`` is None for
+    the hybrid case (the HybridLayout carries both directions). Dense bf16
+    tiles are materialized host-side in bf16 (ml_dtypes), so nothing
+    f32-sized ships to the device.
+    """
+    from .spmm_dense import prepare_dense_mean_aggregate
+
+    if dense_tile_bytes(src, dst, num_nodes, tile=tile, dense_k=dense_k,
+                        itemsize=2) <= a_budget_bytes:
+        fwd, rev, n_pad = prepare_dense_mean_aggregate(
+            src, dst, num_nodes, tile=tile, pad_blocks_to=dense_k)
+        bf16 = jnp.bfloat16.dtype  # numpy-compatible ml_dtypes bfloat16
+        fwd = DenseBlocks(a=fwd.a.astype(bf16), src_blk=fwd.src_blk, tile=tile)
+        rev = DenseBlocks(a=rev.a.astype(bf16), src_blk=rev.src_blk, tile=tile)
+        return fwd, rev, n_pad
+    if dense_tile_bytes(src, dst, num_nodes, tile=tile, dense_k=dense_k,
+                        itemsize=1) <= a_budget_bytes:
+        fwd, rev, n_pad = prepare_dense_mean_aggregate(
+            src, dst, num_nodes, tile=tile, pad_blocks_to=dense_k, dtype=np.int8)
+        return fwd, rev, n_pad
+    layout, n_pad = prepare_hybrid_mean_aggregate(
+        src, dst, num_nodes, tile=tile, dense_k=dense_k, k_per_step=k_per_step,
+        edge_chunk=edge_chunk, min_pair_edges=min_pair_edges,
+        a_budget_bytes=a_budget_bytes, dense_dtype=np.int8)
+    return layout, None, n_pad

@@ -131,3 +131,75 @@ def test_pallas_interpret_matches_xla_dispatch(rng):
         + spmm_pallas(x, hlj.onehot_fwd, n_pad, interpret=True, k_per_step=hl.k_per_step)
     )
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_hybrid_int8_native_path_matches_python(rng):
+    """Above the native threshold the hybrid's int8 dense half must equal
+    the numpy construction (and the one-hot half is untouched)."""
+    from sldm_gnn_tpu.build.native import available
+    import sldm_gnn_tpu.build.native as native_mod
+
+    if not available():
+        pytest.skip("native library not built")
+    n, deg, tile = 20_000, 6, 64
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-40, 41, n * deg), 0, n - 1)
+
+    kw = dict(tile=tile, dense_k=2, min_pair_edges=8,
+              a_budget_bytes=1e9, dense_dtype=np.int8)
+    hl_n, np_n = prepare_hybrid_mean_aggregate(src, dst, n, **kw)
+    assert hl_n.dense_fwd is not None and hl_n.dense_fwd.a.dtype == np.int8
+
+    orig = native_mod.native_dense_blocks_i8
+    native_mod.native_dense_blocks_i8 = lambda *a, **k: None
+    try:
+        hl_p, np_p = prepare_hybrid_mean_aggregate(src, dst, n, **kw)
+    finally:
+        native_mod.native_dense_blocks_i8 = orig
+
+    assert np_n == np_p
+    for a, b in ((hl_n.dense_fwd, hl_p.dense_fwd), (hl_n.dense_rev, hl_p.dense_rev)):
+        np.testing.assert_array_equal(np.asarray(a.a), np.asarray(b.a))
+        np.testing.assert_array_equal(np.asarray(a.src_blk), np.asarray(b.src_blk))
+    np.testing.assert_array_equal(np.asarray(hl_n.dense_fwd.row_scale),
+                                  np.asarray(hl_p.dense_fwd.row_scale))
+
+
+def test_prepare_auto_selects_and_matches(rng):
+    """The auto layout picker returns bf16-dense / int8-dense / hybrid by
+    budget tier, and every tier computes the same mean aggregation."""
+    from sldm_gnn_tpu.ops.spmm import spmm_xla
+    from sldm_gnn_tpu.ops.spmm_dense import DenseBlocks, spmm_dense_apply
+    from sldm_gnn_tpu.ops.spmm_hybrid import (
+        HybridLayout, dense_tile_bytes, prepare_auto_mean_aggregate)
+    from sldm_gnn_tpu.graph.csr import mean_weights
+
+    n, deg, tile, d = 1500, 6, 64, 8
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-30, 31, n * deg), 0, n - 1)
+
+    full = dense_tile_bytes(src, dst, n, tile=tile, itemsize=2)
+    tiers = [
+        (full + 1, DenseBlocks, "bfloat16"),
+        (full // 2 + 1, DenseBlocks, "int8"),
+        (2 * tile * tile + 1, HybridLayout, None),
+    ]
+    outs = []
+    for budget, typ, dt in tiers:
+        fwd, rev, n_pad = prepare_auto_mean_aggregate(
+            src, dst, n, tile=tile, a_budget_bytes=budget)
+        assert isinstance(fwd, typ)
+        if dt is not None:
+            assert str(fwd.a.dtype) == dt
+        x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+        if isinstance(fwd, HybridLayout):
+            got = spmm_hybrid_apply(x, jax.tree.map(jnp.asarray, fwd), False)
+        else:
+            got = spmm_dense_apply(x, jax.tree.map(jnp.asarray, fwd),
+                                   jax.tree.map(jnp.asarray, rev), False)
+        outs.append((np.asarray(got), x, n_pad))
+
+    for got, x, n_pad in outs:
+        w = jnp.asarray(mean_weights(dst, n_pad))
+        want = np.asarray(spmm_xla(x, jnp.asarray(src), jnp.asarray(dst), w, n_pad))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
