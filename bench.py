@@ -65,19 +65,26 @@ def spmm_xla_chunked(x, src, dst, w, num_nodes, chunk=2_000_000):
     return acc
 
 
-def two_layer_sage(params, x, agg, dtype=jnp.float32):
+def two_layer_sage(params, x, agg, dtype=jnp.float32, remat=False):
     """2-layer mean-aggregate GraphSAGE. ``dtype`` is the compute/storage
     dtype of activations and layer weights inside the step (master params
     and the autodiff chain stay f32 outside). bf16 halves the SpMM kernel's
     dominant X-tile streaming bandwidth; the kernel's DEFAULT precision
     already rounds MXU operands to bf16, so bf16 storage costs no extra
-    accuracy (ops/spmm.py)."""
+    accuracy (ops/spmm.py). ``remat`` (BENCH_REMAT=1) checkpoints each
+    layer — backward recomputes its [N, D] activations instead of keeping
+    them live, trading one extra aggregation for several N*D temps; how
+    ~100M-edge graphs fit one chip's HBM."""
     x = x.astype(dtype)
     params = jax.tree.map(lambda p: p.astype(dtype), params)
-    h = agg(x)
-    h = jnp.maximum(h @ params["w0a"] + x @ params["w0b"], 0.0)
-    h2 = agg(h)
-    h2 = jnp.maximum(h2 @ params["w1a"] + h @ params["w1b"], 0.0)
+
+    def layer(h_in, wa, wb):
+        return jnp.maximum(agg(h_in) @ wa + h_in @ wb, 0.0)
+
+    if remat:
+        layer = jax.checkpoint(layer)
+    h = layer(x, params["w0a"], params["w0b"])
+    h2 = layer(h, params["w1a"], params["w1b"])
     return h2.astype(jnp.float32)
 
 
@@ -241,6 +248,7 @@ def main():
     w_j = jnp.asarray(mean_weights(dst, n_pad))
 
     use_pallas = backend not in ("cpu",)
+    remat = bool(int(os.environ.get("BENCH_REMAT", 0)))
     # compute/storage dtype inside the step; both paths use the same dtype
     # so vs_baseline stays apples-to-apples. Default bf16: the Pallas
     # kernel's DEFAULT precision already computes on bf16 MXU operands, so
@@ -254,7 +262,7 @@ def main():
             agg = lambda h: spmm_dense_apply(h, bf, br, use_pallas, dense_k)
         else:
             agg = lambda h: spmm_apply(h, bf, br, n_pad, use_pallas, k_per_step)
-        return jnp.sum(two_layer_sage(params, x, agg, dt))
+        return jnp.sum(two_layer_sage(params, x, agg, dt, remat))
 
     xla_big = e * d * dt.itemsize > 2_000_000_000  # messages array would exceed ~2GB
 
@@ -263,7 +271,7 @@ def main():
             agg = lambda h: spmm_xla_chunked(h, src_j, dst_j, w_j, n_pad)
         else:
             agg = lambda h: spmm_xla(h, src_j, dst_j, w_j, n_pad)
-        return jnp.sum(two_layer_sage(params, x, agg, dt))
+        return jnp.sum(two_layer_sage(params, x, agg, dt, remat))
 
     step_pallas = jax.grad(loss_pallas, argnums=(0, 1))
     step_xla = jax.grad(loss_xla, argnums=(0, 1))

@@ -24,6 +24,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # the container's sitecustomize registers the axon TPU backend at
+    # interpreter start, so the JAX_PLATFORMS env var alone is too late —
+    # honor it (and SCALE_CPU=1) via the config API before the first jax op
+    if os.environ.get("SCALE_CPU") or os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from sldm_gnn_tpu.parallel.mesh import make_mesh

@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph.csr import TILE, BlockedEdges, block_edges, pad_nodes
-from .spmm import spmm_pallas, spmm_xla, _spmm_dispatch
+from ..graph.csr import auto_edge_chunk, TILE, BlockedEdges, block_edges, pad_nodes
+from .spmm import spmm_pallas, spmm_xla, _spmm_dispatch, _operand_vma
 
 
 # ---------------------------------------------------------------- XLA path
@@ -92,7 +92,9 @@ def sddmm_pallas(x: jax.Array, y: jax.Array, blocked: BlockedEdges, *, interpret
     out = pl.pallas_call(
         _sddmm_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((W, 1, ec), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (W, 1, ec), jnp.float32,
+            vma=_operand_vma(x, y, blocked.block_meta, blocked.weight)),
         cost_estimate=pl.CostEstimate(
             flops=W * (2 * tile * tile * d + 2 * ec * tile * tile),
             bytes_accessed=W * 2 * tile * d * 4,
@@ -182,6 +184,8 @@ def prepare_sddmm(src: np.ndarray, dst: np.ndarray, num_nodes: int):
     (validity only) and edge ids into the *original* edge list.
     """
     n_pad = pad_nodes(num_nodes)
-    fwd = block_edges(src, dst, n_pad)
-    rev = block_edges(dst, src, n_pad)
+    # SMEM-safe chunk width at 10M+-edge scales (see graph.csr.auto_edge_chunk)
+    ec = auto_edge_chunk(len(src))
+    fwd = block_edges(src, dst, n_pad, edge_chunk=ec)
+    rev = block_edges(dst, src, n_pad, edge_chunk=ec)
     return fwd, rev, n_pad

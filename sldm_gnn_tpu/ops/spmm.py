@@ -49,6 +49,18 @@ def spmm_xla(x, src, dst, weight, num_nodes: int):
 # ------------------------------------------------------------- Pallas path
 
 
+def _operand_vma(*arrays):
+    """Union of the operands' varying-manual-axes — under shard_map with
+    checked replication (jax 0.9 check_vma), pallas_call must declare how
+    its output varies across mesh axes; the output of these kernels varies
+    exactly as the union of their inputs does. Outside shard_map every
+    vma is empty, so this is a no-op there."""
+    vma = frozenset()
+    for a in arrays:
+        vma = vma | jax.typeof(a).vma
+    return vma
+
+
 def _spmm_kernel(dblk_ref, sblk_ref, src_ref, dst_ref, w_ref, *x_out_acc, precision, k_per_step):
     from jax.experimental import pallas as pl
 
@@ -181,7 +193,9 @@ def spmm_pallas(
     return pl.pallas_call(
         partial(_spmm_kernel, precision=precision, k_per_step=K),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, d), x.dtype,
+            vma=_operand_vma(x, blocked.block_meta, blocked.weight)),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(W * tile * d + n_pad * d) * x.dtype.itemsize,
@@ -306,7 +320,9 @@ def spmm_pallas_int8(
     return pl.pallas_call(
         partial(_spmm_int8_kernel, k_per_step=K),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, d), out_dtype,
+            vma=_operand_vma(xq, xs, blocked.block_meta, blocked.weight)),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * W * ec * tile * d,
             bytes_accessed=W * tile * d + n_pad * d * 4,

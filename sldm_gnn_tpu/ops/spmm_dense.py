@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.csr import TILE, pad_nodes
+from .spmm import _operand_vma
 
 
 @jax.tree_util.register_dataclass
@@ -241,7 +242,9 @@ def spmm_dense_pallas(
         partial(_dense_kernel, s_max=s_max, step_blocks=K, tile=tile,
                 has_row=has_row),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, d), x.dtype,
+            vma=_operand_vma(x, blocks.a, blocks.src_blk)),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * s_max * tile * tile * d,
             bytes_accessed=blocks.a.size * blocks.a.dtype.itemsize + n_pad * d * x.dtype.itemsize,

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.csr import TILE, BlockedEdges
+from .spmm import _operand_vma
 
 
 @jax.tree_util.register_dataclass
@@ -203,7 +204,9 @@ def spmm_pallas_mk(
     return pl.pallas_call(
         partial(_mk_kernel, ec=ec, d=d, fast=fast, tile=tile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, d), x.dtype,
+            vma=_operand_vma(x, mk.sblk, mk.weight)),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(W * (tile * d + 3 * ec) + 2 * n_pad * d) * 4,
