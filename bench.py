@@ -144,23 +144,26 @@ def main():
     # Its A storage is pairs*T^2 per direction, so 'auto' falls back to the
     # one-hot kernel when fwd+rev tiles would exceed ~4 GB (huge graphs).
     spmm_backend = os.environ.get("BENCH_SPMM", "auto")
-    dense_tile = int(os.environ.get("BENCH_DENSE_TILE", 256))
-    dense_k = int(os.environ.get("BENCH_DENSE_K", 2))  # dst blocks per grid step
+    # corrected-timing sweep (BASELINE.md): tile 128 (MXU-native, tighter A
+    # tiles on reach-256 locality) + 4 dst blocks per grid step measured
+    # best — 906M edges/s vs 802M at the old 256/2 defaults
+    dense_tile = int(os.environ.get("BENCH_DENSE_TILE", 128))
+    dense_k = int(os.environ.get("BENCH_DENSE_K", 4))  # dst blocks per grid step
     # A-tile dtype. int8: mean aggregation factors EXACTLY into integer
     # count tiles + a per-node 1/deg scale (ops/spmm_dense.py), halving A's
-    # HBM storage and streaming bandwidth vs bf16 — same math, same bf16 MXU
-    # rounding, but the in-kernel i8->bf16 convert costs ~7% when A already
-    # fits (454M vs 487M edges/s at the 3.2M-edge headline). 'auto' therefore
-    # prefers bf16 when its tiles fit the budget and falls back to int8 to
-    # keep the dense backend viable at ~50M-edge scale (6.1 GB int8 vs
-    # 12.3 GB bf16 at config 4).
+    # HBM storage and streaming bandwidth vs bf16 — same math, same bf16
+    # MXU rounding. At corrected timing int8 is FASTER outright (862M vs
+    # 802M at tile 256: the kernel is A-streaming-bound, so half the bytes
+    # beats the in-kernel i8->bf16 convert; the earlier "7% slower" was a
+    # low-iteration artifact), so 'auto' simply means int8 for this mean
+    # aggregation (exact). bf16 remains for non-factorable weighted cases.
     dense_dtype = os.environ.get("BENCH_DENSE_DTYPE", "auto")
     dense_budget = int(float(os.environ.get("BENCH_DENSE_BUDGET", 8e9)))
     nb = (n + dense_tile - 1) // dense_tile
     reach_blocks = 2 * 256 // dense_tile + 2  # make_local_graph reach=256
     a_bytes = lambda itemsize: 2 * nb * reach_blocks * dense_tile * dense_tile * itemsize
     if dense_dtype == "auto":
-        dense_dtype = "bfloat16" if a_bytes(2) < dense_budget else "int8"
+        dense_dtype = "int8"
     if spmm_backend == "auto":
         fits = a_bytes(1 if dense_dtype == "int8" else 2) < dense_budget
         # when even int8 pure-dense tiles outgrow the budget, the hybrid
@@ -237,7 +240,13 @@ def main():
         blocked_rev = jax.tree.map(jnp.asarray, blocked_rev)
 
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    # x STORAGE dtype: defaults to the compute dtype (bf16) — the kernels
+    # already round MXU operands to bf16, so f32 residency only doubled the
+    # x/grad-x HBM footprint (6 GB at ~100M edges) and added a convert.
+    # BENCH_X_DTYPE=float32 restores the old behavior.
+    xdt = jnp.dtype(os.environ.get(
+        "BENCH_X_DTYPE", os.environ.get("BENCH_DTYPE", "bfloat16")))
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32)).astype(xdt)
     params = {
         k: jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.05)
         for k in ("w0a", "w0b", "w1a", "w1b")

@@ -249,35 +249,38 @@ def prepare_auto_mean_aggregate(
     """Pick the fastest SpMM layout for a static edge set under an A-tile
     HBM budget (the bench's selection policy, as a library surface):
 
-      1. pure dense, bf16 weight tiles — fastest (764M edges/s at the
-         3.2M-edge headline) when the full pair set fits the budget;
-      2. pure dense, int8-factored count tiles — half the A storage at a
-         ~7% in-kernel dequant cost (611M edges/s at 48M edges);
-      3. hybrid density split — densest pairs on the dense path within
+      1. pure dense, int8-factored count tiles — the fastest mean
+         aggregation measured (906M edges/s at the 3.2M-edge headline,
+         tile 128 / 4 dst blocks per step: the kernel is A-streaming-
+         bound, so int8's halved bytes beat bf16 outright) and EXACT
+         (mean's 1/deg weight factors out of integer count tiles);
+      2. hybrid density split — densest pairs on the dense path within
          budget, stragglers through the one-hot kernel;
-      4. (degenerate hybrid) pure one-hot when no pair qualifies.
+      3. (degenerate hybrid) pure one-hot when no pair qualifies.
 
     Returns ``(layout_fwd, layout_rev, n_pad)`` ready for
     ``models.blocked_sage`` / ``spmm_*_apply`` — ``layout_rev`` is None for
-    the hybrid case (the HybridLayout carries both directions). Dense bf16
-    tiles are materialized host-side in bf16 (ml_dtypes), so nothing
-    f32-sized ships to the device.
+    the hybrid case (the HybridLayout carries both directions). Duplicate
+    edges with multiplicity > 127 fall back to bf16 weight tiles (the
+    non-factorable general case).
     """
     from .spmm_dense import prepare_dense_mean_aggregate
 
     if dense_tile_bytes(src, dst, num_nodes, tile=tile, dense_k=dense_k,
-                        itemsize=2) <= a_budget_bytes:
-        fwd, rev, n_pad = prepare_dense_mean_aggregate(
-            src, dst, num_nodes, tile=tile, pad_blocks_to=dense_k)
-        bf16 = jnp.bfloat16.dtype  # numpy-compatible ml_dtypes bfloat16
-        fwd = DenseBlocks(a=fwd.a.astype(bf16), src_blk=fwd.src_blk, tile=tile)
-        rev = DenseBlocks(a=rev.a.astype(bf16), src_blk=rev.src_blk, tile=tile)
-        return fwd, rev, n_pad
-    if dense_tile_bytes(src, dst, num_nodes, tile=tile, dense_k=dense_k,
                         itemsize=1) <= a_budget_bytes:
-        fwd, rev, n_pad = prepare_dense_mean_aggregate(
-            src, dst, num_nodes, tile=tile, pad_blocks_to=dense_k, dtype=np.int8)
-        return fwd, rev, n_pad
+        try:
+            return prepare_dense_mean_aggregate(
+                src, dst, num_nodes, tile=tile, pad_blocks_to=dense_k,
+                dtype=np.int8)
+        except ValueError:  # duplicate-edge multiplicity > 127
+            if dense_tile_bytes(src, dst, num_nodes, tile=tile,
+                                dense_k=dense_k, itemsize=2) <= a_budget_bytes:
+                fwd, rev, n_pad = prepare_dense_mean_aggregate(
+                    src, dst, num_nodes, tile=tile, pad_blocks_to=dense_k)
+                bf16 = jnp.bfloat16.dtype  # numpy-compatible ml_dtypes bf16
+                fwd = DenseBlocks(a=fwd.a.astype(bf16), src_blk=fwd.src_blk, tile=tile)
+                rev = DenseBlocks(a=rev.a.astype(bf16), src_blk=rev.src_blk, tile=tile)
+                return fwd, rev, n_pad
     layout, n_pad = prepare_hybrid_mean_aggregate(
         src, dst, num_nodes, tile=tile, dense_k=dense_k, k_per_step=k_per_step,
         edge_chunk=edge_chunk, min_pair_edges=min_pair_edges,

@@ -178,10 +178,9 @@ def test_prepare_auto_selects_and_matches(rng):
     dst = np.repeat(np.arange(n, dtype=np.int64), deg)
     src = np.clip(dst + rng.integers(-30, 31, n * deg), 0, n - 1)
 
-    full = dense_tile_bytes(src, dst, n, tile=tile, itemsize=2)
+    full_i8 = dense_tile_bytes(src, dst, n, tile=tile, itemsize=1)
     tiers = [
-        (full + 1, DenseBlocks, "bfloat16"),
-        (full // 2 + 1, DenseBlocks, "int8"),
+        (full_i8 + 1, DenseBlocks, "int8"),
         (2 * tile * tile + 1, HybridLayout, None),
     ]
     outs = []
@@ -203,3 +202,12 @@ def test_prepare_auto_selects_and_matches(rng):
         w = jnp.asarray(mean_weights(dst, n_pad))
         want = np.asarray(spmm_xla(x, jnp.asarray(src), jnp.asarray(dst), w, n_pad))
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    # duplicate multiplicity > 127 -> exact int8 counts impossible; the
+    # picker falls back to bf16 weight tiles within the same budget
+    src2 = np.concatenate([src, np.full(130, src[0])])
+    dst2 = np.concatenate([dst, np.full(130, dst[0])])
+    fwd, rev, n_pad = prepare_auto_mean_aggregate(
+        src2, dst2, n, tile=tile,
+        a_budget_bytes=dense_tile_bytes(src2, dst2, n, tile=tile, itemsize=2) + 1)
+    assert isinstance(fwd, DenseBlocks) and str(fwd.a.dtype) == "bfloat16"
