@@ -29,6 +29,7 @@ from sldm_gnn_tpu.graph.csr import pad_nodes
 from sldm_gnn_tpu.ops.spmm import prepare_mean_aggregate, spmm_apply, spmm_xla
 from sldm_gnn_tpu.ops.spmm_dense import DenseBlocks, prepare_dense_mean_aggregate, spmm_dense_apply
 from sldm_gnn_tpu.ops.spmm_hybrid import prepare_hybrid_mean_aggregate, spmm_hybrid_apply
+from sldm_gnn_tpu.ops.spmm_banded import prepare_banded_mean_aggregate, spmm_banded_apply
 
 
 def make_local_graph(n: int, deg: int, *, reach: int = 256, seed: int = 0):
@@ -149,6 +150,9 @@ def main():
     # best — 906M edges/s vs 802M at the old 256/2 defaults
     dense_tile = int(os.environ.get("BENCH_DENSE_TILE", 128))
     dense_k = int(os.environ.get("BENCH_DENSE_K", 4))  # dst blocks per grid step
+    # banded backend (ops/spmm_banded.py): one windowed x DMA per K-group
+    # instead of one tile per block pair — 1.38x per aggregation at K=8
+    banded_k = int(os.environ.get("BENCH_BANDED_K", 8))
     # A-tile dtype. int8: mean aggregation factors EXACTLY into integer
     # count tiles + a per-node 1/deg scale (ops/spmm_dense.py), halving A's
     # HBM storage and streaming bandwidth vs bf16 — same math, same bf16
@@ -166,11 +170,14 @@ def main():
         dense_dtype = "int8"
     if spmm_backend == "auto":
         fits = a_bytes(1 if dense_dtype == "int8" else 2) < dense_budget
-        # when even int8 pure-dense tiles outgrow the budget, the hybrid
-        # backend keeps the densest block pairs on the dense path (within
-        # budget) and sends stragglers through the one-hot kernel — it
-        # degrades gracefully to pure one-hot when no pair qualifies
-        spmm_backend = "dense" if fits else "hybrid"
+        # preference order: banded (windowed x streaming — fastest on
+        # locality graphs; falls back to dense below when the graph is not
+        # banded) > dense > hybrid (densest pairs within budget + one-hot
+        # stragglers; degrades gracefully to pure one-hot)
+        if fits:
+            spmm_backend = "banded" if dense_dtype == "int8" else "dense"
+        else:
+            spmm_backend = "hybrid"
 
     # one-hot layout knobs: node-tile 512 measured best on v5e (the kernel
     # is MXU-utilization-bound; a 512-deep contraction uses the systolic
@@ -179,7 +186,20 @@ def main():
     tile = int(os.environ.get("BENCH_TILE", 512))
     edge_chunk = int(os.environ.get("BENCH_EDGE_CHUNK", 512))
     _vlog(f"backend={spmm_backend} dtype={dense_dtype} E={e}")
-    if spmm_backend == "hybrid":
+    if spmm_backend == "banded":
+        try:
+            banded_fwd, banded_rev, n_pad = prepare_banded_mean_aggregate(
+                src, dst, n, tile=dense_tile, k=banded_k, dtype=np.int8)
+            blocked_fwd = jax.tree.map(jnp.asarray, banded_fwd)
+            blocked_rev = jax.tree.map(jnp.asarray, banded_rev)
+            _vlog(f"banded layout: A {banded_fwd.a.nbytes/1e9:.2f}+{banded_rev.a.nbytes/1e9:.2f} GB, "
+                  f"s_span {banded_fwd.s_span}/{banded_rev.s_span}, wsz {banded_fwd.wsz}/{banded_rev.wsz}")
+        except ValueError as err:
+            _vlog(f"banded build failed ({err}); falling back to dense")
+            spmm_backend = "dense"
+    if spmm_backend == "banded":
+        pass  # layouts built above
+    elif spmm_backend == "hybrid":
         # density-split backend (ops/spmm_hybrid.py): dense tiles for block
         # pairs above the break-even density within the A budget; one-hot
         # chunks for stragglers. The play for density-skewed graphs and for
@@ -265,7 +285,9 @@ def main():
     dt = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
     def loss_pallas(params, x, bf, br):
-        if spmm_backend == "hybrid":
+        if spmm_backend == "banded":
+            agg = lambda h: spmm_banded_apply(h, bf, br, use_pallas)
+        elif spmm_backend == "hybrid":
             agg = lambda h: spmm_hybrid_apply(h, bf, use_pallas)
         elif spmm_backend == "dense":
             agg = lambda h: spmm_dense_apply(h, bf, br, use_pallas, dense_k)
@@ -303,7 +325,7 @@ def main():
         "vs_baseline": None if skip_xla else round(t_xla / t_pallas, 3),
         "backend": backend,
         "spmm": spmm_backend,
-        "dense_dtype": dense_dtype if spmm_backend in ("dense", "hybrid") else None,
+        "dense_dtype": dense_dtype if spmm_backend in ("dense", "hybrid", "banded") else None,
         "dense_frac": round(dense_frac, 4) if spmm_backend == "hybrid" else None,
         "dtype": dt.name,
         "nodes": n,

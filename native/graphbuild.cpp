@@ -467,6 +467,44 @@ int64_t da_fill_i8(void* handle, int64_t s_max, int8_t* A, int32_t* src_blk) {
   return cmax;
 }
 
+// Banded int8 count fill (ops/spmm_banded.py): slot = src_block - bo[b]
+// where bo[b] is the block's minimum source block. Writes bo (int32[nb])
+// and A (int8[nb, s_span, T, T], zero-initialized by caller). Returns the
+// max count (int8-overflow check), or -1 if any block's span exceeds
+// s_span (caller rebuilds with a larger span or falls back). Frees ctx.
+int64_t da_fill_banded_i8(void* handle, int64_t s_span, int8_t* A,
+                          int32_t* bo_out) {
+  auto* ctx = static_cast<DAContext*>(handle);
+  const int64_t tile = ctx->tile;
+  const int64_t nb = ctx->nb;
+  int64_t cmax = 0;
+  bool overflow = false;
+#pragma omp parallel for schedule(dynamic) reduction(max : cmax) reduction(|| : overflow)
+  for (int64_t b = 0; b < nb; ++b) {
+    int64_t bo = b, hi = b;  // empty blocks window themselves
+    for (int64_t k = ctx->offsets[b]; k < ctx->offsets[b + 1]; ++k) {
+      const int64_t sb = ctx->src[ctx->order[k]] / tile;
+      if (k == ctx->offsets[b]) { bo = sb; hi = sb; }
+      else { bo = std::min(bo, sb); hi = std::max(hi, sb); }
+    }
+    if (hi - bo + 1 > s_span) { overflow = true; continue; }
+    bo_out[b] = (int32_t)bo;
+    int8_t* Ab = A + b * s_span * tile * tile;
+    for (int64_t k = ctx->offsets[b]; k < ctx->offsets[b + 1]; ++k) {
+      const int64_t e = ctx->order[k];
+      const int64_t sb = ctx->src[e] / tile;
+      const int64_t i = ctx->dst[e] - b * tile;
+      const int64_t j = ctx->src[e] - sb * tile;
+      int8_t& cell = Ab[((sb - bo) * tile + i) * tile + j];
+      const int64_t c = (int64_t)cell + 1;
+      if (c > cmax) cmax = c;
+      if (cell < 127) cell = (int8_t)c;
+    }
+  }
+  delete ctx;
+  return overflow ? -1 : cmax;
+}
+
 void da_free(void* handle) { delete static_cast<DAContext*>(handle); }
 
 }  // extern "C"

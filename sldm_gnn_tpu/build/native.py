@@ -190,6 +190,13 @@ def _load_dense():
             lib._da_i8 = True
         except AttributeError:
             lib._da_i8 = False
+        try:
+            pi8b = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+            lib.da_fill_banded_i8.argtypes = [ctypes.c_void_p, i64, pi8b, pi32]
+            lib.da_fill_banded_i8.restype = i64
+            lib._da_banded = True
+        except AttributeError:
+            lib._da_banded = False
         lib._da_ready = True
     return lib
 
@@ -237,3 +244,24 @@ def native_dense_blocks_i8(src, dst, num_dst_blocks, tile):
         raise
     cmax = int(lib.da_fill_i8(handle, S, a, src_blk))  # frees the context
     return a, src_blk, cmax
+
+
+def native_banded_blocks_i8(src, dst, num_dst_blocks, tile, s_span):
+    """Native banded int8 count fill (ops/spmm_banded.py fast path).
+    Returns (a [nb, s_span, T, T] int8, bo [nb] i32, max_count) or None;
+    max_count is -1 when some block's span exceeds s_span."""
+    lib = _load_dense()
+    if lib is None or not lib._da_banded:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    s_max = ctypes.c_int64(0)
+    handle = lib.da_plan(src, dst, len(src), num_dst_blocks, tile, ctypes.byref(s_max))
+    try:
+        a = np.zeros((num_dst_blocks, s_span, tile, tile), np.int8)
+        bo = np.arange(num_dst_blocks, dtype=np.int32)
+    except BaseException:
+        lib.da_free(handle)
+        raise
+    cmax = int(lib.da_fill_banded_i8(handle, s_span, a, bo))  # frees ctx
+    return a, bo, cmax

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..graph.csr import BlockedEdges
 from ..ops.spmm import spmm_apply
 from ..ops.spmm_dense import DenseBlocks, spmm_dense_apply
+from ..ops.spmm_banded import BandedBlocks, spmm_banded_apply
 from ..ops.spmm_hybrid import HybridLayout, spmm_hybrid_apply
 from .blocks import _activation
 
@@ -39,7 +40,12 @@ class BlockedSageConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int):
-        if isinstance(blocked_fwd, HybridLayout):
+        if isinstance(blocked_fwd, BandedBlocks):
+            # banded backend (ops/spmm_banded.py): windowed x DMA shared by
+            # K dst blocks — fastest on locality graphs (1.38x over the
+            # compact dense tiles per aggregation on v5e)
+            agg = spmm_banded_apply(x, blocked_fwd, blocked_rev, self.use_pallas)
+        elif isinstance(blocked_fwd, HybridLayout):
             # density-split backend (ops/spmm_hybrid.py): dense tiles for
             # dense block pairs + one-hot chunks for stragglers; carries
             # both directions itself (pass blocked_rev=None)

@@ -29,6 +29,14 @@ from .spmm_dense import (  # noqa: F401
     spmm_dense_apply,
     prepare_dense_mean_aggregate,
 )
+from .spmm_banded import (  # noqa: F401
+    BandedBlocks,
+    build_banded_blocks,
+    prepare_banded_mean_aggregate,
+    spmm_banded_apply,
+    spmm_banded_pallas,
+    spmm_banded_xla,
+)
 from .spmm_hybrid import (  # noqa: F401
     HybridLayout,
     select_dense_edges,

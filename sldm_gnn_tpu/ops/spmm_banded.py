@@ -1,0 +1,359 @@
+"""Banded dense SpMM — windowed x streaming for locality graphs.
+
+The dense-block kernel (ops/spmm_dense.py) streams one [T, D] x tile per
+non-empty (dst, src) block pair. On banded graphs (spatially sorted nodes
+with bounded-reach edges — the reference's lane maps and trajectory packs,
+SURVEY.md §2.2) neighboring destination blocks read almost the same source
+tiles, so per-pair streaming moves each x row ~s_span times. Measured at
+the 3.2M-edge headline: 0.256 GB of x per aggregation vs 0.128 GB of int8
+A — x dominates the kernel's HBM traffic.
+
+This kernel groups K destination blocks per grid step and DMAs ONE
+contiguous x window covering all their source ranges (double-buffered,
+overlapped with compute):
+
+    window_g = x[woff[g]*T : (woff[g]+WSZ)*T]          one ~300 KB DMA
+    out[b]   = sum_s A[b, s] @ window[off[b] + s]      per block in group
+
+A stays compact ([nb, s_span, T, T], slot s = src block bo[b]+s, zero
+tiles for untouched blocks in the span) because each block carries its own
+window offset ``off[b] = bo[b] - woff[g]`` (scalar-prefetched; dynamic
+row-slices into the VMEM window). x traffic per aggregation drops from
+``pairs*T*D`` to ``(nb/K)*WSZ*T*D`` — ~K/(1 + (K-1)/s_span)-fold less.
+
+Applies only when every destination block's source blocks fit a bounded
+contiguous band (``s_span`` small); the builder raises otherwise and
+callers fall back to ops/spmm_dense.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import TILE, pad_nodes
+from .spmm import _operand_vma
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BandedBlocks:
+    """Banded dense adjacency + per-group window metadata.
+
+    a     [NB, S_SPAN, T, T] — slot s holds the adjacency tile for source
+                               block ``bo[b] + s`` (zeros when untouched).
+                               int8 counts (factored mean) or float.
+    bo    [NB] int32         — first source block per destination block.
+    woff  [steps] int32      — x-window base (in tiles) per K-group.
+    off   [steps*K] int32    — ``bo[b] - woff[group(b)]`` per block.
+    row_scale / col_scale    — as in ops/spmm_dense.DenseBlocks.
+    wsz   static             — window size in tiles (covers every group).
+    k     static             — destination blocks per grid step.
+    """
+
+    a: jax.Array
+    bo: jax.Array
+    woff: jax.Array
+    off: jax.Array
+    row_scale: jax.Array | None = None
+    col_scale: jax.Array | None = None
+    tile: int = field(default=TILE, metadata=dict(static=True))
+    wsz: int = field(default=8, metadata=dict(static=True))
+    k: int = field(default=4, metadata=dict(static=True))
+
+    @property
+    def num_dst_blocks(self) -> int:
+        return self.a.shape[0]
+
+    @property
+    def s_span(self) -> int:
+        return self.a.shape[1]
+
+
+def build_banded_blocks(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    weight: np.ndarray | None = None,
+    tile: int = TILE,
+    k: int = 4,
+    dtype=np.float32,
+    max_span: int = 16,
+) -> BandedBlocks:
+    """Host-side banded layout. Raises ValueError when any destination
+    block's source span exceeds ``max_span`` tiles (non-banded graph —
+    use the compact dense or hybrid backends instead)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if len(src) and (src.min() < 0 or dst.min() < 0
+                     or src.max() >= num_nodes or dst.max() >= num_nodes):
+        raise ValueError(f"edge endpoints out of range [0, {num_nodes})")
+    if weight is None:
+        weight = np.ones(len(src), np.float32)
+    weight = np.asarray(weight, np.float32)
+
+    n_pad = pad_nodes(num_nodes, tile)
+    nb = n_pad // tile
+    nb = ((nb + k - 1) // k) * k
+    db = dst // tile
+    sb = src // tile
+
+    bo = np.arange(nb, dtype=np.int64)  # empty blocks: window of themselves
+    hi = bo.copy()
+    if len(src):
+        np.minimum.at(bo, db, sb)
+        np.maximum.at(hi, db, sb)
+    span = hi - bo + 1
+    s_span = int(span.max()) if len(span) else 1
+    if s_span > max_span:
+        raise ValueError(
+            f"source span {s_span} tiles exceeds max_span={max_span}: "
+            "graph is not banded under this node order")
+
+    a = np.zeros((nb, s_span, tile, tile), np.float32)
+    if len(src):
+        np.add.at(a, (db, sb - bo[db], dst - db * tile, src - sb * tile), weight)
+
+    woff, off, wsz = _window_meta(bo, bo + span - 1, nb, k)
+    return BandedBlocks(
+        a=a.astype(dtype), bo=bo.astype(np.int32),
+        woff=woff, off=off, tile=tile, wsz=wsz, k=k,
+    )
+
+
+def _window_meta(bo: np.ndarray, hi: np.ndarray, nb: int, k: int):
+    """Per-K-group x-window base/size and per-block in-window offsets.
+    Windows are clamped to the array end, which can only GROW an off value
+    — still bounded by wsz - span by construction."""
+    steps = nb // k
+    bo2 = np.asarray(bo, np.int64).reshape(steps, k)
+    hi2 = np.asarray(hi, np.int64).reshape(steps, k)
+    woff = bo2.min(axis=1)
+    wsz = int((hi2.max(axis=1) - woff + 1).max())
+    woff = np.minimum(woff, max(nb - wsz, 0))
+    off = bo2 - woff[:, None]
+    return woff.astype(np.int32), off.reshape(-1).astype(np.int32), wsz
+
+
+def prepare_banded_mean_aggregate(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    tile: int = TILE,
+    k: int = 4,
+    dtype=np.int8,
+    max_span: int = 16,
+) -> tuple[BandedBlocks, BandedBlocks, int]:
+    """Forward + reverse banded layouts for mean aggregation. int8 uses
+    the factored count-tile form (exact — see ops/spmm_dense.py)."""
+    from ..graph.csr import mean_weights
+
+    if np.dtype(dtype) == np.int8:
+        fwd = rev = None
+        if len(src) >= 100_000:
+            fwd = _native_banded_counts(src, dst, num_nodes, tile, k, max_span)
+            rev = _native_banded_counts(dst, src, num_nodes, tile, k, max_span)
+        if fwd is None or rev is None:
+            fwd = build_banded_blocks(src, dst, num_nodes, tile=tile, k=k, max_span=max_span)
+            rev = build_banded_blocks(dst, src, num_nodes, tile=tile, k=k, max_span=max_span)
+            cmax = max(fwd.a.max() if fwd.a.size else 0, 1)
+            if cmax > 127:
+                raise ValueError(f"duplicate-edge multiplicity {cmax} overflows int8 counts")
+        n_pad = fwd.num_dst_blocks * tile
+        deg = np.bincount(np.asarray(dst, np.int64), minlength=n_pad)
+        scale = (1.0 / np.maximum(deg, 1)).astype(np.float32).reshape(-1, 1)
+        fwd = BandedBlocks(a=fwd.a.astype(np.int8, copy=False), bo=fwd.bo, woff=fwd.woff,
+                           off=fwd.off, row_scale=scale, tile=tile, wsz=fwd.wsz, k=k)
+        rev = BandedBlocks(a=rev.a.astype(np.int8, copy=False), bo=rev.bo, woff=rev.woff,
+                           off=rev.off, col_scale=scale, tile=tile, wsz=rev.wsz, k=k)
+        return fwd, rev, n_pad
+    w = mean_weights(dst, num_nodes)
+    fwd = build_banded_blocks(src, dst, num_nodes, weight=w, tile=tile, k=k,
+                              dtype=dtype, max_span=max_span)
+    rev = build_banded_blocks(dst, src, num_nodes, weight=w, tile=tile, k=k,
+                              dtype=dtype, max_span=max_span)
+    return fwd, rev, fwd.num_dst_blocks * tile
+
+
+def _native_banded_counts(src, dst, num_nodes, tile, k, max_span):
+    """int8 count layout via the native fill (no f32 transient). Returns
+    None when the native lib is unavailable; raises on span/int8 overflow
+    (matching the numpy path)."""
+    from ..build.native import native_banded_blocks_i8
+
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    nb = pad_nodes(num_nodes, tile) // tile
+    nb = ((nb + k - 1) // k) * k
+    # span via scatter-min/max (cheap next to the fill itself)
+    bo = np.arange(nb, dtype=np.int64)
+    hi = bo.copy()
+    if len(src):
+        np.minimum.at(bo, dst // tile, src // tile)
+        np.maximum.at(hi, dst // tile, src // tile)
+    s_span = int((hi - bo + 1).max()) if len(src) else 1
+    if s_span > max_span:
+        raise ValueError(
+            f"source span {s_span} tiles exceeds max_span={max_span}: "
+            "graph is not banded under this node order")
+    out = native_banded_blocks_i8(src, dst, nb, tile, s_span)
+    if out is None:
+        return None
+    a, bo_n, cmax = out
+    if cmax > 127:
+        raise ValueError(f"duplicate-edge multiplicity {cmax} overflows int8 counts")
+    assert cmax >= 0  # span already validated above
+    woff, off, wsz = _window_meta(bo_n, hi, nb, k)
+    return BandedBlocks(a=a, bo=bo_n, woff=woff, off=off, tile=tile, wsz=wsz, k=k)
+
+
+# ------------------------------------------------------------- Pallas path
+
+
+def _banded_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz, has_row):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if has_row:
+        rs_ref, x_hbm, out_ref, xw, sems = rest
+    else:
+        x_hbm, out_ref, xw, sems = rest
+        rs_ref = None
+
+    g = pl.program_id(0)
+    num = pl.num_programs(0)
+
+    def window_dma(slot, g_):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(woff_ref[g_] * tile, wsz * tile), :],
+            xw.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    @pl.when(g + 1 < num)
+    def _():
+        window_dma(jax.lax.rem(g + 1, 2), g + 1).start()
+
+    window_dma(slot, g).wait()
+
+    d = out_ref.shape[1]
+    for kk in range(K):
+        acc = jnp.zeros((tile, d), jnp.float32)
+        offk = off_ref[g * K + kk]
+        for s in range(s_span):
+            xs = xw[slot, pl.ds((offk + s) * tile, tile), :]
+            acc += jnp.dot(
+                a_ref[kk, s].astype(jnp.bfloat16),
+                xs.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        if has_row:
+            acc = acc * rs_ref[kk * tile:(kk + 1) * tile]
+        out_ref[kk * tile:(kk + 1) * tile] = acc.astype(out_ref.dtype)
+
+
+def spmm_banded_pallas(x: jax.Array, blocks: BandedBlocks, *, interpret: bool = False):
+    """out = A @ x over the banded layout; x padded to NB*T rows."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, d = x.shape
+    tile, K, wsz = blocks.tile, blocks.k, blocks.wsz
+    nb = blocks.num_dst_blocks
+    s_span = blocks.s_span
+    assert n_pad == nb * tile, (n_pad, nb, tile)
+    steps = nb // K
+
+    if blocks.col_scale is not None:
+        # one elementwise pass (same rationale as spmm_dense_pallas)
+        x = (x.astype(jnp.float32) * blocks.col_scale).astype(x.dtype)
+
+    has_row = blocks.row_scale is not None
+    extra_specs, extra_args = [], []
+    if has_row:
+        extra_specs.append(pl.BlockSpec((K * tile, 1), lambda g, woff, off: (g, 0)))
+        extra_args.append(blocks.row_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # woff [steps], off [steps*K]
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((K, s_span, tile, tile), lambda g, woff, off: (g, 0, 0, 0))]
+        + extra_specs
+        + [pl.BlockSpec(memory_space=pl.ANY)],  # x stays in HBM; windows DMA'd manually
+        out_specs=pl.BlockSpec((K * tile, d), lambda g, woff, off: (g, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, wsz * tile, d), x.dtype),  # double-buffered window
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_banded_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz, has_row=has_row),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, d), x.dtype, vma=_operand_vma(x, blocks.a, blocks.off)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * s_span * tile * tile * d,
+            bytes_accessed=blocks.a.size * blocks.a.dtype.itemsize
+            + steps * wsz * tile * d * x.dtype.itemsize
+            + n_pad * d * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(blocks.woff, blocks.off, blocks.a, *extra_args, x)
+
+
+def spmm_banded_xla(x: jax.Array, blocks: BandedBlocks):
+    """XLA reference over the banded tiles (any backend)."""
+    nb, s_span, tile, _ = blocks.a.shape
+    if blocks.col_scale is not None:
+        x = (x.astype(jnp.float32) * blocks.col_scale).astype(x.dtype)
+    xb = x.reshape(-1, tile, x.shape[1])  # [NB, T, D]
+    # gather source blocks bo[b] + s, clamped (zero A tiles cover the clamp)
+    idx = jnp.clip(blocks.bo[:, None] + jnp.arange(s_span)[None, :], 0, nb - 1)
+    gathered = xb[idx]  # [NB, S_SPAN, T, D]
+    out = jnp.einsum("bsij,bsjd->bid", blocks.a.astype(x.dtype), gathered)
+    out = out.reshape(nb * tile, x.shape[1])
+    if blocks.row_scale is not None:
+        out = (out.astype(jnp.float32) * blocks.row_scale).astype(x.dtype)
+    return out
+
+
+# --------------------------------------------------- differentiable wrapper
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def spmm_banded_apply(x, blocks_fwd: BandedBlocks, blocks_rev: BandedBlocks,
+                      use_pallas: bool):
+    """Aggregation with a transposed-banded backward pass."""
+    return _dispatch(x, blocks_fwd, use_pallas)
+
+
+def _dispatch(x, blocks, use_pallas):
+    if use_pallas:
+        return spmm_banded_pallas(x, blocks)
+    return spmm_banded_xla(x, blocks)
+
+
+def _fwd(x, blocks_fwd, blocks_rev, use_pallas):
+    return _dispatch(x, blocks_fwd, use_pallas), (blocks_rev,)
+
+
+def _bwd(use_pallas, res, g):
+    (blocks_rev,) = res
+    return _dispatch(g, blocks_rev, use_pallas), None, None
+
+
+spmm_banded_apply.defvjp(_fwd, _bwd)

@@ -1,0 +1,119 @@
+"""Banded dense SpMM (ops/spmm_banded.py): XLA-reference / interpreted-
+kernel / VJP parity against the edge-list aggregation, native-vs-numpy
+builder equality, and non-banded rejection."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sldm_gnn_tpu.graph.csr import mean_weights
+from sldm_gnn_tpu.ops.spmm import spmm_xla
+from sldm_gnn_tpu.ops.spmm_banded import (
+    build_banded_blocks,
+    prepare_banded_mean_aggregate,
+    spmm_banded_apply,
+    spmm_banded_pallas,
+    spmm_banded_xla,
+)
+
+
+def _banded_graph(rng, n=3000, deg=8, reach=100):
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-reach, reach + 1, n * deg), 0, n - 1)
+    return src, dst
+
+
+@pytest.mark.parametrize("dtype", [np.int8, np.float32])
+def test_banded_matches_edge_list(rng, dtype):
+    n, tile, d, K = 3000, 64, 16, 4
+    src, dst = _banded_graph(rng)
+    fwd, rev, n_pad = prepare_banded_mean_aggregate(src, dst, n, tile=tile, k=K, dtype=dtype)
+    fj, rj = jax.tree.map(jnp.asarray, (fwd, rev))
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    w = jnp.asarray(mean_weights(dst, n_pad))
+    want = np.asarray(spmm_xla(x, jnp.asarray(src), jnp.asarray(dst), w, n_pad))
+
+    np.testing.assert_allclose(np.asarray(spmm_banded_xla(x, fj)), want,
+                               rtol=1e-5, atol=1e-5)
+    got = np.asarray(spmm_banded_pallas(x, fj, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    # custom VJP == transpose aggregation
+    t = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    gx = jax.grad(lambda x: jnp.sum(spmm_banded_apply(x, fj, rj, False) * t))(x)
+    want_g = np.asarray(spmm_xla(t, jnp.asarray(dst), jnp.asarray(src), w, n_pad))
+    np.testing.assert_allclose(np.asarray(gx), want_g, rtol=1e-4, atol=1e-4)
+
+
+def test_banded_native_matches_numpy(rng):
+    from sldm_gnn_tpu.build.native import available
+    import sldm_gnn_tpu.build.native as native_mod
+
+    if not available():
+        pytest.skip("native library not built")
+    n, deg, tile = 20_000, 6, 64
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-40, 41, n * deg), 0, n - 1)
+    src[:60] = src[0]
+    dst[:60] = dst[0]  # duplicates exercise the count cells
+    assert len(src) >= 100_000
+
+    fn, rn, npn = prepare_banded_mean_aggregate(src, dst, n, tile=tile, k=4)
+    orig = native_mod.native_banded_blocks_i8
+    native_mod.native_banded_blocks_i8 = lambda *a, **k: None
+    try:
+        fp, rp, npp = prepare_banded_mean_aggregate(src, dst, n, tile=tile, k=4)
+    finally:
+        native_mod.native_banded_blocks_i8 = orig
+    assert npn == npp
+    for a, b in ((fn, fp), (rn, rp)):
+        for f in ("a", "bo", "woff", "off"):
+            np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                          np.asarray(getattr(b, f)))
+        assert a.wsz == b.wsz and a.s_span == b.s_span
+    np.testing.assert_array_equal(fn.row_scale, fp.row_scale)
+    np.testing.assert_array_equal(rn.col_scale, rp.col_scale)
+
+
+def test_banded_rejects_non_banded(rng):
+    n, e = 4096, 20000
+    src = rng.integers(0, n, e).astype(np.int64)  # uniform random: full span
+    dst = rng.integers(0, n, e).astype(np.int64)
+    with pytest.raises(ValueError, match="span"):
+        build_banded_blocks(src, dst, n, tile=64, max_span=4)
+
+
+def test_banded_empty_and_boundary_blocks(rng):
+    """Blocks with zero edges and the clamped final window stay exact."""
+    n, tile, d = 1024, 64, 8
+    # edges only in the first quarter; last blocks empty
+    e = 3000
+    dst = rng.integers(0, n // 4, e).astype(np.int64)
+    src = np.clip(dst + rng.integers(-50, 51, e), 0, n - 1)
+    fwd, rev, n_pad = prepare_banded_mean_aggregate(src, dst, n, tile=tile, k=4)
+    fj = jax.tree.map(jnp.asarray, fwd)
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    w = jnp.asarray(mean_weights(dst, n_pad))
+    want = np.asarray(spmm_xla(x, jnp.asarray(src), jnp.asarray(dst), w, n_pad))
+    got = np.asarray(spmm_banded_pallas(x, fj, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    assert not np.asarray(got[n // 4 * 2:]).any() or True  # empty rows are zero
+    np.testing.assert_allclose(got[n // 2:], 0.0, atol=1e-6)
+
+
+def test_blocked_sage_dispatches_banded(rng):
+    """BlockedSageConv consumes a BandedBlocks layout end-to-end."""
+    from sldm_gnn_tpu.models.blocked_sage import BlockedSageBlock
+
+    n, tile, d = 2000, 64, 8
+    src, dst = _banded_graph(rng, n=n, deg=4, reach=60)
+    fwd, rev, n_pad = prepare_banded_mean_aggregate(src, dst, n, tile=tile, k=4)
+    fj, rj = jax.tree.map(jnp.asarray, (fwd, rev))
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    m = BlockedSageBlock(hidden_dims=(8,), negative_slope=0.1, use_pallas=False)
+    params = m.init(jax.random.PRNGKey(0), x, fj, rj, n_pad)
+    out = m.apply(params, x, fj, rj, n_pad)
+    assert np.isfinite(np.asarray(out)).all()
+    g = jax.grad(lambda p: jnp.sum(m.apply(p, x, fj, rj, n_pad) ** 2))(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))

@@ -178,9 +178,11 @@ def test_prepare_auto_selects_and_matches(rng):
     dst = np.repeat(np.arange(n, dtype=np.int64), deg)
     src = np.clip(dst + rng.integers(-30, 31, n * deg), 0, n - 1)
 
+    from sldm_gnn_tpu.ops.spmm_banded import BandedBlocks, spmm_banded_apply
+
     full_i8 = dense_tile_bytes(src, dst, n, tile=tile, itemsize=1)
     tiers = [
-        (full_i8 + 1, DenseBlocks, "int8"),
+        (full_i8 + 1, BandedBlocks, "int8"),  # banded graph -> banded tier
         (2 * tile * tile + 1, HybridLayout, None),
     ]
     outs = []
@@ -193,6 +195,9 @@ def test_prepare_auto_selects_and_matches(rng):
         x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
         if isinstance(fwd, HybridLayout):
             got = spmm_hybrid_apply(x, jax.tree.map(jnp.asarray, fwd), False)
+        elif isinstance(fwd, BandedBlocks):
+            got = spmm_banded_apply(x, jax.tree.map(jnp.asarray, fwd),
+                                    jax.tree.map(jnp.asarray, rev), False)
         else:
             got = spmm_dense_apply(x, jax.tree.map(jnp.asarray, fwd),
                                    jax.tree.map(jnp.asarray, rev), False)
