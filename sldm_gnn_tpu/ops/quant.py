@@ -98,6 +98,19 @@ def dequantize_rows(q: jax.Array, scales: jax.Array) -> jax.Array:
     return q.astype(jnp.float32) * scales
 
 
+def quantize_tensor_xla(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-TENSOR absmax int8 quantization: one scalar scale for the whole
+    matrix. Coarser than :func:`quantize_rows_xla` (outlier rows cost
+    everyone precision) but lets SpMM fold dequantization into a single
+    output rescale instead of a per-edge scale gather — see
+    :func:`sldm_gnn_tpu.ops.spmm.spmm_pallas_int8_pt`. Returns
+    ``(q [n, d] int8, scale [1] f32)``."""
+    absmax = jnp.max(jnp.abs(x))
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.reshape(1).astype(jnp.float32)
+
+
 def int8_matmul(qx: jax.Array, sx: jax.Array, qw: jax.Array, sw: jax.Array) -> jax.Array:
     """``(x @ w)`` from int8 operands: int8×int8→int32 on the MXU, then one
     f32 rescale. ``qw``/``sw`` quantized per output channel (rows of w.T)."""

@@ -332,6 +332,120 @@ def spmm_pallas_int8(
     )(dblk, sblk, src3, dst3, w3, *([xq] * K), *([xs] * K))
 
 
+def _spmm_int8_pt_kernel(dblk_ref, sblk_ref, scale_ref, src_ref, dst_ref, w_ref,
+                         *refs, k_per_step):
+    from jax.experimental import pallas as pl
+
+    K = k_per_step
+    xq_refs = refs[:K]
+    out_ref, acc_ref = refs[K], refs[K + 1]
+
+    w = pl.program_id(0)
+    num_w = pl.num_programs(0)
+    dst_blk = dblk_ref[w * K]
+    prev_dst = dblk_ref[jnp.maximum(w - 1, 0) * K]
+    is_first = jnp.logical_or(w == 0, dst_blk != prev_dst)
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ec = src_ref.shape[-1]
+    tile = xq_refs[0].shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ec, tile), 1)
+    for k in range(K):
+        src_oh = src_ref[0, k][:, None] == lane
+        # int8 gather at the MXU's int8 rate; selection only, so values stay
+        # in [-127, 127] and the bf16 downcast below is exact
+        gq = jnp.dot(
+            src_oh.astype(jnp.int8), xq_refs[k][:], preferred_element_type=jnp.int32
+        )  # [EC, D]
+        onehot_d = (dst_ref[0, k][:, None] == lane).astype(jnp.float32) * w_ref[0, k][:, None]
+        acc_ref[:] += jnp.dot(
+            onehot_d.T.astype(jnp.bfloat16),
+            gq.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    nxt_dst = dblk_ref[jnp.minimum(w + 1, num_w - 1) * K]
+    is_last = jnp.logical_or(w == num_w - 1, dst_blk != nxt_dst)
+
+    @pl.when(is_last)
+    def _():
+        out_ref[:] = (acc_ref[:] * scale_ref[0]).astype(out_ref.dtype)
+
+
+def spmm_pallas_int8_pt(
+    xq: jax.Array,
+    scale: jax.Array,
+    blocked: BlockedEdges,
+    num_nodes: int,
+    *,
+    interpret: bool = False,
+    k_per_step: int = 1,
+    out_dtype=jnp.float32,
+):
+    """Blocked SpMM over per-TENSOR-quantized int8 features.
+
+    ``xq [n_pad, D] int8`` with ONE scalar scale ``scale [1] f32`` (from
+    :func:`sldm_gnn_tpu.ops.quant.quantize_tensor_xla`). Unlike
+    :func:`spmm_pallas_int8` (per-row scales), dequantization is a single
+    scalar multiply folded into the output write — no per-edge scale gather
+    matmul — so the kernel does exactly the bf16 path's FLOPs while
+    streaming X at 1 byte/element. The speed play when per-tensor
+    quantization error is acceptable; output equals
+    ``spmm(scale * xq)`` up to bf16 scatter rounding.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, d = xq.shape
+    assert xq.dtype == jnp.int8, xq.dtype
+    assert scale.shape == (1,), scale.shape
+    tile = blocked.tile
+    assert n_pad % tile == 0
+    W = blocked.num_chunks
+    ec = blocked.src_local.shape[1]
+    K = k_per_step
+    if W % K:
+        raise ValueError(f"num_chunks {W} not divisible by k_per_step {K}")
+    steps = W // K
+
+    src3 = blocked.src_local.reshape(steps, K, ec)
+    dst3 = blocked.dst_local.reshape(steps, K, ec)
+    w3 = blocked.weight.reshape(steps, K, ec)
+    dblk = blocked.block_meta[:, 0]
+    sblk = blocked.block_meta[:, 1]
+
+    def chunk_spec():
+        return pl.BlockSpec((1, K, ec), lambda w, dblk, sblk, scale: (w, 0, 0))
+
+    def xq_spec(k):
+        return pl.BlockSpec((tile, d), lambda w, dblk, sblk, scale, k=k: (sblk[w * K + k], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # dst/src block ids + the dequant scale
+        grid=(steps,),
+        in_specs=[chunk_spec(), chunk_spec(), chunk_spec()]
+        + [xq_spec(k) for k in range(K)],
+        out_specs=pl.BlockSpec((tile, d), lambda w, dblk, sblk, scale: (dblk[w * K], 0)),
+        scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        partial(_spmm_int8_pt_kernel, k_per_step=K),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, d), out_dtype,
+            vma=_operand_vma(xq, scale, blocked.block_meta, blocked.weight)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * W * ec * tile * d,
+            bytes_accessed=W * tile * d + n_pad * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(dblk, sblk, scale, src3, dst3, w3, *([xq] * K))
+
+
 # --------------------------------------------------- differentiable wrapper
 
 

@@ -337,3 +337,49 @@ def test_pallas_int8_k_per_step(rng):
     o1 = np.asarray(spmm_pallas_int8(xq, xs, b1, n_pad, interpret=True))
     o2 = np.asarray(spmm_pallas_int8(xq, xs, b2, n_pad, interpret=True, k_per_step=2))
     np.testing.assert_allclose(o2, o1, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_int8_pertensor_matches_dequantized_reference(rng):
+    """Per-tensor int8 SpMM == f32 SpMM over the dequantized features within
+    bf16 scatter rounding, and tracks the unquantized result within
+    per-tensor int8 error (coarser than per-row)."""
+    from sldm_gnn_tpu.ops.quant import quantize_tensor_xla
+    from sldm_gnn_tpu.ops.spmm import spmm_pallas_int8_pt
+
+    n, e, d = 250, 2000, 128
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    n_pad = pad_nodes(n)
+    w = mean_weights(dst, n_pad)
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+
+    blocked = block_edges(src, dst, n_pad, weight=w)
+    xq, scale = quantize_tensor_xla(jnp.array(x_np))
+    out = np.asarray(spmm_pallas_int8_pt(xq, scale, blocked, n_pad, interpret=True))
+
+    deq = np.asarray(xq, np.float32) * float(scale[0])
+    want_q = naive_weighted_sum(deq, src, dst, w, n_pad)
+    np.testing.assert_allclose(out, want_q, rtol=5e-2, atol=5e-3)
+
+    want = naive_weighted_sum(x_np, src, dst, w, n_pad)
+    ref_scale = np.abs(want).max()
+    assert np.abs(out - want).max() / ref_scale < 5e-2
+
+
+def test_pallas_int8_pertensor_k_per_step(rng):
+    from sldm_gnn_tpu.ops.quant import quantize_tensor_xla
+    from sldm_gnn_tpu.ops.spmm import spmm_pallas_int8_pt
+
+    n, e, d = 200, 1200, 64
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    n_pad = pad_nodes(n)
+    w = mean_weights(dst, n_pad)
+    x_np = rng.standard_normal((n_pad, d)).astype(np.float32)
+    xq, scale = quantize_tensor_xla(jnp.array(x_np))
+
+    b1 = block_edges(src, dst, n_pad, weight=w)
+    b2 = block_edges(src, dst, n_pad, weight=w, step_chunks=2)
+    o1 = np.asarray(spmm_pallas_int8_pt(xq, scale, b1, n_pad, interpret=True))
+    o2 = np.asarray(spmm_pallas_int8_pt(xq, scale, b2, n_pad, interpret=True, k_per_step=2))
+    np.testing.assert_allclose(o2, o1, rtol=1e-5, atol=1e-6)
