@@ -152,7 +152,11 @@ def main():
     dense_k = int(os.environ.get("BENCH_DENSE_K", 4))  # dst blocks per grid step
     # banded backend (ops/spmm_banded.py): one windowed x DMA per K-group
     # instead of one tile per block pair — 1.38x per aggregation at K=8
-    banded_k = int(os.environ.get("BENCH_BANDED_K", 8))
+    # K sweep at 200 iters: K8 3.24/3.29 ms, K12 3.18/3.20 ms (narrow/wide)
+    banded_k = int(os.environ.get("BENCH_BANDED_K", 12))
+    # wide=1 folds the slot axis into one [T, S*T] matmul per block —
+    # measured within noise of the per-slot form (see spmm_banded.py)
+    banded_wide = bool(int(os.environ.get("BENCH_BANDED_WIDE", 0)))
     # A-tile dtype. int8: mean aggregation factors EXACTLY into integer
     # count tiles + a per-node 1/deg scale (ops/spmm_dense.py), halving A's
     # HBM storage and streaming bandwidth vs bf16 — same math, same bf16
@@ -189,7 +193,8 @@ def main():
     if spmm_backend == "banded":
         try:
             banded_fwd, banded_rev, n_pad = prepare_banded_mean_aggregate(
-                src, dst, n, tile=dense_tile, k=banded_k, dtype=np.int8)
+                src, dst, n, tile=dense_tile, k=banded_k, dtype=np.int8,
+                wide=banded_wide)
             blocked_fwd = jax.tree.map(jnp.asarray, banded_fwd)
             blocked_rev = jax.tree.map(jnp.asarray, banded_rev)
             _vlog(f"banded layout: A {banded_fwd.a.nbytes/1e9:.2f}+{banded_rev.a.nbytes/1e9:.2f} GB, "

@@ -36,6 +36,7 @@ from .spmm_banded import (  # noqa: F401
     spmm_banded_apply,
     spmm_banded_pallas,
     spmm_banded_xla,
+    widen_banded,
 )
 from .spmm_hybrid import (  # noqa: F401
     HybridLayout,

@@ -47,9 +47,17 @@ class BandedBlocks:
     a     [NB, S_SPAN, T, T] — slot s holds the adjacency tile for source
                                block ``bo[b] + s`` (zeros when untouched).
                                int8 counts (factored mean) or float.
-    bo    [NB] int32         — first source block per destination block.
+                               When ``wide``: [NB, T, S_SPAN*T] — the slot
+                               axis folded into columns so each block is ONE
+                               [T, S*T] @ [S*T, D] MXU matmul (contraction
+                               depth S*T instead of T).
+    bo    [NB] int32         — slot-base source block per destination block:
+                               ``min(first source block, NB - S_SPAN)`` so
+                               slots [bo, bo+S_SPAN) always lie inside the
+                               node range (and inside the DMA'd window).
     woff  [steps] int32      — x-window base (in tiles) per K-group.
-    off   [steps*K] int32    — ``bo[b] - woff[group(b)]`` per block.
+    off   [steps*K] int32    — ``bo[b] - woff[group(b)]`` per block;
+                               ``off + S_SPAN <= wsz`` by construction.
     row_scale / col_scale    — as in ops/spmm_dense.DenseBlocks.
     wsz   static             — window size in tiles (covers every group).
     k     static             — destination blocks per grid step.
@@ -64,6 +72,7 @@ class BandedBlocks:
     tile: int = field(default=TILE, metadata=dict(static=True))
     wsz: int = field(default=8, metadata=dict(static=True))
     k: int = field(default=4, metadata=dict(static=True))
+    wide: bool = field(default=False, metadata=dict(static=True))
 
     @property
     def num_dst_blocks(self) -> int:
@@ -71,7 +80,24 @@ class BandedBlocks:
 
     @property
     def s_span(self) -> int:
-        return self.a.shape[1]
+        return self.a.shape[2] // self.tile if self.wide else self.a.shape[1]
+
+
+def widen_banded(blocks: BandedBlocks) -> BandedBlocks:
+    """[NB, S, T, T] → [NB, T, S*T]: fold the slot axis into columns. The
+    per-block aggregation then contracts over S*T in one matmul — better
+    systolic-array utilization than S chained depth-T matmuls (host-side;
+    the layouts are built once per static edge set)."""
+    if blocks.wide:
+        return blocks
+    a = np.asarray(blocks.a)
+    nb, s, t, _ = a.shape
+    a = np.ascontiguousarray(a.transpose(0, 2, 1, 3)).reshape(nb, t, s * t)
+    return BandedBlocks(
+        a=a, bo=blocks.bo, woff=blocks.woff, off=blocks.off,
+        row_scale=blocks.row_scale, col_scale=blocks.col_scale,
+        tile=blocks.tile, wsz=blocks.wsz, k=blocks.k, wide=True,
+    )
 
 
 def build_banded_blocks(
@@ -84,10 +110,16 @@ def build_banded_blocks(
     k: int = 4,
     dtype=np.float32,
     max_span: int = 16,
+    s_span_min: int = 1,
+    wsz_min: int = 0,
 ) -> BandedBlocks:
     """Host-side banded layout. Raises ValueError when any destination
     block's source span exceeds ``max_span`` tiles (non-banded graph —
-    use the compact dense or hybrid backends instead)."""
+    use the compact dense or hybrid backends instead).
+
+    ``s_span_min`` / ``wsz_min`` force the slot count / window size up to a
+    common value — used when stacking per-shard layouts (parallel/halo.py)
+    that must share static shapes."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     if len(src) and (src.min() < 0 or dst.min() < 0
@@ -114,27 +146,46 @@ def build_banded_blocks(
         raise ValueError(
             f"source span {s_span} tiles exceeds max_span={max_span}: "
             "graph is not banded under this node order")
+    s_span = max(s_span, min(s_span_min, nb))
+    # re-base so slots [bo, bo+s_span) never pass the node range: every
+    # block's FULL slot range is then resident in its group's x window
+    # (off + s_span <= wsz, see _window_meta) — required for the wide
+    # kernel's single [T, S*T] slice and removes the tail blocks' reliance
+    # on clamped out-of-window reads hitting zero A tiles
+    bo = np.minimum(bo, max(nb - s_span, 0))
 
     a = np.zeros((nb, s_span, tile, tile), np.float32)
     if len(src):
         np.add.at(a, (db, sb - bo[db], dst - db * tile, src - sb * tile), weight)
 
-    woff, off, wsz = _window_meta(bo, bo + span - 1, nb, k)
+    woff, off, wsz = _window_meta(bo, nb, k, s_span, wsz_min=wsz_min)
     return BandedBlocks(
         a=a.astype(dtype), bo=bo.astype(np.int32),
         woff=woff, off=off, tile=tile, wsz=wsz, k=k,
     )
 
 
-def _window_meta(bo: np.ndarray, hi: np.ndarray, nb: int, k: int):
+def _rebase_slots(a: np.ndarray, bo: np.ndarray, nb: int) -> np.ndarray:
+    """Shift slot contents of blocks whose base was clamped to
+    ``nb - s_span`` (tail blocks only): slot' = slot + (bo_old - bo_new)."""
+    s_span = a.shape[1]
+    base = np.minimum(np.asarray(bo, np.int64), max(nb - s_span, 0))
+    for b in np.nonzero(bo > base)[0]:
+        d = int(bo[b] - base[b])
+        a[b, d:] = a[b, : s_span - d]
+        a[b, :d] = 0
+    return base
+
+
+def _window_meta(bo: np.ndarray, nb: int, k: int, s_span: int, *, wsz_min: int = 0):
     """Per-K-group x-window base/size and per-block in-window offsets.
-    Windows are clamped to the array end, which can only GROW an off value
-    — still bounded by wsz - span by construction."""
-    steps = nb // k
+    Guarantees ``off + s_span <= wsz`` for every block (bo is pre-clamped
+    to ``nb - s_span``) and windows stay inside [0, nb] tiles."""
+    steps = (len(bo) + k - 1) // k
     bo2 = np.asarray(bo, np.int64).reshape(steps, k)
-    hi2 = np.asarray(hi, np.int64).reshape(steps, k)
     woff = bo2.min(axis=1)
-    wsz = int((hi2.max(axis=1) - woff + 1).max())
+    wsz = int((bo2.max(axis=1) - woff).max()) + s_span if len(bo) else s_span
+    wsz = max(wsz, min(wsz_min, nb))
     woff = np.minimum(woff, max(nb - wsz, 0))
     off = bo2 - woff[:, None]
     return woff.astype(np.int32), off.reshape(-1).astype(np.int32), wsz
@@ -149,11 +200,17 @@ def prepare_banded_mean_aggregate(
     k: int = 4,
     dtype=np.int8,
     max_span: int = 16,
+    wide: bool = False,
 ) -> tuple[BandedBlocks, BandedBlocks, int]:
     """Forward + reverse banded layouts for mean aggregation. int8 uses
-    the factored count-tile form (exact — see ops/spmm_dense.py)."""
+    the factored count-tile form (exact — see ops/spmm_dense.py).
+    ``wide`` folds the slot axis into matmul columns (:func:`widen_banded`)
+    — one [T, S*T] matmul per block instead of S depth-T matmuls; measured
+    within noise of the per-slot form on v5e (Mosaic pipelines the chained
+    accumulations), so the default stays narrow (no host transpose)."""
     from ..graph.csr import mean_weights
 
+    maybe_widen = widen_banded if wide else (lambda b: b)
     if np.dtype(dtype) == np.int8:
         fwd = rev = None
         if len(src) >= 100_000:
@@ -169,16 +226,18 @@ def prepare_banded_mean_aggregate(
         deg = np.bincount(np.asarray(dst, np.int64), minlength=n_pad)
         scale = (1.0 / np.maximum(deg, 1)).astype(np.float32).reshape(-1, 1)
         fwd = BandedBlocks(a=fwd.a.astype(np.int8, copy=False), bo=fwd.bo, woff=fwd.woff,
-                           off=fwd.off, row_scale=scale, tile=tile, wsz=fwd.wsz, k=k)
+                           off=fwd.off, row_scale=scale, tile=tile, wsz=fwd.wsz, k=k,
+                           wide=fwd.wide)
         rev = BandedBlocks(a=rev.a.astype(np.int8, copy=False), bo=rev.bo, woff=rev.woff,
-                           off=rev.off, col_scale=scale, tile=tile, wsz=rev.wsz, k=k)
-        return fwd, rev, n_pad
+                           off=rev.off, col_scale=scale, tile=tile, wsz=rev.wsz, k=k,
+                           wide=rev.wide)
+        return maybe_widen(fwd), maybe_widen(rev), n_pad
     w = mean_weights(dst, num_nodes)
     fwd = build_banded_blocks(src, dst, num_nodes, weight=w, tile=tile, k=k,
                               dtype=dtype, max_span=max_span)
     rev = build_banded_blocks(dst, src, num_nodes, weight=w, tile=tile, k=k,
                               dtype=dtype, max_span=max_span)
-    return fwd, rev, fwd.num_dst_blocks * tile
+    return maybe_widen(fwd), maybe_widen(rev), fwd.num_dst_blocks * tile
 
 
 def _native_banded_counts(src, dst, num_nodes, tile, k, max_span):
@@ -209,14 +268,17 @@ def _native_banded_counts(src, dst, num_nodes, tile, k, max_span):
     if cmax > 127:
         raise ValueError(f"duplicate-edge multiplicity {cmax} overflows int8 counts")
     assert cmax >= 0  # span already validated above
-    woff, off, wsz = _window_meta(bo_n, hi, nb, k)
-    return BandedBlocks(a=a, bo=bo_n, woff=woff, off=off, tile=tile, wsz=wsz, k=k)
+    base = _rebase_slots(a, bo_n, nb)  # match build_banded_blocks' clamp
+    woff, off, wsz = _window_meta(base, nb, k, s_span)
+    return BandedBlocks(a=a, bo=base.astype(np.int32), woff=woff, off=off,
+                        tile=tile, wsz=wsz, k=k)
 
 
 # ------------------------------------------------------------- Pallas path
 
 
-def _banded_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz, has_row):
+def _banded_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz, has_row,
+                   wide):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -250,15 +312,26 @@ def _banded_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz, has_ro
 
     d = out_ref.shape[1]
     for kk in range(K):
-        acc = jnp.zeros((tile, d), jnp.float32)
         offk = off_ref[g * K + kk]
-        for s in range(s_span):
-            xs = xw[slot, pl.ds((offk + s) * tile, tile), :]
-            acc += jnp.dot(
-                a_ref[kk, s].astype(jnp.bfloat16),
+        if wide:
+            # one [T, S*T] @ [S*T, D] matmul: the block's slot range is a
+            # single contiguous window slice (off + s_span <= wsz by layout
+            # construction), contracted at depth S*T for full MXU pipelining
+            xs = xw[slot, pl.ds(offk * tile, s_span * tile), :]
+            acc = jnp.dot(
+                a_ref[kk].astype(jnp.bfloat16),
                 xs.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
+        else:
+            acc = jnp.zeros((tile, d), jnp.float32)
+            for s in range(s_span):
+                xs = xw[slot, pl.ds((offk + s) * tile, tile), :]
+                acc += jnp.dot(
+                    a_ref[kk, s].astype(jnp.bfloat16),
+                    xs.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
         if has_row:
             acc = acc * rs_ref[kk * tile:(kk + 1) * tile]
         out_ref[kk * tile:(kk + 1) * tile] = acc.astype(out_ref.dtype)
@@ -286,10 +359,15 @@ def spmm_banded_pallas(x: jax.Array, blocks: BandedBlocks, *, interpret: bool = 
         extra_specs.append(pl.BlockSpec((K * tile, 1), lambda g, woff, off: (g, 0)))
         extra_args.append(blocks.row_scale)
 
+    a_spec = (
+        pl.BlockSpec((K, tile, s_span * tile), lambda g, woff, off: (g, 0, 0))
+        if blocks.wide
+        else pl.BlockSpec((K, s_span, tile, tile), lambda g, woff, off: (g, 0, 0, 0))
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # woff [steps], off [steps*K]
         grid=(steps,),
-        in_specs=[pl.BlockSpec((K, s_span, tile, tile), lambda g, woff, off: (g, 0, 0, 0))]
+        in_specs=[a_spec]
         + extra_specs
         + [pl.BlockSpec(memory_space=pl.ANY)],  # x stays in HBM; windows DMA'd manually
         out_specs=pl.BlockSpec((K * tile, d), lambda g, woff, off: (g, 0)),
@@ -299,7 +377,8 @@ def spmm_banded_pallas(x: jax.Array, blocks: BandedBlocks, *, interpret: bool = 
         ],
     )
     return pl.pallas_call(
-        partial(_banded_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz, has_row=has_row),
+        partial(_banded_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz, has_row=has_row,
+                wide=blocks.wide),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_pad, d), x.dtype, vma=_operand_vma(x, blocks.a, blocks.off)),
@@ -317,14 +396,17 @@ def spmm_banded_pallas(x: jax.Array, blocks: BandedBlocks, *, interpret: bool = 
 
 def spmm_banded_xla(x: jax.Array, blocks: BandedBlocks):
     """XLA reference over the banded tiles (any backend)."""
-    nb, s_span, tile, _ = blocks.a.shape
+    nb, tile, s_span = blocks.num_dst_blocks, blocks.tile, blocks.s_span
+    a = blocks.a
+    if blocks.wide:
+        a = a.reshape(nb, tile, s_span, tile).transpose(0, 2, 1, 3)
     if blocks.col_scale is not None:
         x = (x.astype(jnp.float32) * blocks.col_scale).astype(x.dtype)
     xb = x.reshape(-1, tile, x.shape[1])  # [NB, T, D]
-    # gather source blocks bo[b] + s, clamped (zero A tiles cover the clamp)
+    # gather source blocks bo[b] + s (in range by the builder's base clamp)
     idx = jnp.clip(blocks.bo[:, None] + jnp.arange(s_span)[None, :], 0, nb - 1)
     gathered = xb[idx]  # [NB, S_SPAN, T, D]
-    out = jnp.einsum("bsij,bsjd->bid", blocks.a.astype(x.dtype), gathered)
+    out = jnp.einsum("bsij,bsjd->bid", a.astype(x.dtype), gathered)
     out = out.reshape(nb * tile, x.shape[1])
     if blocks.row_scale is not None:
         out = (out.astype(jnp.float32) * blocks.row_scale).astype(x.dtype)

@@ -15,6 +15,7 @@ from sldm_gnn_tpu.ops.spmm_banded import (
     spmm_banded_apply,
     spmm_banded_pallas,
     spmm_banded_xla,
+    widen_banded,
 )
 
 
@@ -24,11 +25,13 @@ def _banded_graph(rng, n=3000, deg=8, reach=100):
     return src, dst
 
 
+@pytest.mark.parametrize("wide", [False, True])
 @pytest.mark.parametrize("dtype", [np.int8, np.float32])
-def test_banded_matches_edge_list(rng, dtype):
+def test_banded_matches_edge_list(rng, dtype, wide):
     n, tile, d, K = 3000, 64, 16, 4
     src, dst = _banded_graph(rng)
-    fwd, rev, n_pad = prepare_banded_mean_aggregate(src, dst, n, tile=tile, k=K, dtype=dtype)
+    fwd, rev, n_pad = prepare_banded_mean_aggregate(src, dst, n, tile=tile, k=K, dtype=dtype,
+                                                    wide=wide)
     fj, rj = jax.tree.map(jnp.asarray, (fwd, rev))
     x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
     w = jnp.asarray(mean_weights(dst, n_pad))
@@ -74,6 +77,49 @@ def test_banded_native_matches_numpy(rng):
         assert a.wsz == b.wsz and a.s_span == b.s_span
     np.testing.assert_array_equal(fn.row_scale, fp.row_scale)
     np.testing.assert_array_equal(rn.col_scale, rp.col_scale)
+
+
+def test_banded_tail_block_rebase(rng):
+    """Tail blocks whose min source block exceeds nb - s_span get their
+    slot base clamped (slots shifted); both kernel layouts stay exact even
+    though the full s_span slot range must fit the window."""
+    n, tile, d = 1024, 64, 8
+    nb = n // tile
+    # one wide-span destination block (span = 6 tiles) + diagonal-only tail
+    # blocks whose bo would otherwise sit at nb-1 > nb - s_span
+    dst = np.concatenate([np.zeros(400, np.int64),
+                          np.arange(n - 3 * tile, n, dtype=np.int64)])
+    src = np.concatenate([rng.integers(0, 6 * tile, 400).astype(np.int64),
+                          np.arange(n - 3 * tile, n, dtype=np.int64)])
+    for wide in (False, True):
+        fwd, rev, n_pad = prepare_banded_mean_aggregate(
+            src, dst, n, tile=tile, k=2, wide=wide)
+        assert fwd.s_span == 6
+        # every block's full slot range fits its window
+        assert int(np.asarray(fwd.off).max()) + fwd.s_span <= fwd.wsz
+        assert int(np.asarray(fwd.bo).max()) <= nb - fwd.s_span
+        x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+        w = jnp.asarray(mean_weights(dst, n_pad))
+        want = np.asarray(spmm_xla(x, jnp.asarray(src), jnp.asarray(dst), w, n_pad))
+        fj = jax.tree.map(jnp.asarray, fwd)
+        np.testing.assert_allclose(np.asarray(spmm_banded_xla(x, fj)), want,
+                                   rtol=1e-5, atol=1e-5)
+        got = np.asarray(spmm_banded_pallas(x, fj, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_widen_banded_equivalent(rng):
+    """widen_banded is a pure layout change: same math, wide=True."""
+    n, tile, d = 2000, 64, 8
+    src, dst = _banded_graph(rng, n=n, deg=4, reach=80)
+    fwd, _, n_pad = prepare_banded_mean_aggregate(src, dst, n, tile=tile, k=4, wide=False)
+    wfwd = widen_banded(fwd)
+    assert wfwd.wide and wfwd.s_span == fwd.s_span
+    assert widen_banded(wfwd) is wfwd
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    a = np.asarray(spmm_banded_xla(x, jax.tree.map(jnp.asarray, fwd)))
+    b = np.asarray(spmm_banded_xla(x, jax.tree.map(jnp.asarray, wfwd)))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
 def test_banded_rejects_non_banded(rng):
