@@ -34,7 +34,12 @@ def main():
 
     from sldm_gnn_tpu.parallel.mesh import make_mesh
     from sldm_gnn_tpu.parallel.edge_partition import partition_edges, make_sharded_sage_step
-    from sldm_gnn_tpu.parallel.halo import plan_halo_partition, make_halo_sage_step
+    from sldm_gnn_tpu.parallel.halo import (
+        make_halo_pallas_sage_step,
+        make_halo_sage_step,
+        plan_halo_blocked,
+        plan_halo_partition,
+    )
 
     n = int(os.environ.get("SCALE_NODES", 100_000))
     deg = int(os.environ.get("SCALE_DEG", 16))
@@ -46,7 +51,10 @@ def main():
         if int(p) <= n_dev
     ]
 
-    mode = os.environ.get("SCALE_MODE", "replicated")  # 'replicated' | 'halo'
+    # 'replicated' | 'halo' (segment-sum) | 'halo_pallas' (per-shard blocked
+    # kernels; SCALE_HALO_BACKEND picks banded/dense/onehot layouts)
+    mode = os.environ.get("SCALE_MODE", "replicated")
+    halo_backend = os.environ.get("SCALE_HALO_BACKEND", "banded")
     rng = np.random.default_rng(0)
     dst = np.repeat(np.arange(n), deg)
     src = np.clip(dst + rng.integers(-256, 257, n * deg), 0, n - 1)
@@ -60,7 +68,18 @@ def main():
             k: jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.05)
             for k in ("w0a", "w0b", "w1a", "w1b")
         }
-        if mode == "halo":
+        if mode == "halo_pallas":
+            try:
+                bplan = plan_halo_blocked(src, dst, n, ep, backend=halo_backend,
+                                          banded_k=8)
+            except ValueError as err:  # non-banded under this sharding
+                print(json.dumps({"devices": ep, "error": str(err)}))
+                continue
+            x = jnp.asarray(
+                rng.standard_normal((ep, bplan.n_local, d)).astype(np.float32)
+            )
+            step = make_halo_pallas_sage_step(mesh, bplan, use_pallas=use_pallas)
+        elif mode == "halo":
             plan, n_local = plan_halo_partition(src, dst, n, ep)
             x = jnp.asarray(
                 rng.standard_normal((ep, n_local, d)).astype(np.float32)

@@ -356,12 +356,22 @@ def plan_halo_blocked(
     edge_chunk: int | None = None,
     step_chunks: int = 1,
     backend: str = "onehot",
+    banded_k: int = 4,
+    banded_max_span: int = 16,
 ) -> HaloBlockedPlan:
     """Build the Pallas-kernel halo plan from a global edge list.
 
     ``backend='dense'`` builds :class:`~sldm_gnn_tpu.ops.spmm_dense.
     DenseBlocks` layouts instead (precomputed adjacency tiles — the
-    fastest per-shard aggregation for locality graphs)."""
+    fastest per-shard aggregation for locality graphs).
+
+    ``backend='banded'`` builds the windowed-DMA banded layout
+    (:mod:`sldm_gnn_tpu.ops.spmm_banded` — the single-chip headline
+    kernel) for the INTERIOR edges, whose per-shard node space inherits
+    the global graph's bandedness under contiguous node-range sharding;
+    boundary edges index the compacted halo-row table (not banded) and
+    stay on the one-hot kernel. Raises ValueError when a shard's interior
+    span exceeds ``banded_max_span`` — fall back to ``'dense'``."""
     from ..graph.csr import EDGE_CHUNK, TILE, block_edges, pad_nodes
     from ..ops.spmm_dense import build_dense_blocks
 
@@ -373,6 +383,107 @@ def plan_halo_blocked(
     assert ep_ == ep
     n_pad_local = pad_nodes(n_local, tile)
     n_pad_bnd = pad_nodes(max(ep * h, n_local), tile)
+
+    if backend == "banded":
+        from ..ops.spmm_banded import BandedBlocks, build_banded_blocks
+
+        nbl = n_pad_local // tile
+        nbl = ((nbl + banded_k - 1) // banded_k) * banded_k
+        n_pad_local = nbl * tile
+        deg = np.bincount(np.asarray(dst, np.int64), minlength=ep * n_local)
+        inv = ((1.0 / np.maximum(deg, 1)) if mean else np.ones(ep * n_local)).astype(np.float32)
+
+        def build_interior(s_min=1, w_min=0):
+            out = []
+            for p in range(ep):
+                mi = np.asarray(split.int_w[p]) > 0
+                isrc = np.asarray(split.int_src[p])[mi]
+                idst = np.asarray(split.int_dst[p])[mi]
+                out.append((
+                    build_banded_blocks(isrc, idst, n_pad_local, tile=tile, k=banded_k,
+                                        max_span=banded_max_span,
+                                        s_span_min=s_min, wsz_min=w_min),
+                    build_banded_blocks(idst, isrc, n_pad_local, tile=tile, k=banded_k,
+                                        max_span=banded_max_span,
+                                        s_span_min=s_min, wsz_min=w_min),
+                ))
+            return out
+
+        # iterate to the common (s_span, wsz) fixpoint so the per-shard
+        # layouts share static shapes and stack leaf-wise (wsz depends on
+        # s_span through the tail-block base clamp, so one forcing pass is
+        # not always enough; this converges in <=3 builds)
+        s_min, w_min = 1, 0
+        for _ in range(4):
+            built = build_interior(s_min, w_min)
+            spans = {b.s_span for pair in built for b in pair}
+            wszs = {b.wsz for pair in built for b in pair}
+            if len(spans) == 1 and len(wszs) == 1:
+                break
+            s_min, w_min = max(spans), max(wszs)
+        else:
+            raise AssertionError("banded halo span/window failed to converge")
+        cmax = max((float(b.a.max()) if b.a.size else 0.0) for pair in built for b in pair)
+        if cmax > 127:
+            raise ValueError(
+                f"duplicate-edge multiplicity {cmax:.0f} overflows int8 counts")
+
+        def stack_banded(blocks_list, *, row: bool):
+            stacked = jax.tree.map(
+                lambda *xs: np.stack(xs),
+                *[BandedBlocks(a=b.a.astype(np.int8), bo=b.bo, woff=b.woff, off=b.off,
+                               tile=b.tile, wsz=b.wsz, k=b.k, wide=b.wide)
+                  for b in blocks_list],
+            )
+            scale = np.zeros((ep, n_pad_local, 1), np.float32)
+            for p in range(ep):
+                scale[p, :n_local, 0] = inv[p * n_local : (p + 1) * n_local]
+            return BandedBlocks(
+                a=stacked.a, bo=stacked.bo, woff=stacked.woff, off=stacked.off,
+                row_scale=scale if row else None,
+                col_scale=None if row else scale,
+                tile=tile, wsz=blocks_list[0].wsz, k=banded_k,
+            )
+
+        bnd = []
+        for p in range(ep):
+            mb = np.asarray(split.hal_w[p]) > 0
+            bnd.append((
+                block_edges(np.asarray(split.hal_src[p])[mb], np.asarray(split.hal_dst[p])[mb],
+                            n_pad_bnd, weight=np.asarray(split.hal_w[p])[mb], tile=tile,
+                            edge_chunk=edge_chunk, step_chunks=step_chunks),
+                block_edges(np.asarray(split.hal_dst[p])[mb], np.asarray(split.hal_src[p])[mb],
+                            n_pad_bnd, weight=np.asarray(split.hal_w[p])[mb], tile=tile,
+                            edge_chunk=edge_chunk, step_chunks=step_chunks),
+            ))
+
+        def stack_onehot(group):
+            from ..graph.csr import BlockedEdges
+
+            w_max = max(b.num_chunks for b in group)
+            w_max = ((w_max + step_chunks - 1) // step_chunks) * step_chunks
+            padded = [
+                _pad_chunks(
+                    BlockedEdges(block_meta=b.block_meta, src_local=b.src_local,
+                                 dst_local=b.dst_local, weight=b.weight, edge_id=None,
+                                 tile=b.tile),
+                    w_max,
+                )
+                for b in group
+            ]
+            return jax.tree.map(lambda *xs: np.stack(xs), *padded)
+
+        return HaloBlockedPlan(
+            send_idx=np.asarray(plan.send_idx),
+            int_fwd=stack_banded([pair[0] for pair in built], row=True),
+            int_rev=stack_banded([pair[1] for pair in built], row=False),
+            bnd_fwd=stack_onehot([pair[0] for pair in bnd]),
+            bnd_rev=stack_onehot([pair[1] for pair in bnd]),
+            n_local=n_local,
+            n_pad_local=n_pad_local,
+            n_pad_bnd=n_pad_bnd,
+            k_per_step=step_chunks,
+        )
 
     if backend == "dense":
         def make(s, d_, w_, npad):
@@ -473,8 +584,11 @@ def halo_aggregate_pallas(
     """Inside shard_map: halo all-to-all + per-shard blocked-SpMM
     aggregation. The interior kernel reads only x_local, so it overlaps
     the collective; the boundary kernel waits on the halo rows. Fully
-    differentiable (spmm_apply custom VJPs + collective transposes)."""
+    differentiable (spmm_apply custom VJPs + collective transposes).
+    Layout types may differ between interior and boundary (the banded
+    backend keeps boundary edges on the one-hot kernel)."""
     from ..ops.spmm import spmm_apply
+    from ..ops.spmm_banded import BandedBlocks, spmm_banded_apply
     from ..ops.spmm_dense import DenseBlocks, spmm_dense_apply
 
     d = x_local.shape[1]
@@ -482,14 +596,14 @@ def halo_aggregate_pallas(
     halo = jax.lax.all_to_all(outgoing, axis_name, split_axis=0, concat_axis=0)
 
     unstack = lambda t: jax.tree.map(lambda a: a[0], t)
-    dense = isinstance(int_fwd, DenseBlocks)
 
     def agg(x, fwd, rev, n_pad):
-        if dense:
-            return spmm_dense_apply(x, unstack(fwd), unstack(rev), use_pallas)
-        return spmm_apply(
-            x, unstack(fwd), unstack(rev), n_pad, use_pallas, plan.k_per_step
-        )
+        fwd_l, rev_l = unstack(fwd), unstack(rev)
+        if isinstance(fwd_l, DenseBlocks):
+            return spmm_dense_apply(x, fwd_l, rev_l, use_pallas)
+        if isinstance(fwd_l, BandedBlocks):
+            return spmm_banded_apply(x, fwd_l, rev_l, use_pallas)
+        return spmm_apply(x, fwd_l, rev_l, n_pad, use_pallas, plan.k_per_step)
 
     xl = jnp.pad(x_local, ((0, plan.n_pad_local - x_local.shape[0]), (0, 0)))
     out = agg(xl, int_fwd, int_rev, plan.n_pad_local)[: plan.n_local]

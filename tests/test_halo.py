@@ -292,3 +292,89 @@ def test_halo_dense_backend_matches_reference(rng):
     np.testing.assert_allclose(
         np.asarray(dx_sharded).reshape(n_pad, d), np.asarray(dx_ref), rtol=2e-4, atol=2e-5
     )
+
+
+def test_halo_banded_backend_matches_reference(rng):
+    """backend='banded': banded interior layouts (windowed-DMA kernel
+    class) + one-hot boundary == dense single-device reference, fwd+bwd
+    (XLA dispatch of the same layouts on the virtual mesh)."""
+    from sldm_gnn_tpu.ops.spmm_banded import BandedBlocks
+    from sldm_gnn_tpu.parallel.halo import make_halo_pallas_sage_step, plan_halo_blocked
+
+    ep = 4
+    mesh = make_mesh(dp=2, ep=ep)
+    n, d = 256, 8
+    # locality graph: banded per-shard interiors under contiguous sharding
+    deg = 6
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-20, 21, n * deg), 0, n - 1)
+    plan = plan_halo_blocked(src, dst, n, ep, tile=8, edge_chunk=16,
+                             backend="banded", banded_k=2)
+    assert isinstance(plan.int_fwd, BandedBlocks)
+    assert plan.int_fwd.a.dtype == np.int8
+    # all shards share static layout shapes
+    assert plan.int_fwd.a.shape[0] == ep
+
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x_stack = jnp.asarray(_stack_x(x, ep, plan.n_local))
+    params = {
+        k: jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.1)
+        for k in ("w0a", "w0b", "w1a", "w1b")
+    }
+
+    step = make_halo_pallas_sage_step(mesh, plan, use_pallas=False)
+    grads_sharded, dx_sharded = step(params, x_stack)
+
+    w = jnp.asarray(mean_weights(dst, n))
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    n_pad = ep * plan.n_local
+    xp = jnp.asarray(np.concatenate([x, np.zeros((n_pad - n, d), np.float32)]))
+
+    def ref(params, xfull):
+        a1 = spmm_xla(xfull, srcj, dstj, w, n_pad)
+        h = jnp.maximum(a1 @ params["w0a"] + xfull @ params["w0b"], 0.0)
+        a2 = spmm_xla(h, srcj, dstj, w, n_pad)
+        return jnp.sum(jnp.maximum(a2 @ params["w1a"] + h @ params["w1b"], 0.0))
+
+    grads_ref, dx_ref = jax.grad(ref, argnums=(0, 1))(params, xp)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        grads_sharded,
+        grads_ref,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_sharded).reshape(n_pad, d), np.asarray(dx_ref), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_halo_banded_layouts_interpret_kernel(rng):
+    """The stacked per-shard banded layouts drive the actual Pallas
+    banded kernel (interpret mode) to the same sums as its XLA dispatch."""
+    from sldm_gnn_tpu.ops.spmm_banded import spmm_banded_pallas, spmm_banded_xla
+    from sldm_gnn_tpu.parallel.halo import plan_halo_blocked
+
+    ep = 4
+    n, d = 192, 8
+    deg = 5
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-15, 16, n * deg), 0, n - 1)
+    plan = plan_halo_blocked(src, dst, n, ep, tile=8, edge_chunk=16,
+                             backend="banded", banded_k=2)
+    for p in range(ep):
+        for group in (plan.int_fwd, plan.int_rev):
+            blk = jax.tree.map(lambda a: jnp.asarray(a[p]), group)
+            x = jnp.asarray(rng.standard_normal((plan.n_pad_local, d)).astype(np.float32))
+            got = np.asarray(spmm_banded_pallas(x, blk, interpret=True))
+            want = np.asarray(spmm_banded_xla(x, blk))
+            np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_halo_banded_rejects_non_banded(rng):
+    from sldm_gnn_tpu.parallel.halo import plan_halo_blocked
+
+    n, e = 512, 4000
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    with pytest.raises(ValueError, match="span"):
+        plan_halo_blocked(src, dst, n, 4, tile=8, backend="banded",
+                          banded_max_span=2)
