@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from ..graph.csr import BlockedEdges
 from ..ops.spmm import spmm_apply
 from ..ops.spmm_dense import DenseBlocks, spmm_dense_apply
-from ..ops.spmm_banded import BandedBlocks, spmm_banded_apply
+from ..ops.spmm_banded import (
+    BandedBlocks,
+    spmm_banded_apply,
+    spmm_banded_infer_int8,
+    spmm_banded_xla,
+)
 from ..ops.spmm_hybrid import HybridLayout, spmm_hybrid_apply
 from .blocks import _activation
 
@@ -37,6 +42,11 @@ class BlockedSageConv(nn.Module):
     out_dim: int
     use_pallas: bool = True
     k_per_step: int = 1
+    # INFERENCE-ONLY: per-tensor int8 feature streaming through the fully-
+    # integer banded kernel (ops/spmm_banded.py spmm_banded_int8_pallas) —
+    # int8 x int8 MXU, ~0.7% rel err, no VJP. Requires a BandedBlocks
+    # layout with int8 count tiles (prepare_banded_mean_aggregate default).
+    int8_features: bool = False
 
     @nn.compact
     def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int):
@@ -44,7 +54,18 @@ class BlockedSageConv(nn.Module):
             # banded backend (ops/spmm_banded.py): windowed x DMA shared by
             # K dst blocks — fastest on locality graphs (1.38x over the
             # compact dense tiles per aggregation on v5e)
-            agg = spmm_banded_apply(x, blocked_fwd, blocked_rev, self.use_pallas)
+            if self.int8_features:
+                if self.use_pallas:
+                    agg = spmm_banded_infer_int8(x, blocked_fwd)
+                else:
+                    # XLA fallback: same quantization, dequantized aggregate
+                    from ..ops.quant import quantize_tensor_xla
+
+                    xq, s = quantize_tensor_xla(x)
+                    agg = spmm_banded_xla(
+                        xq.astype(jnp.float32) * s[0], blocked_fwd)
+            else:
+                agg = spmm_banded_apply(x, blocked_fwd, blocked_rev, self.use_pallas)
         elif isinstance(blocked_fwd, HybridLayout):
             # density-split backend (ops/spmm_hybrid.py): dense tiles for
             # dense block pairs + one-hot chunks for stragglers; carries
@@ -69,12 +90,14 @@ class BlockedSageBlock(nn.Module):
     negative_slope: float | None = None
     use_pallas: bool = True
     k_per_step: int = 1
+    int8_features: bool = False  # inference-only (see BlockedSageConv)
 
     @nn.compact
     def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int, *, train: bool = False):
         for i, h in enumerate(self.hidden_dims):
             x = BlockedSageConv(
-                h, use_pallas=self.use_pallas, k_per_step=self.k_per_step, name=f"conv{i}"
+                h, use_pallas=self.use_pallas, k_per_step=self.k_per_step,
+                int8_features=self.int8_features, name=f"conv{i}"
             )(x, blocked_fwd, blocked_rev, num_nodes)
             x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
             x = _activation(x, self.negative_slope)
@@ -93,11 +116,13 @@ class BlockedSageClassifier(nn.Module):
     negative_slope: float | None = None
     use_pallas: bool = True
     k_per_step: int = 1
+    int8_features: bool = False  # inference-only (see BlockedSageConv)
 
     @nn.compact
     def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int, *, train: bool = False):
         h = BlockedSageBlock(
             self.hidden_dims, dropout=self.dropout, negative_slope=self.negative_slope,
-            use_pallas=self.use_pallas, k_per_step=self.k_per_step, name="sage",
+            use_pallas=self.use_pallas, k_per_step=self.k_per_step,
+            int8_features=self.int8_features, name="sage",
         )(x, blocked_fwd, blocked_rev, num_nodes, train=train)
         return nn.Dense(self.num_classes, name="head")(h)

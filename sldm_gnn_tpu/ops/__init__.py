@@ -35,6 +35,8 @@ from .spmm_banded import (  # noqa: F401
     prepare_banded_mean_aggregate,
     spmm_banded_apply,
     spmm_banded_pallas,
+    spmm_banded_int8_pallas,
+    spmm_banded_infer_int8,
     spmm_banded_xla,
     widen_banded,
 )

@@ -394,6 +394,120 @@ def spmm_banded_pallas(x: jax.Array, blocks: BandedBlocks, *, interpret: bool = 
     )(blocks.woff, blocks.off, blocks.a, *extra_args, x)
 
 
+def _banded_int8_kernel(woff_ref, off_ref, xscale_ref, a_ref, rs_ref, x_hbm,
+                        out_ref, xw, sems, *, s_span, K, tile, wsz):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    num = pl.num_programs(0)
+
+    def window_dma(slot, g_):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(woff_ref[g_] * tile, wsz * tile), :],
+            xw.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    @pl.when(g + 1 < num)
+    def _():
+        window_dma(jax.lax.rem(g + 1, 2), g + 1).start()
+
+    window_dma(slot, g).wait()
+
+    d = out_ref.shape[1]
+    for kk in range(K):
+        offk = off_ref[g * K + kk]
+        acc = jnp.zeros((tile, d), jnp.int32)
+        for s in range(s_span):
+            xs = xw[slot, pl.ds((offk + s) * tile, tile), :]
+            # int8 x int8 -> int32 on the MXU: exact integer math (counts
+            # <= 127, |xq| <= 127, row sums far below 2^31)
+            acc += jnp.dot(a_ref[kk, s], xs, preferred_element_type=jnp.int32)
+        scaled = acc.astype(jnp.float32) * xscale_ref[0]
+        scaled = scaled * rs_ref[kk * tile:(kk + 1) * tile]
+        out_ref[kk * tile:(kk + 1) * tile] = scaled.astype(out_ref.dtype)
+
+
+def spmm_banded_int8_pallas(
+    xq: jax.Array,
+    x_scale: jax.Array,
+    blocks: BandedBlocks,
+    *,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Fully-int8 banded aggregation for inference.
+
+    ``xq [n_pad, D] int8`` per-TENSOR quantized (one scalar ``x_scale``,
+    from :func:`sldm_gnn_tpu.ops.quant.quantize_tensor_xla`); ``blocks``
+    must carry int8 count tiles with ``row_scale`` (the factored-mean
+    layout of :func:`prepare_banded_mean_aggregate`). Both MXU operands
+    ride the int8 path (2x the bf16 MXU rate) and the x windows stream at
+    1 byte/element (half the bf16 traffic); the integer aggregation is
+    EXACT, so the only error is the one per-tensor feature quantization.
+    Output = ``row_scale * x_scale * (counts @ xq)``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, d = xq.shape
+    assert xq.dtype == jnp.int8, xq.dtype
+    assert not blocks.wide, "int8 banded kernel uses the per-slot layout"
+    assert blocks.a.dtype == jnp.int8, "needs int8 count tiles"
+    assert blocks.row_scale is not None, "needs the factored-mean row scale"
+    tile, K, wsz = blocks.tile, blocks.k, blocks.wsz
+    nb = blocks.num_dst_blocks
+    s_span = blocks.s_span
+    assert n_pad == nb * tile, (n_pad, nb, tile)
+    steps = nb // K
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # woff, off, x_scale
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((K, s_span, tile, tile), lambda g, woff, off, xs: (g, 0, 0, 0)),
+            pl.BlockSpec((K * tile, 1), lambda g, woff, off, xs: (g, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # xq in HBM; windows DMA'd
+        ],
+        out_specs=pl.BlockSpec((K * tile, d), lambda g, woff, off, xs: (g, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, wsz * tile, d), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_banded_int8_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, d), out_dtype,
+            vma=_operand_vma(xq, x_scale, blocks.a, blocks.off)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * s_span * tile * tile * d,
+            bytes_accessed=blocks.a.size + steps * wsz * tile * d + n_pad * d * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(blocks.woff, blocks.off, x_scale, blocks.a, blocks.row_scale, xq)
+
+
+def spmm_banded_infer_int8(x: jax.Array, blocks: BandedBlocks, *, interpret: bool = False):
+    """Quantize-then-aggregate convenience: per-tensor int8 features through
+    :func:`spmm_banded_int8_pallas`. One f32 read of x for the quantization,
+    then every kernel window streams at 1 byte/element."""
+    from .quant import quantize_tensor_xla
+
+    xq, scale = quantize_tensor_xla(x)
+    return spmm_banded_int8_pallas(xq, scale, blocks, interpret=interpret)
+
+
 def spmm_banded_xla(x: jax.Array, blocks: BandedBlocks):
     """XLA reference over the banded tiles (any backend)."""
     nb, tile, s_span = blocks.num_dst_blocks, blocks.tile, blocks.s_span

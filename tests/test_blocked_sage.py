@@ -120,3 +120,29 @@ def test_blocked_sage_dense_backend_matches(rng):
         lambda a, b: np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5),
         g1, g2,
     )
+
+
+def test_blocked_classifier_int8_inference_close_to_f32(rng):
+    """int8_features=True (per-tensor int8 feature streaming): same weights,
+    inference outputs within per-tensor quantization error of the f32 path."""
+    from sldm_gnn_tpu.models.blocked_sage import BlockedSageClassifier
+    from sldm_gnn_tpu.ops.spmm_banded import prepare_banded_mean_aggregate
+
+    n, tile, d = 2000, 64, 16
+    deg = 5
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-60, 61, n * deg), 0, n - 1)
+    fwd, rev, n_pad = prepare_banded_mean_aggregate(src, dst, n, tile=tile, k=4)
+    fj, rj = jax.tree.map(jnp.asarray, (fwd, rev))
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+
+    m32 = BlockedSageClassifier(hidden_dims=(16, 16), num_classes=3,
+                                negative_slope=0.1, use_pallas=False)
+    m8 = BlockedSageClassifier(hidden_dims=(16, 16), num_classes=3,
+                               negative_slope=0.1, use_pallas=False,
+                               int8_features=True)
+    params = m32.init(jax.random.PRNGKey(0), x, fj, rj, n_pad)
+    out32 = np.asarray(m32.apply(params, x, fj, rj, n_pad))
+    out8 = np.asarray(m8.apply(params, x, fj, rj, n_pad))
+    scale = np.abs(out32).max() + 1e-9
+    assert np.abs(out8 - out32).max() / scale < 5e-2

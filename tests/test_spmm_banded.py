@@ -163,3 +163,48 @@ def test_blocked_sage_dispatches_banded(rng):
     assert np.isfinite(np.asarray(out)).all()
     g = jax.grad(lambda p: jnp.sum(m.apply(p, x, fj, rj, n_pad) ** 2))(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_banded_int8_matches_dequantized_reference(rng):
+    """Fully-int8 banded aggregation == f32 aggregation of the dequantized
+    features EXACTLY (integer math; the only error is x quantization),
+    and tracks the unquantized result within per-tensor int8 error."""
+    from sldm_gnn_tpu.ops.quant import quantize_tensor_xla
+    from sldm_gnn_tpu.ops.spmm_banded import spmm_banded_int8_pallas
+
+    n, tile, d = 3000, 64, 16
+    src, dst = _banded_graph(rng)
+    fwd, _, n_pad = prepare_banded_mean_aggregate(src, dst, n, tile=tile, k=4)
+    fj = jax.tree.map(jnp.asarray, fwd)
+    x = rng.standard_normal((n_pad, d)).astype(np.float32)
+    xq, scale = quantize_tensor_xla(jnp.asarray(x))
+
+    got = np.asarray(spmm_banded_int8_pallas(xq, scale, fj, interpret=True))
+
+    deq = np.asarray(xq, np.int64)
+    w = mean_weights(dst, n_pad)
+    want_int = np.zeros((n_pad, d), np.int64)
+    np.add.at(want_int, dst, deq[src])
+    want = want_int.astype(np.float64) * float(scale[0]) * (
+        np.asarray(fwd.row_scale).astype(np.float64))
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6, atol=1e-6)
+
+    full = np.asarray(spmm_xla(jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst),
+                               jnp.asarray(w), n_pad))
+    ref_scale = np.abs(full).max()
+    assert np.abs(got - full).max() / ref_scale < 5e-2
+
+
+def test_banded_infer_int8_wrapper(rng):
+    from sldm_gnn_tpu.ops.spmm_banded import spmm_banded_infer_int8
+
+    n, tile, d = 1500, 64, 8
+    src, dst = _banded_graph(rng, n=n, deg=4, reach=60)
+    fwd, _, n_pad = prepare_banded_mean_aggregate(src, dst, n, tile=tile, k=4)
+    fj = jax.tree.map(jnp.asarray, fwd)
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    got = np.asarray(spmm_banded_infer_int8(x, fj, interpret=True))
+    w = jnp.asarray(mean_weights(dst, n_pad))
+    want = np.asarray(spmm_xla(x, jnp.asarray(src), jnp.asarray(dst), w, n_pad))
+    ref_scale = np.abs(want).max() + 1e-9
+    assert np.abs(got - want).max() / ref_scale < 5e-2
