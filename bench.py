@@ -211,11 +211,26 @@ def main():
     tile = int(os.environ.get("BENCH_TILE", 512))
     edge_chunk = int(os.environ.get("BENCH_EDGE_CHUNK", 512))
     _vlog(f"backend={spmm_backend} dtype={dense_dtype} E={e}")
+    # BENCH_LAYOUT_CACHE=<dir>: persist the built layouts (the edge set is
+    # a pure function of the BENCH_* knobs, so the key encodes them) —
+    # repeat runs at the ~50M-edge scale skip ~1-2 min of host fill
+    cache_dir = os.environ.get("BENCH_LAYOUT_CACHE")
+
+    def maybe_cached(key, build):
+        if not cache_dir:
+            return build()
+        from sldm_gnn_tpu.graph.layout_io import cached_layouts
+
+        return cached_layouts(cache_dir, key, build)
+
     if spmm_backend == "banded":
         try:
-            banded_fwd, banded_rev, n_pad = prepare_banded_mean_aggregate(
-                src, dst, n, tile=dense_tile, k=banded_k, dtype=np.int8,
-                wide=banded_wide)
+            banded_fwd, banded_rev, n_pad = maybe_cached(
+                f"banded-n{n}-deg{deg}-t{dense_tile}-k{banded_k}-i8"
+                + ("-wide" if banded_wide else ""),
+                lambda: prepare_banded_mean_aggregate(
+                    src, dst, n, tile=dense_tile, k=banded_k, dtype=np.int8,
+                    wide=banded_wide))
             blocked_fwd = jax.tree.map(jnp.asarray, banded_fwd)
             blocked_rev = jax.tree.map(jnp.asarray, banded_rev)
             _vlog(f"banded layout: A {banded_fwd.a.nbytes/1e9:.2f}+{banded_rev.a.nbytes/1e9:.2f} GB, "

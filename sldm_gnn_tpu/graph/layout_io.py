@@ -1,0 +1,99 @@
+"""Serialize precomputed SpMM edge layouts to disk.
+
+The blocked layouts (BlockedEdges / DenseBlocks / BandedBlocks) are pure
+functions of the static edge set, but building them costs host time that
+grows with the graph (~100 s for the 64M-edge banded layout, dominated by
+the adjacency-tile fill). Training jobs over a static graph should pay
+that once: ``save_layout``/``load_layout`` round-trip any registered
+layout dataclass through one ``.npz`` file (arrays + a JSON header with
+the class name and static fields), and ``cached_layouts`` wraps a builder
+with an on-disk cache keyed by the caller's own content key.
+
+Reference parallel: the reference also persists its preprocessing
+(per-pack ``.pt`` graph files, ``/root/reference/src/gbuilder.py:537-554``)
+— this is the same play one level down, at the kernel-layout tier that
+exists only in the TPU design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+
+_NONE = "__none__"
+
+
+def _registry():
+    from ..graph.csr import BlockedEdges
+    from ..ops.spmm_banded import BandedBlocks
+    from ..ops.spmm_dense import DenseBlocks
+
+    return {c.__name__: c for c in (BlockedEdges, DenseBlocks, BandedBlocks)}
+
+
+def save_layout(path: str | Path, layout) -> None:
+    """Write one layout dataclass to ``path`` (.npz)."""
+    cls = type(layout)
+    if cls.__name__ not in _registry():
+        raise TypeError(f"unknown layout type {cls.__name__}")
+    arrays, static = {}, {}
+    for f in dataclasses.fields(cls):
+        v = getattr(layout, f.name)
+        if f.metadata.get("static"):
+            static[f.name] = v
+        elif v is None:
+            arrays[f.name] = np.asarray(_NONE)
+        else:
+            arrays[f.name] = np.asarray(v)
+    header = json.dumps({"class": cls.__name__, "static": static})
+    np.savez(path, __layout_header__=np.asarray(header), **arrays)
+
+
+def load_layout(path: str | Path):
+    """Read a layout written by :func:`save_layout` (host numpy arrays;
+    move to device with ``jax.tree.map(jnp.asarray, layout)``)."""
+    with np.load(path, allow_pickle=False) as z:
+        header = json.loads(str(z["__layout_header__"]))
+        cls = _registry()[header["class"]]
+        kwargs = dict(header["static"])
+        for f in dataclasses.fields(cls):
+            if f.name in kwargs:
+                continue
+            a = z[f.name]
+            kwargs[f.name] = None if a.shape == () and str(a) == _NONE else a
+    return cls(**kwargs)
+
+
+def cached_layouts(cache_dir: str | Path, key: str, build):
+    """Layout-tuple cache: returns ``build()``'s result, persisting every
+    layout element under ``cache_dir/key-<i>.npz`` (non-layout elements —
+    e.g. the padded node count — go into a JSON sidecar). ``key`` must
+    encode everything the layouts depend on (graph hash/source, tile, k,
+    dtype, backend); the cache trusts it blindly."""
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    meta_p = cache_dir / f"{key}.json"
+    if meta_p.is_file():
+        meta = json.loads(meta_p.read_text())
+        out = []
+        for i, kind in enumerate(meta["kinds"]):
+            if kind == "layout":
+                out.append(load_layout(cache_dir / f"{key}-{i}.npz"))
+            else:
+                out.append(meta["values"][str(i)])
+        return tuple(out)
+    result = tuple(build())
+    kinds, values = [], {}
+    for i, item in enumerate(result):
+        if type(item).__name__ in _registry():
+            save_layout(cache_dir / f"{key}-{i}.npz", item)
+            kinds.append("layout")
+        else:
+            kinds.append("value")
+            values[str(i)] = item
+    # write the manifest last: a crash mid-save leaves no valid cache entry
+    meta_p.write_text(json.dumps({"kinds": kinds, "values": values}))
+    return result

@@ -1,0 +1,71 @@
+"""Layout serialization (graph/layout_io.py): round-trip equality for the
+three blocked-layout types and the builder cache."""
+
+import numpy as np
+import jax
+import pytest
+
+from sldm_gnn_tpu.graph.csr import block_edges, mean_weights, pad_nodes
+from sldm_gnn_tpu.graph.layout_io import cached_layouts, load_layout, save_layout
+from sldm_gnn_tpu.ops.spmm_banded import prepare_banded_mean_aggregate
+from sldm_gnn_tpu.ops.spmm_dense import prepare_dense_mean_aggregate
+
+
+def _graph(rng, n=1000, deg=5, reach=50):
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-reach, reach + 1, n * deg), 0, n - 1)
+    return src, dst
+
+
+def _assert_layout_equal(a, b):
+    assert type(a) is type(b)
+    import dataclasses
+
+    for f in dataclasses.fields(type(a)):
+        va, vb = getattr(a, f.name), getattr(b, f.name)
+        if va is None or vb is None:
+            assert va is None and vb is None, f.name
+        elif f.metadata.get("static"):
+            assert va == vb, f.name
+        else:
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=f.name)
+            assert np.asarray(va).dtype == np.asarray(vb).dtype, f.name
+
+
+@pytest.mark.parametrize("kind", ["banded", "dense", "onehot"])
+def test_layout_roundtrip(tmp_path, rng, kind):
+    n = 1000
+    src, dst = _graph(rng)
+    if kind == "banded":
+        fwd, rev, _ = prepare_banded_mean_aggregate(src, dst, n, tile=64, k=4)
+    elif kind == "dense":
+        fwd, rev, _ = prepare_dense_mean_aggregate(src, dst, n, tile=64)
+    else:
+        n_pad = pad_nodes(n, 64)
+        w = mean_weights(dst, n_pad)
+        fwd = block_edges(src, dst, n_pad, weight=w, tile=64, edge_chunk=32)
+        rev = block_edges(dst, src, n_pad, weight=w, tile=64, edge_chunk=32)
+    for layout in (fwd, rev):
+        p = tmp_path / "l.npz"
+        save_layout(p, layout)
+        _assert_layout_equal(load_layout(p), layout)
+
+
+def test_cached_layouts(tmp_path, rng):
+    n = 800
+    src, dst = _graph(rng, n=n)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return prepare_banded_mean_aggregate(src, dst, n, tile=64, k=4)
+
+    r1 = cached_layouts(tmp_path, "k1", build)
+    r2 = cached_layouts(tmp_path, "k1", build)
+    assert len(calls) == 1  # second call served from disk
+    _assert_layout_equal(r1[0], r2[0])
+    _assert_layout_equal(r1[1], r2[1])
+    assert r1[2] == r2[2]  # the padded node count (plain value)
+    r3 = cached_layouts(tmp_path, "k2", build)
+    assert len(calls) == 2  # different key rebuilds
+    _assert_layout_equal(r1[0], r3[0])
