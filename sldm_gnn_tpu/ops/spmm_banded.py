@@ -212,16 +212,8 @@ def prepare_banded_mean_aggregate(
 
     maybe_widen = widen_banded if wide else (lambda b: b)
     if np.dtype(dtype) == np.int8:
-        fwd = rev = None
-        if len(src) >= 100_000:
-            fwd = _native_banded_counts(src, dst, num_nodes, tile, k, max_span)
-            rev = _native_banded_counts(dst, src, num_nodes, tile, k, max_span)
-        if fwd is None or rev is None:
-            fwd = build_banded_blocks(src, dst, num_nodes, tile=tile, k=k, max_span=max_span)
-            rev = build_banded_blocks(dst, src, num_nodes, tile=tile, k=k, max_span=max_span)
-            cmax = max(fwd.a.max() if fwd.a.size else 0, 1)
-            if cmax > 127:
-                raise ValueError(f"duplicate-edge multiplicity {cmax} overflows int8 counts")
+        fwd = build_banded_counts(src, dst, num_nodes, tile=tile, k=k, max_span=max_span)
+        rev = build_banded_counts(dst, src, num_nodes, tile=tile, k=k, max_span=max_span)
         n_pad = fwd.num_dst_blocks * tile
         deg = np.bincount(np.asarray(dst, np.int64), minlength=n_pad)
         scale = (1.0 / np.maximum(deg, 1)).astype(np.float32).reshape(-1, 1)
@@ -240,7 +232,40 @@ def prepare_banded_mean_aggregate(
     return maybe_widen(fwd), maybe_widen(rev), fwd.num_dst_blocks * tile
 
 
-def _native_banded_counts(src, dst, num_nodes, tile, k, max_span):
+def build_banded_counts(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    tile: int = TILE,
+    k: int = 4,
+    max_span: int = 16,
+    s_span_min: int = 1,
+    wsz_min: int = 0,
+) -> BandedBlocks:
+    """int8 count-tile banded layout (no scales attached): the shared
+    builder behind :func:`prepare_banded_mean_aggregate` and the halo
+    planner's per-shard interiors (parallel/halo.py). Prefers the native
+    OpenMP fill for >=100k edges (no f32 tile transient); raises on
+    span/int8-count overflow."""
+    out = None
+    if len(src) >= 100_000:
+        out = _native_banded_counts(src, dst, num_nodes, tile, k, max_span,
+                                    s_span_min, wsz_min)
+    if out is None:
+        out = build_banded_blocks(src, dst, num_nodes, tile=tile, k=k,
+                                  max_span=max_span, s_span_min=s_span_min,
+                                  wsz_min=wsz_min)
+        cmax = max(out.a.max() if out.a.size else 0, 1)
+        if cmax > 127:
+            raise ValueError(f"duplicate-edge multiplicity {cmax} overflows int8 counts")
+        out = BandedBlocks(a=out.a.astype(np.int8), bo=out.bo, woff=out.woff,
+                           off=out.off, tile=tile, wsz=out.wsz, k=k)
+    return out
+
+
+def _native_banded_counts(src, dst, num_nodes, tile, k, max_span, s_span_min=1,
+                          wsz_min=0):
     """int8 count layout via the native fill (no f32 transient). Returns
     None when the native lib is unavailable; raises on span/int8 overflow
     (matching the numpy path)."""
@@ -261,6 +286,7 @@ def _native_banded_counts(src, dst, num_nodes, tile, k, max_span):
         raise ValueError(
             f"source span {s_span} tiles exceeds max_span={max_span}: "
             "graph is not banded under this node order")
+    s_span = max(s_span, min(s_span_min, nb))
     out = native_banded_blocks_i8(src, dst, nb, tile, s_span)
     if out is None:
         return None
@@ -269,7 +295,7 @@ def _native_banded_counts(src, dst, num_nodes, tile, k, max_span):
         raise ValueError(f"duplicate-edge multiplicity {cmax} overflows int8 counts")
     assert cmax >= 0  # span already validated above
     base = _rebase_slots(a, bo_n, nb)  # match build_banded_blocks' clamp
-    woff, off, wsz = _window_meta(base, nb, k, s_span)
+    woff, off, wsz = _window_meta(base, nb, k, s_span, wsz_min=wsz_min)
     return BandedBlocks(a=a, bo=base.astype(np.int32), woff=woff, off=off,
                         tile=tile, wsz=wsz, k=k)
 

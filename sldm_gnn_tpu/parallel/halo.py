@@ -385,7 +385,7 @@ def plan_halo_blocked(
     n_pad_bnd = pad_nodes(max(ep * h, n_local), tile)
 
     if backend == "banded":
-        from ..ops.spmm_banded import BandedBlocks, build_banded_blocks
+        from ..ops.spmm_banded import BandedBlocks, build_banded_counts
 
         nbl = n_pad_local // tile
         nbl = ((nbl + banded_k - 1) // banded_k) * banded_k
@@ -400,10 +400,10 @@ def plan_halo_blocked(
                 isrc = np.asarray(split.int_src[p])[mi]
                 idst = np.asarray(split.int_dst[p])[mi]
                 out.append((
-                    build_banded_blocks(isrc, idst, n_pad_local, tile=tile, k=banded_k,
+                    build_banded_counts(isrc, idst, n_pad_local, tile=tile, k=banded_k,
                                         max_span=banded_max_span,
                                         s_span_min=s_min, wsz_min=w_min),
-                    build_banded_blocks(idst, isrc, n_pad_local, tile=tile, k=banded_k,
+                    build_banded_counts(idst, isrc, n_pad_local, tile=tile, k=banded_k,
                                         max_span=banded_max_span,
                                         s_span_min=s_min, wsz_min=w_min),
                 ))
@@ -423,18 +423,9 @@ def plan_halo_blocked(
             s_min, w_min = max(spans), max(wszs)
         else:
             raise AssertionError("banded halo span/window failed to converge")
-        cmax = max((float(b.a.max()) if b.a.size else 0.0) for pair in built for b in pair)
-        if cmax > 127:
-            raise ValueError(
-                f"duplicate-edge multiplicity {cmax:.0f} overflows int8 counts")
 
         def stack_banded(blocks_list, *, row: bool):
-            stacked = jax.tree.map(
-                lambda *xs: np.stack(xs),
-                *[BandedBlocks(a=b.a.astype(np.int8), bo=b.bo, woff=b.woff, off=b.off,
-                               tile=b.tile, wsz=b.wsz, k=b.k, wide=b.wide)
-                  for b in blocks_list],
-            )
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *blocks_list)
             scale = np.zeros((ep, n_pad_local, 1), np.float32)
             for p in range(ep):
                 scale[p, :n_local, 0] = inv[p * n_local : (p + 1) * n_local]

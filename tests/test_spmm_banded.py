@@ -208,3 +208,33 @@ def test_banded_infer_int8_wrapper(rng):
     want = np.asarray(spmm_xla(x, jnp.asarray(src), jnp.asarray(dst), w, n_pad))
     ref_scale = np.abs(want).max() + 1e-9
     assert np.abs(got - want).max() / ref_scale < 5e-2
+
+
+def test_banded_counts_native_matches_numpy_forced_min(rng):
+    """build_banded_counts with forced s_span_min/wsz_min (the halo
+    planner's stacking contract) — native fill == numpy fill."""
+    from sldm_gnn_tpu.build.native import available
+    import sldm_gnn_tpu.build.native as native_mod
+    from sldm_gnn_tpu.ops.spmm_banded import build_banded_counts
+
+    if not available():
+        pytest.skip("native library not built")
+    n, deg, tile = 30_000, 4, 64
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-100, 101, n * deg), 0, n - 1)
+    assert len(src) >= 100_000
+
+    kw = dict(tile=tile, k=4, s_span_min=9, wsz_min=14)
+    a = build_banded_counts(src, dst, n, **kw)
+    orig = native_mod.native_banded_blocks_i8
+    native_mod.native_banded_blocks_i8 = lambda *a_, **k_: None
+    try:
+        b = build_banded_counts(src, dst, n, **kw)
+    finally:
+        native_mod.native_banded_blocks_i8 = orig
+    assert a.s_span == b.s_span == 9 or a.s_span == b.s_span  # forced floor
+    assert a.s_span >= 9 and a.wsz >= 14
+    assert a.wsz == b.wsz
+    for f in ("a", "bo", "woff", "off"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)))
