@@ -119,8 +119,11 @@ def bench_step(fn, params, x, iters, *extra, inloop=False):
         jax.tree.map(lambda a: a.block_until_ready(), (params2, x2))
         float(x2.ravel()[0])  # warm value-fetch path
         t0 = time.perf_counter()
-        params2, x2 = run(params, x, *extra)
-        float(x2.ravel()[0])
+        # feed the warm run's outputs in: the timed request is never a
+        # byte-identical duplicate of the warm one (same caching guard as
+        # the dispatched path's per-step chaining)
+        params3, x3 = run(params2, x2, *extra)
+        float(x3.ravel()[0])
         return (time.perf_counter() - t0) / iters
 
     chained = jax.jit(step)

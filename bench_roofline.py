@@ -5,6 +5,15 @@ and MXU floors from the layout itself (the same terms as the kernel's
 CostEstimate), times one aggregation on the real chip, and reports the
 attained fraction of the binding roofline. Prints ONE JSON line.
 
+Methodology (remote-relay rules, CLAUDE.md): all timing iterations run
+inside ONE jitted ``fori_loop`` (no per-iteration dispatch), each
+iteration folds the kernel output back into its input (launches are never
+identical), the layout ships as traced jit arguments (not closure
+constants — remote-compile payload limit), the timed top-level request
+takes the warm run's outputs (never a byte-identical duplicate request),
+and the window closes with a value fetch. A kernel-free control chain
+with the same fold is subtracted, leaving kernel-only time.
+
 Peak numbers default to TPU v5e (819 GB/s HBM, 197 TFLOP/s bf16 MXU,
 394 TOP/s int8) and can be overridden via ROOFLINE_HBM_GBS /
 ROOFLINE_MXU_TFLOPS for other chips.
@@ -17,6 +26,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -28,8 +38,10 @@ def main():
     import jax.numpy as jnp
 
     from bench import make_local_graph
+    from sldm_gnn_tpu.graph.csr import pad_nodes
     from sldm_gnn_tpu.ops.spmm_banded import (
-        prepare_banded_mean_aggregate,
+        BandedBlocks,
+        build_banded_counts,
         spmm_banded_int8_pallas,
         spmm_banded_pallas,
     )
@@ -45,10 +57,18 @@ def main():
 
     src, dst = make_local_graph(n, deg)
     e = len(src)
-    fwd, _, n_pad = prepare_banded_mean_aggregate(src, dst, n, tile=128, k=12)
+    # forward layout only (the reverse is for training VJPs, not needed
+    # here): int8 counts + the factored-mean 1/deg row scale
+    k = 12
+    fwd = build_banded_counts(src, dst, n, tile=128, k=k)
+    n_pad = fwd.num_dst_blocks * fwd.tile
+    deg_arr = np.bincount(dst, minlength=n_pad)
+    scale = (1.0 / np.maximum(deg_arr, 1)).astype(np.float32).reshape(-1, 1)
+    fwd = BandedBlocks(a=fwd.a, bo=fwd.bo, woff=fwd.woff, off=fwd.off,
+                       row_scale=scale, tile=fwd.tile, wsz=fwd.wsz, k=k)
     fj = jax.tree.map(jnp.asarray, fwd)
     nb, s_span, tile, _ = np.asarray(fwd.a).shape
-    steps = nb // fwd.k
+    steps = nb // k
 
     x_itemsize = 1 if use_int8 else 2  # int8 windows vs bf16 windows
     out_itemsize = 4 if use_int8 else 2
@@ -65,32 +85,27 @@ def main():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
 
-    # methodology: the timed chain folds each output back into x (an
-    # elementwise pass over [n_pad, d]) so consecutive kernel launches are
-    # never identical; a kernel-free control chain with the SAME fold is
-    # timed separately and subtracted, leaving kernel-only time. Both run
-    # as one jitted fori_loop (no per-iteration dispatch) and the timing
-    # window closes with a value fetch (remote-relay rule, CLAUDE.md).
     def timed(fn, *args):
-        out = fn(*args)
-        jax.tree.map(lambda a: a.block_until_ready(), out)
-        f = jax.tree.leaves(out)[0]
+        """Warm (compile + cache-prime), then time one request whose
+        inputs are the warm request's OUTPUTS — never a duplicate.
+        ``fn`` must return a tuple matching its positional signature."""
+        warm = fn(*args)
+        jax.tree.map(lambda a: a.block_until_ready(), warm)
+        f = jax.tree.leaves(warm)[0]
         float(jnp.asarray(f).ravel()[0].astype(jnp.float32))
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(*warm)
         f = jax.tree.leaves(out)[0]
         float(jnp.asarray(f).ravel()[0].astype(jnp.float32))
         return time.perf_counter() - t0
 
     if use_int8:
-        from functools import partial
-
         from sldm_gnn_tpu.ops.quant import quantize_tensor_xla
 
         xq, s = quantize_tensor_xla(x)
 
         @partial(jax.jit, static_argnums=2)
-        def chain(xq, s, with_kernel):
+        def chain(xq, s, with_kernel, fj):
             def body(_, carry):
                 xq, s = carry
                 if with_kernel:
@@ -100,25 +115,23 @@ def main():
                     s = s * (1.0 + 1e-12)
                 return xq, s
 
-            return jax.lax.fori_loop(0, iters, body, (xq, s))[1]
+            return jax.lax.fori_loop(0, iters, body, (xq, s))
 
-        t_full = timed(chain, xq, s, True) / iters
-        t_ctrl = timed(chain, xq, s, False) / iters
+        t_full = timed(lambda a, b: chain(a, b, True, fj), xq, s) / iters
+        t_ctrl = timed(lambda a, b: chain(a, b, False, fj), xq, s) / iters
     else:
-        from functools import partial
-
         xb = x.astype(jnp.bfloat16)
 
         @partial(jax.jit, static_argnums=1)
-        def chain(x, with_kernel):
+        def chain(x, with_kernel, fj):
             def body(_, xv):
                 if with_kernel:
                     return xv + 1e-9 * spmm_banded_pallas(xv, fj)
                 return xv + 1e-9 * xv
-            return jax.lax.fori_loop(0, iters, body, x)
+            return (jax.lax.fori_loop(0, iters, body, x),)
 
-        t_full = timed(chain, xb, True) / iters
-        t_ctrl = timed(chain, xb, False) / iters
+        t_full = timed(lambda a: chain(a, True, fj), xb) / iters
+        t_ctrl = timed(lambda a: chain(a, False, fj), xb) / iters
 
     t = max(t_full - t_ctrl, 1e-9)
     print(json.dumps({

@@ -50,6 +50,10 @@ class BlockedSageConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int):
+        if self.int8_features and not isinstance(blocked_fwd, BandedBlocks):
+            raise TypeError(
+                "int8_features=True requires a BandedBlocks layout (the "
+                "fully-int8 kernel); got " + type(blocked_fwd).__name__)
         if isinstance(blocked_fwd, BandedBlocks):
             # banded backend (ops/spmm_banded.py): windowed x DMA shared by
             # K dst blocks — fastest on locality graphs (1.38x over the
@@ -58,7 +62,11 @@ class BlockedSageConv(nn.Module):
                 if self.use_pallas:
                     agg = spmm_banded_infer_int8(x, blocked_fwd)
                 else:
-                    # XLA fallback: same quantization, dequantized aggregate
+                    # XLA fallback: same quantization, dequantized aggregate.
+                    # Inference-only like the kernel path — the quantize
+                    # round is zero-derivative a.e., so no gradient flows
+                    # through the aggregation here (the Pallas path fails
+                    # loudly under AD instead; this one must not be trained)
                     from ..ops.quant import quantize_tensor_xla
 
                     xq, s = quantize_tensor_xla(x)

@@ -303,16 +303,13 @@ def _native_banded_counts(src, dst, num_nodes, tile, k, max_span, s_span_min=1,
 # ------------------------------------------------------------- Pallas path
 
 
-def _banded_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz, has_row,
-                   wide):
+def _window_prologue(woff_ref, x_hbm, xw, sems, tile, wsz):
+    """Double-buffered x-window pipeline: start this step's DMA on step 0,
+    prefetch the next step's window, wait on the current one. Returns the
+    VMEM slot holding this grid step's window. Shared by the bf16 and int8
+    kernels (the window dtype is whatever ``xw`` was allocated as)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-    if has_row:
-        rs_ref, x_hbm, out_ref, xw, sems = rest
-    else:
-        x_hbm, out_ref, xw, sems = rest
-        rs_ref = None
 
     g = pl.program_id(0)
     num = pl.num_programs(0)
@@ -335,7 +332,21 @@ def _banded_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz, has_ro
         window_dma(jax.lax.rem(g + 1, 2), g + 1).start()
 
     window_dma(slot, g).wait()
+    return slot
 
+
+def _banded_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz, has_row,
+                   wide):
+    from jax.experimental import pallas as pl
+
+    if has_row:
+        rs_ref, x_hbm, out_ref, xw, sems = rest
+    else:
+        x_hbm, out_ref, xw, sems = rest
+        rs_ref = None
+
+    slot = _window_prologue(woff_ref, x_hbm, xw, sems, tile, wsz)
+    g = pl.program_id(0)
     d = out_ref.shape[1]
     for kk in range(K):
         offk = off_ref[g * K + kk]
@@ -423,30 +434,9 @@ def spmm_banded_pallas(x: jax.Array, blocks: BandedBlocks, *, interpret: bool = 
 def _banded_int8_kernel(woff_ref, off_ref, xscale_ref, a_ref, rs_ref, x_hbm,
                         out_ref, xw, sems, *, s_span, K, tile, wsz):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
+    slot = _window_prologue(woff_ref, x_hbm, xw, sems, tile, wsz)
     g = pl.program_id(0)
-    num = pl.num_programs(0)
-
-    def window_dma(slot, g_):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(woff_ref[g_] * tile, wsz * tile), :],
-            xw.at[slot],
-            sems.at[slot],
-        )
-
-    slot = jax.lax.rem(g, 2)
-
-    @pl.when(g == 0)
-    def _():
-        window_dma(0, 0).start()
-
-    @pl.when(g + 1 < num)
-    def _():
-        window_dma(jax.lax.rem(g + 1, 2), g + 1).start()
-
-    window_dma(slot, g).wait()
-
     d = out_ref.shape[1]
     for kk in range(K):
         offk = off_ref[g * K + kk]

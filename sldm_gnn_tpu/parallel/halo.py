@@ -317,6 +317,28 @@ class HaloBlockedPlan:
     k_per_step: int
 
 
+def _stack_blocked(group, step_chunks: int):
+    """Stack per-shard one-hot BlockedEdges layouts over a leading ep axis:
+    drop edge_id (not needed for aggregation) so every shard's layout has
+    an identical pytree structure, pad chunk counts to the group max
+    (rounded to the step_chunks multiple), then stack leaf-wise."""
+    from ..graph.csr import BlockedEdges
+
+    w_max = max(b.num_chunks for b in group)
+    w_max = ((w_max + step_chunks - 1) // step_chunks) * step_chunks
+    padded = [
+        _pad_chunks(
+            BlockedEdges(
+                block_meta=b.block_meta, src_local=b.src_local,
+                dst_local=b.dst_local, weight=b.weight, edge_id=None, tile=b.tile,
+            ),
+            w_max,
+        )
+        for b in group
+    ]
+    return jax.tree.map(lambda *xs: np.stack(xs), *padded)
+
+
 def _pad_chunks(blocked, w_target: int):
     """Append all-dummy chunks (weight 0, last dst block) so stacked
     per-shard layouts share a chunk count; keeps dst-block contiguity and
@@ -393,36 +415,49 @@ def plan_halo_blocked(
         deg = np.bincount(np.asarray(dst, np.int64), minlength=ep * n_local)
         inv = ((1.0 / np.maximum(deg, 1)) if mean else np.ones(ep * n_local)).astype(np.float32)
 
-        def build_interior(s_min=1, w_min=0):
-            out = []
-            for p in range(ep):
-                mi = np.asarray(split.int_w[p]) > 0
-                isrc = np.asarray(split.int_src[p])[mi]
-                idst = np.asarray(split.int_dst[p])[mi]
-                out.append((
-                    build_banded_counts(isrc, idst, n_pad_local, tile=tile, k=banded_k,
-                                        max_span=banded_max_span,
-                                        s_span_min=s_min, wsz_min=w_min),
-                    build_banded_counts(idst, isrc, n_pad_local, tile=tile, k=banded_k,
-                                        max_span=banded_max_span,
-                                        s_span_min=s_min, wsz_min=w_min),
-                ))
-            return out
+        # the common (s_span, wsz) the stacked per-shard layouts must share
+        # are pure functions of per-block source-block bounds — one cheap
+        # scatter-min/max pre-pass over each shard/direction, then every
+        # O(E) adjacency fill runs exactly once with the forced floors
+        edges = []
+        for p in range(ep):
+            mi = np.asarray(split.int_w[p]) > 0
+            isrc = np.asarray(split.int_src[p])[mi].astype(np.int64)
+            idst = np.asarray(split.int_dst[p])[mi].astype(np.int64)
+            edges.append((isrc, idst))
 
-        # iterate to the common (s_span, wsz) fixpoint so the per-shard
-        # layouts share static shapes and stack leaf-wise (wsz depends on
-        # s_span through the tail-block base clamp, so one forcing pass is
-        # not always enough; this converges in <=3 builds)
-        s_min, w_min = 1, 0
-        for _ in range(4):
-            built = build_interior(s_min, w_min)
-            spans = {b.s_span for pair in built for b in pair}
-            wszs = {b.wsz for pair in built for b in pair}
-            if len(spans) == 1 and len(wszs) == 1:
-                break
-            s_min, w_min = max(spans), max(wszs)
-        else:
-            raise AssertionError("banded halo span/window failed to converge")
+        def span_bounds(s, d_):
+            bo = np.arange(nbl, dtype=np.int64)
+            hi = bo.copy()
+            if len(s):
+                np.minimum.at(bo, d_ // tile, s // tile)
+                np.maximum.at(hi, d_ // tile, s // tile)
+            return bo, hi
+
+        bounds = [span_bounds(*pair) for p in range(ep)
+                  for pair in (edges[p], edges[p][::-1])]
+        s_common = max(int((hi - bo + 1).max()) for bo, hi in bounds)
+        if s_common > banded_max_span:
+            raise ValueError(
+                f"source span {s_common} tiles exceeds max_span="
+                f"{banded_max_span}: shard interiors are not banded")
+        w_common = 0
+        for bo, _ in bounds:
+            base = np.minimum(bo, max(nbl - s_common, 0)).reshape(-1, banded_k)
+            spread = int((base.max(axis=1) - base.min(axis=1)).max()) if len(base) else 0
+            w_common = max(w_common, spread + s_common)
+
+        built = [
+            tuple(
+                build_banded_counts(s, d_, n_pad_local, tile=tile, k=banded_k,
+                                    max_span=banded_max_span,
+                                    s_span_min=s_common, wsz_min=w_common)
+                for s, d_ in (pair, pair[::-1])
+            )
+            for pair in edges
+        ]
+        assert len({b.s_span for t in built for b in t}) == 1
+        assert len({b.wsz for t in built for b in t}) == 1
 
         def stack_banded(blocks_list, *, row: bool):
             stacked = jax.tree.map(lambda *xs: np.stack(xs), *blocks_list)
@@ -448,28 +483,12 @@ def plan_halo_blocked(
                             edge_chunk=edge_chunk, step_chunks=step_chunks),
             ))
 
-        def stack_onehot(group):
-            from ..graph.csr import BlockedEdges
-
-            w_max = max(b.num_chunks for b in group)
-            w_max = ((w_max + step_chunks - 1) // step_chunks) * step_chunks
-            padded = [
-                _pad_chunks(
-                    BlockedEdges(block_meta=b.block_meta, src_local=b.src_local,
-                                 dst_local=b.dst_local, weight=b.weight, edge_id=None,
-                                 tile=b.tile),
-                    w_max,
-                )
-                for b in group
-            ]
-            return jax.tree.map(lambda *xs: np.stack(xs), *padded)
-
         return HaloBlockedPlan(
             send_idx=np.asarray(plan.send_idx),
             int_fwd=stack_banded([pair[0] for pair in built], row=True),
             int_rev=stack_banded([pair[1] for pair in built], row=False),
-            bnd_fwd=stack_onehot([pair[0] for pair in bnd]),
-            bnd_rev=stack_onehot([pair[1] for pair in bnd]),
+            bnd_fwd=_stack_blocked([pair[0] for pair in bnd], step_chunks),
+            bnd_rev=_stack_blocked([pair[1] for pair in bnd], step_chunks),
             n_local=n_local,
             n_pad_local=n_pad_local,
             n_pad_bnd=n_pad_bnd,
@@ -528,31 +547,12 @@ def plan_halo_blocked(
             k_per_step=step_chunks,
         )
 
-    def stack(group):
-        from ..graph.csr import BlockedEdges
-
-        w_max = max(b.num_chunks for b in group)
-        w_max = ((w_max + step_chunks - 1) // step_chunks) * step_chunks
-        # drop edge_id (not needed for aggregation) so every shard's layout
-        # has an identical pytree structure, then pad + stack leaf-wise
-        padded = [
-            _pad_chunks(
-                BlockedEdges(
-                    block_meta=b.block_meta, src_local=b.src_local,
-                    dst_local=b.dst_local, weight=b.weight, edge_id=None, tile=b.tile,
-                ),
-                w_max,
-            )
-            for b in group
-        ]
-        return jax.tree.map(lambda *xs: np.stack(xs), *padded)
-
     return HaloBlockedPlan(
         send_idx=np.asarray(plan.send_idx),
-        int_fwd=stack(groups["if_"]),
-        int_rev=stack(groups["ir"]),
-        bnd_fwd=stack(groups["bf"]),
-        bnd_rev=stack(groups["br"]),
+        int_fwd=_stack_blocked(groups["if_"], step_chunks),
+        int_rev=_stack_blocked(groups["ir"], step_chunks),
+        bnd_fwd=_stack_blocked(groups["bf"], step_chunks),
+        bnd_rev=_stack_blocked(groups["br"], step_chunks),
         n_local=n_local,
         n_pad_local=n_pad_local,
         n_pad_bnd=n_pad_bnd,

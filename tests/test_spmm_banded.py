@@ -232,8 +232,8 @@ def test_banded_counts_native_matches_numpy_forced_min(rng):
         b = build_banded_counts(src, dst, n, **kw)
     finally:
         native_mod.native_banded_blocks_i8 = orig
-    assert a.s_span == b.s_span == 9 or a.s_span == b.s_span  # forced floor
-    assert a.s_span >= 9 and a.wsz >= 14
+    assert a.s_span == b.s_span == 9  # forced floor (natural span is ~4)
+    assert a.wsz == b.wsz >= 14
     assert a.wsz == b.wsz
     for f in ("a", "bo", "woff", "off"):
         np.testing.assert_array_equal(np.asarray(getattr(a, f)),
