@@ -86,10 +86,11 @@ def main():
             )
             step = make_halo_sage_step(mesh, jax.tree.map(jnp.asarray, plan), n_local)
         else:
-            stacked, n_pad = partition_edges(src, dst, n, ep)
+            sf, sr, n_pad = partition_edges(src, dst, n, ep)
             x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
             step = make_sharded_sage_step(
-                mesh, jax.tree.map(jnp.asarray, stacked), n_pad, use_pallas=use_pallas
+                mesh, jax.tree.map(jnp.asarray, sf), jax.tree.map(jnp.asarray, sr),
+                n_pad, use_pallas=use_pallas
             )
         out = step(params, x)
         jax.tree.map(lambda a: a.block_until_ready(), out)

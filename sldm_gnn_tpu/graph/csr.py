@@ -35,6 +35,20 @@ TILE = 128
 EDGE_CHUNK = 256
 
 
+def check_edge_range(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> None:
+    """Raise ValueError on out-of-range edge endpoints. Every builder that
+    hands edges to the native C++ fills MUST call this first — the C++
+    paths index raw buffers and out-of-range endpoints are heap corruption
+    there, not an exception."""
+    if len(src) and (
+        src.min() < 0 or dst.min() < 0 or src.max() >= num_nodes or dst.max() >= num_nodes
+    ):
+        raise ValueError(
+            f"edge endpoints out of range [0, {num_nodes}): "
+            f"src [{src.min()}, {src.max()}], dst [{dst.min()}, {dst.max()}]"
+        )
+
+
 def auto_edge_chunk(n_edges: int, edge_chunk: int = EDGE_CHUNK,
                     max_chunks: int = 65536) -> int:
     """Scale the chunk width up so the layout's chunk count stays under
@@ -72,6 +86,11 @@ class BlockedEdges:
     edge_id: jax.Array | None = None
     # node-tile height of the layout (static pytree metadata)
     tile: int = field(default=TILE, metadata=dict(static=True))
+    # per-dst-block chunk-count multiple the layout was built with: the
+    # kernel's k_per_step must divide it (grid steps must never straddle a
+    # dst block), and spmm_pallas enforces that — W % K alone can pass by
+    # coincidence and silently misroute edges
+    step_chunks: int = field(default=1, metadata=dict(static=True))
 
     @property
     def num_chunks(self) -> int:
@@ -100,13 +119,7 @@ def block_edges(
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
-    if len(src) and (
-        src.min() < 0 or dst.min() < 0 or src.max() >= num_nodes or dst.max() >= num_nodes
-    ):
-        raise ValueError(
-            f"edge endpoints out of range [0, {num_nodes}): "
-            f"src [{src.min()}, {src.max()}], dst [{dst.min()}, {dst.max()}]"
-        )
+    check_edge_range(src, dst, num_nodes)
     if len(src) >= 100_000:
         from ..build.native import native_block_edges
 
@@ -118,7 +131,7 @@ def block_edges(
             meta, src_local, dst_local, w_arr, eid = out
             return BlockedEdges(
                 block_meta=meta, src_local=src_local, dst_local=dst_local,
-                weight=w_arr, edge_id=eid, tile=tile,
+                weight=w_arr, edge_id=eid, tile=tile, step_chunks=step_chunks,
             )
     E = src.shape[0]
     if weight is None:
@@ -210,6 +223,7 @@ def block_edges(
         weight=w_arr,
         edge_id=e_arr,
         tile=tile,
+        step_chunks=step_chunks,
     )
 
 

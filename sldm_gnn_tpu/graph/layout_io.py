@@ -30,26 +30,53 @@ def _registry():
     from ..graph.csr import BlockedEdges
     from ..ops.spmm_banded import BandedBlocks
     from ..ops.spmm_dense import DenseBlocks
+    from ..ops.spmm_hybrid import HybridLayout
 
-    return {c.__name__: c for c in (BlockedEdges, DenseBlocks, BandedBlocks)}
+    return {c.__name__: c for c in (BlockedEdges, DenseBlocks, BandedBlocks,
+                                    HybridLayout)}
 
 
-def save_layout(path: str | Path, layout) -> None:
-    """Write one layout dataclass to ``path`` (.npz)."""
+def _flatten(layout, prefix: str, arrays: dict) -> dict:
+    """Recursive header+array flattening: nested registered layouts (e.g.
+    HybridLayout's DenseBlocks/BlockedEdges halves) get dotted key
+    prefixes; None data fields get a string marker array."""
     cls = type(layout)
-    if cls.__name__ not in _registry():
-        raise TypeError(f"unknown layout type {cls.__name__}")
-    arrays, static = {}, {}
+    header = {"class": cls.__name__, "static": {}, "nested": {}}
     for f in dataclasses.fields(cls):
         v = getattr(layout, f.name)
         if f.metadata.get("static"):
-            static[f.name] = v
+            header["static"][f.name] = v.item() if isinstance(v, np.generic) else v
+        elif type(v).__name__ in _registry():
+            header["nested"][f.name] = _flatten(v, f"{prefix}{f.name}.", arrays)
         elif v is None:
-            arrays[f.name] = np.asarray(_NONE)
+            arrays[prefix + f.name] = np.asarray(_NONE)
         else:
-            arrays[f.name] = np.asarray(v)
-    header = json.dumps({"class": cls.__name__, "static": static})
-    np.savez(path, __layout_header__=np.asarray(header), **arrays)
+            arrays[prefix + f.name] = np.asarray(v)
+    return header
+
+
+def _unflatten(z, prefix: str, header: dict):
+    cls = _registry()[header["class"]]
+    kwargs = dict(header["static"])
+    for f in dataclasses.fields(cls):
+        if f.name in kwargs:
+            continue
+        if f.name in header["nested"]:
+            kwargs[f.name] = _unflatten(z, f"{prefix}{f.name}.", header["nested"][f.name])
+        else:
+            a = z[prefix + f.name]
+            kwargs[f.name] = None if a.shape == () and a.dtype.kind in "US" and str(a) == _NONE else a
+    return cls(**kwargs)
+
+
+def save_layout(path: str | Path, layout) -> None:
+    """Write one layout dataclass (incl. nested, e.g. HybridLayout) to
+    ``path`` (.npz)."""
+    if type(layout).__name__ not in _registry():
+        raise TypeError(f"unknown layout type {type(layout).__name__}")
+    arrays: dict = {}
+    header = _flatten(layout, "", arrays)
+    np.savez(path, __layout_header__=np.asarray(json.dumps(header)), **arrays)
 
 
 def load_layout(path: str | Path):
@@ -57,14 +84,7 @@ def load_layout(path: str | Path):
     move to device with ``jax.tree.map(jnp.asarray, layout)``)."""
     with np.load(path, allow_pickle=False) as z:
         header = json.loads(str(z["__layout_header__"]))
-        cls = _registry()[header["class"]]
-        kwargs = dict(header["static"])
-        for f in dataclasses.fields(cls):
-            if f.name in kwargs:
-                continue
-            a = z[f.name]
-            kwargs[f.name] = None if a.shape == () and str(a) == _NONE else a
-    return cls(**kwargs)
+        return _unflatten(z, "", header)
 
 
 def cached_layouts(cache_dir: str | Path, key: str, build):
@@ -93,7 +113,7 @@ def cached_layouts(cache_dir: str | Path, key: str, build):
             kinds.append("layout")
         else:
             kinds.append("value")
-            values[str(i)] = item
+            values[str(i)] = item.item() if isinstance(item, np.generic) else item
     # write the manifest last: a crash mid-save leaves no valid cache entry
     meta_p.write_text(json.dumps({"kinds": kinds, "values": values}))
     return result

@@ -170,6 +170,7 @@ def _with_weight(blocked: BlockedEdges, w: jax.Array) -> BlockedEdges:
         weight=w,
         edge_id=blocked.edge_id,
         tile=blocked.tile,
+        step_chunks=blocked.step_chunks,
     )
 
 

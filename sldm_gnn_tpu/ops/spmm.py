@@ -163,6 +163,15 @@ def spmm_pallas(
             f"num_chunks {W} not divisible by k_per_step {K}; build the layout "
             f"with block_edges(..., step_chunks={K})"
         )
+    if K > 1 and blocked.step_chunks % K:
+        # W % K can pass by coincidence while grid steps straddle dst
+        # blocks, silently accumulating one block's edges into another —
+        # the layout's per-block chunk multiple must carry K
+        raise ValueError(
+            f"layout built with step_chunks={blocked.step_chunks} cannot run "
+            f"at k_per_step={K}: per-dst-block chunk counts must be a "
+            f"multiple of K (rebuild with step_chunks={K})"
+        )
     steps = W // K
 
     # TPU tiling requires the last two block dims to be (8k, 128m) or equal

@@ -165,12 +165,11 @@ def build_banded_blocks(
     )
 
 
-def _rebase_slots(a: np.ndarray, bo: np.ndarray, nb: int) -> np.ndarray:
-    """Shift slot contents of blocks whose base was clamped to
-    ``nb - s_span`` (tail blocks only): slot' = slot + (bo_old - bo_new)."""
+def _rebase_slots(a: np.ndarray, bo: np.ndarray, base: np.ndarray) -> np.ndarray:
+    """Shift slot contents from per-block base ``bo`` to the (elementwise
+    smaller-or-equal) target ``base``: slot' = slot + (bo - base)."""
     s_span = a.shape[1]
-    base = np.minimum(np.asarray(bo, np.int64), max(nb - s_span, 0))
-    for b in np.nonzero(bo > base)[0]:
+    for b in np.nonzero(np.asarray(bo, np.int64) > base)[0]:
         d = int(bo[b] - base[b])
         a[b, d:] = a[b, : s_span - d]
         a[b, :d] = 0
@@ -248,6 +247,11 @@ def build_banded_counts(
     planner's per-shard interiors (parallel/halo.py). Prefers the native
     OpenMP fill for >=100k edges (no f32 tile transient); raises on
     span/int8-count overflow."""
+    from ..graph.csr import check_edge_range
+
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    check_edge_range(src, dst, num_nodes)  # native fills index raw buffers
     out = None
     if len(src) >= 100_000:
         out = _native_banded_counts(src, dst, num_nodes, tile, k, max_span,
@@ -294,7 +298,13 @@ def _native_banded_counts(src, dst, num_nodes, tile, k, max_span, s_span_min=1,
     if cmax > 127:
         raise ValueError(f"duplicate-edge multiplicity {cmax} overflows int8 counts")
     assert cmax >= 0  # span already validated above
-    base = _rebase_slots(a, bo_n, nb)  # match build_banded_blocks' clamp
+    # the native fill bases slots at the true min source block; unify with
+    # the numpy builder's arange-inclusive definition (bo <= own block id,
+    # so windows always cover the block's own rows) plus the tail clamp —
+    # the halo planner's cheap pre-pass assumes exactly this definition
+    base = np.minimum(np.minimum(bo_n.astype(np.int64), np.arange(nb)),
+                      max(nb - s_span, 0))
+    _rebase_slots(a, bo_n, base)
     woff, off, wsz = _window_meta(base, nb, k, s_span, wsz_min=wsz_min)
     return BandedBlocks(a=a, bo=base.astype(np.int32), woff=woff, off=off,
                         tile=tile, wsz=wsz, k=k)

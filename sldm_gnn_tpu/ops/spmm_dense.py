@@ -335,8 +335,11 @@ def _prepare_int8_mean_aggregate(src, dst, num_nodes, *, tile, pad_blocks_to):
     scale rides as ``row_scale`` on the forward layout (output rows) and as
     ``col_scale`` on the reverse layout (the transpose of diag(s)·Q scales
     its input: grad_x = Qᵀ @ (s ⊙ g))."""
+    from ..graph.csr import check_edge_range
+
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
+    check_edge_range(src, dst, num_nodes)  # native fills index raw buffers
     nb = pad_nodes(num_nodes, tile) // tile
     nb = ((nb + pad_blocks_to - 1) // pad_blocks_to) * pad_blocks_to
 

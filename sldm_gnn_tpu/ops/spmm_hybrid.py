@@ -55,10 +55,14 @@ class HybridLayout:
     n_pad: int = field(metadata=dict(static=True))
     dense_k: int = field(default=1, metadata=dict(static=True))
     k_per_step: int = field(default=1, metadata=dict(static=True))
+    # informational: fraction of edges in the dense half. A STATIC field so
+    # it survives pytree transforms (tree.map/jit/device_put) — a smuggled
+    # non-field attribute would silently drop to NaN after the first one
+    dense_frac: float = field(default=float("nan"), metadata=dict(static=True))
 
     @property
     def dense_edge_fraction(self) -> float:
-        return getattr(self, "_dense_frac", float("nan"))
+        return self.dense_frac
 
 
 def _rank_within_group(group: np.ndarray, counts: np.ndarray) -> np.ndarray:
@@ -129,8 +133,11 @@ def prepare_hybrid_mean_aggregate(
     Returns (layout, n_pad). Mean weights use the FULL degree regardless of
     which half an edge lands in.
     """
+    from ..graph.csr import check_edge_range
+
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
+    check_edge_range(src, dst, num_nodes)  # native fills index raw buffers
     lcm = math.lcm(tile * dense_k, tile)
     n_pad = max(((num_nodes + lcm - 1) // lcm) * lcm, lcm)
     nb = n_pad // tile
@@ -192,8 +199,8 @@ def prepare_hybrid_mean_aggregate(
         dense_fwd=dense_fwd, dense_rev=dense_rev,
         onehot_fwd=onehot_fwd, onehot_rev=onehot_rev,
         n_pad=n_pad, dense_k=dense_k, k_per_step=k_per_step,
+        dense_frac=float(dense_mask.mean()) if len(src) else 0.0,
     )
-    object.__setattr__(layout, "_dense_frac", float(dense_mask.mean()) if len(src) else 0.0)
     return layout, n_pad
 
 

@@ -193,7 +193,8 @@ def spmm_pallas_mk(
         out_specs=pl.BlockSpec((tile, d), lambda b, ptr, sblk: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((tile, d), jnp.float32),      # acc
-            pltpu.VMEM((2, tile, d), jnp.float32),   # x double buffer
+            pltpu.VMEM((2, tile, d), x.dtype),       # x double buffer (DMA
+                                                     # dtype must match x)
             pltpu.VMEM((2, 1, 2 * ec), jnp.int32),   # src/dst locals
             pltpu.VMEM((2, 1, ec), jnp.float32),     # weights
             pltpu.SemaphoreType.DMA((2, 3)),

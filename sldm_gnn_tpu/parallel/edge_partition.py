@@ -23,8 +23,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..graph.csr import BlockedEdges, TILE, block_edges, mean_weights, pad_nodes
-from ..ops.spmm import spmm_pallas, _spmm_dispatch
+from ..graph.csr import BlockedEdges, TILE, auto_edge_chunk, block_edges, mean_weights, pad_nodes
+from ..ops.spmm import spmm_apply
 
 
 def partition_edges(
@@ -35,14 +35,19 @@ def partition_edges(
     *,
     weight: np.ndarray | None = None,
     mean: bool = True,
-) -> tuple[BlockedEdges, int]:
+) -> tuple[BlockedEdges, BlockedEdges, int]:
     """Split an edge list into ``ep`` blocked shards (stacked leading axis).
 
-    Returns (stacked BlockedEdges with arrays [ep, W_max, ...], padded N).
-    Partitioning is by contiguous dst ranges (locality-preserving); mean
-    weights use the *global* degree so the psum of partials is the exact
-    global mean.
+    Returns (stacked forward layouts [ep, W_max, ...], stacked REVERSE
+    layouts for the aggregation's custom VJP, padded N). Partitioning is by
+    contiguous dst ranges (locality-preserving); mean weights use the
+    *global* degree so the psum of partials is the exact global mean. The
+    chunk width scales up with the per-shard edge count
+    (:func:`~sldm_gnn_tpu.graph.csr.auto_edge_chunk`) so huge shards keep
+    their scalar-prefetch metadata inside SMEM.
     """
+    from .halo import _pad_chunks
+
     n_pad = pad_nodes(num_nodes)
     if weight is None:
         weight = (
@@ -53,56 +58,63 @@ def partition_edges(
     order = np.argsort(dst, kind="stable")
     src_s, dst_s, w_s = src[order], dst[order], weight[order]
     bounds = np.linspace(0, len(src), ep + 1).astype(np.int64)
+    ec = auto_edge_chunk(int(np.diff(bounds).max()) if len(src) else 1)
 
-    shards = []
+    fwd_shards, rev_shards = [], []
     for p in range(ep):
         sl = slice(bounds[p], bounds[p + 1])
-        shards.append(block_edges(src_s[sl], dst_s[sl], n_pad, weight=w_s[sl]))
+        fwd_shards.append(block_edges(src_s[sl], dst_s[sl], n_pad, weight=w_s[sl],
+                                      edge_chunk=ec))
+        rev_shards.append(block_edges(dst_s[sl], src_s[sl], n_pad, weight=w_s[sl],
+                                      edge_chunk=ec))
 
-    w_max = max(s.num_chunks for s in shards)
+    def stack(shards):
+        w_max = max(s.num_chunks for s in shards)
+        padded = [
+            _pad_chunks(
+                BlockedEdges(block_meta=s.block_meta, src_local=s.src_local,
+                             dst_local=s.dst_local, weight=s.weight, edge_id=None,
+                             tile=s.tile, step_chunks=s.step_chunks),
+                w_max,
+            )
+            for s in shards
+        ]
+        return jax.tree.map(lambda *xs: np.stack(xs), *padded)
 
-    def pad_shard(s: BlockedEdges) -> BlockedEdges:
-        padn = w_max - s.num_chunks
-        if padn == 0:
-            return s
-        last_dst = int(np.asarray(s.block_meta)[-1, 0])
-        ec = s.src_local.shape[1]
-        return BlockedEdges(
-            block_meta=np.concatenate(
-                [s.block_meta, np.tile([[last_dst, 0]], (padn, 1)).astype(np.int32)]
-            ),
-            src_local=np.concatenate([s.src_local, np.zeros((padn, ec), np.int32)]),
-            dst_local=np.concatenate([s.dst_local, np.zeros((padn, ec), np.int32)]),
-            weight=np.concatenate([s.weight, np.zeros((padn, ec), np.float32)]),
-            edge_id=np.concatenate([s.edge_id, np.zeros((padn, ec), np.int32)])
-            if s.edge_id is not None
-            else None,
-            tile=s.tile,
-        )
-
-    padded = [pad_shard(s) for s in shards]
-    stacked = jax.tree.map(lambda *xs: np.stack(xs), *padded)
-    return stacked, n_pad
+    return stack(fwd_shards), stack(rev_shards), n_pad
 
 
 def sharded_mean_aggregate(
     x: jax.Array,
-    blocked_stack: BlockedEdges,
+    blocked_fwd: BlockedEdges,
+    blocked_rev: BlockedEdges,
     num_nodes: int,
     *,
     axis_name: str = "ep",
     use_pallas: bool = True,
 ):
-    """Per-shard blocked SpMM + psum. Call inside shard_map; ``blocked_stack``
-    arrives with local leading dim 1 (sharded over ``axis_name``)."""
-    local = jax.tree.map(lambda a: a[0], blocked_stack)
-    partial_sums = _spmm_dispatch(x, local, num_nodes, use_pallas)
+    """Per-shard blocked SpMM + psum. Call inside shard_map; the stacked
+    layouts arrive with local leading dim 1 (sharded over ``axis_name``).
+    Rides :func:`~sldm_gnn_tpu.ops.spmm.spmm_apply`'s custom VJP (the raw
+    pallas_call has no AD rule), so ``jax.grad`` works on the Pallas path;
+    the transpose of the replicated x reproduces the reverse-edge
+    aggregation psum'd across shards."""
+    unstack = lambda t: jax.tree.map(lambda a: a[0], t)
+    if axis_name not in jax.typeof(x).vma:
+        # promote the replicated x to ep-varying before the custom-VJP call:
+        # mixed-vma operands trip the auto-pvary insertion under check_vma,
+        # and the cast's transpose (psum) is exactly the cross-shard dx sum
+        x = jax.lax.pcast(x, axis_name, to="varying")
+    partial_sums = spmm_apply(
+        x, unstack(blocked_fwd), unstack(blocked_rev), num_nodes, use_pallas, 1
+    )
     return jax.lax.psum(partial_sums, axis_name)
 
 
 def make_sharded_sage_step(
     mesh: Mesh,
-    blocked_stack: BlockedEdges,
+    blocked_fwd: BlockedEdges,
+    blocked_rev: BlockedEdges,
     num_nodes: int,
     *,
     use_pallas: bool = True,
@@ -113,15 +125,17 @@ def make_sharded_sage_step(
     Returns ``step(params, x) -> grads`` — the scaling-study workload
     (edges/s at 1 chip vs N chips rides this function).
     """
-    blocked_specs = jax.tree.map(lambda _: P(axis_name), blocked_stack)
+    layouts = (blocked_fwd, blocked_rev)
+    blocked_specs = jax.tree.map(lambda _: P(axis_name), layouts)
 
     def fwd(params, x, blocked):
+        bf, br = blocked
         agg1 = sharded_mean_aggregate(
-            x, blocked, num_nodes, axis_name=axis_name, use_pallas=use_pallas
+            x, bf, br, num_nodes, axis_name=axis_name, use_pallas=use_pallas
         )
         h = jnp.maximum(agg1 @ params["w0a"] + x @ params["w0b"], 0.0)
         agg2 = sharded_mean_aggregate(
-            h, blocked, num_nodes, axis_name=axis_name, use_pallas=use_pallas
+            h, bf, br, num_nodes, axis_name=axis_name, use_pallas=use_pallas
         )
         h2 = jnp.maximum(agg2 @ params["w1a"] + h @ params["w1b"], 0.0)
         return jnp.sum(h2)
@@ -135,6 +149,6 @@ def make_sharded_sage_step(
 
     @jax.jit
     def step(params, x):
-        return jax.grad(lambda p, xx: sharded(p, xx, blocked_stack), argnums=(0, 1))(params, x)
+        return jax.grad(lambda p, xx: sharded(p, xx, layouts), argnums=(0, 1))(params, x)
 
     return step

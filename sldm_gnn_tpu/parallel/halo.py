@@ -331,6 +331,7 @@ def _stack_blocked(group, step_chunks: int):
             BlockedEdges(
                 block_meta=b.block_meta, src_local=b.src_local,
                 dst_local=b.dst_local, weight=b.weight, edge_id=None, tile=b.tile,
+                step_chunks=b.step_chunks,
             ),
             w_max,
         )
@@ -364,6 +365,7 @@ def _pad_chunks(blocked, w_target: int):
         weight=np.concatenate([np.asarray(blocked.weight), zf]),
         edge_id=None,
         tile=blocked.tile,
+        step_chunks=blocked.step_chunks,
     )
 
 

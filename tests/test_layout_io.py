@@ -69,3 +69,38 @@ def test_cached_layouts(tmp_path, rng):
     r3 = cached_layouts(tmp_path, "k2", build)
     assert len(calls) == 2  # different key rebuilds
     _assert_layout_equal(r1[0], r3[0])
+
+
+def test_hybrid_layout_roundtrip(tmp_path, rng):
+    """HybridLayout (nested DenseBlocks/BlockedEdges halves + static
+    dense_frac) round-trips; cached_layouts handles its tuple."""
+    from sldm_gnn_tpu.ops.spmm_hybrid import prepare_hybrid_mean_aggregate
+
+    n = 1200
+    src, dst = _graph(rng, n=n, deg=6, reach=40)
+    # force a genuine split: low min_pair_edges keeps some pairs dense
+    layout, n_pad = prepare_hybrid_mean_aggregate(
+        src, dst, n, tile=32, min_pair_edges=8, a_budget_bytes=1e6)
+    p = tmp_path / "h.npz"
+    save_layout(p, layout)
+    back = load_layout(p)
+    assert back.dense_frac == layout.dense_frac
+    assert back.n_pad == layout.n_pad
+    for fname in ("dense_fwd", "dense_rev", "onehot_fwd", "onehot_rev"):
+        a, b = getattr(layout, fname), getattr(back, fname)
+        if a is None:
+            assert b is None
+        else:
+            _assert_layout_equal(a, b)
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return prepare_hybrid_mean_aggregate(
+            src, dst, n, tile=32, min_pair_edges=8, a_budget_bytes=1e6)
+
+    r1 = cached_layouts(tmp_path, "hk", build)
+    r2 = cached_layouts(tmp_path, "hk", build)
+    assert len(calls) == 1 and r1[1] == r2[1]
+    assert r2[0].dense_frac == r1[0].dense_frac

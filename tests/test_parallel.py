@@ -147,14 +147,16 @@ def test_ep_sharded_aggregate_matches_xla(rng):
     n, e, d = 500, 4000, 16
     src = rng.integers(0, n, e).astype(np.int64)
     dst = rng.integers(0, n, e).astype(np.int64)
-    stacked, n_pad = partition_edges(src, dst, n, 8)
+    sf, sr, n_pad = partition_edges(src, dst, n, 8)
     x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
     params = {
         k: jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.1)
         for k in ("w0a", "w0b", "w1a", "w1b")
     }
 
-    step = make_sharded_sage_step(mesh, jax.tree.map(jnp.asarray, stacked), n_pad, use_pallas=False)
+    step = make_sharded_sage_step(
+        mesh, jax.tree.map(jnp.asarray, sf), jax.tree.map(jnp.asarray, sr),
+        n_pad, use_pallas=False)
     grads_sharded, gx_sharded = step(params, x)
 
     w = jnp.asarray(mean_weights(dst, n_pad))
@@ -298,3 +300,29 @@ def test_train_model_dp_mesh(rng, tmp_path):
     assert len(leaf.sharding.device_set) == 8
     # dp training must beat chance on the separable toy task
     assert res.total_val_acc[0, -1] > 0.6
+
+
+def test_ep_sharded_pallas_path_traces_under_grad(rng):
+    """Regression: the ep-sharded aggregation must ride spmm_apply's custom
+    VJP — jax.grad through the raw pallas_call has no AD rule and failed at
+    TRACE time (backend-independent). eval_shape exercises exactly that."""
+    from sldm_gnn_tpu.parallel.edge_partition import sharded_mean_aggregate
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(dp=1, ep=8)
+    n, e, d = 300, 2000, 16
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    sf, sr, n_pad = partition_edges(src, dst, n, 8)
+    sf, sr = jax.tree.map(jnp.asarray, (sf, sr))
+    x = jnp.zeros((n_pad, d), jnp.float32)
+
+    specs = jax.tree.map(lambda _: P("ep"), (sf, sr))
+    f = shard_map(
+        lambda xx, bf, br: jnp.sum(
+            sharded_mean_aggregate(xx, bf, br, n_pad, use_pallas=True)),
+        mesh=mesh, in_specs=(P(), *specs), out_specs=P(),
+    )
+    out = jax.eval_shape(jax.grad(lambda xx: f(xx, sf, sr)), x)
+    assert out.shape == (n_pad, d)

@@ -238,3 +238,51 @@ def test_banded_counts_native_matches_numpy_forced_min(rng):
     for f in ("a", "bo", "woff", "off"):
         np.testing.assert_array_equal(np.asarray(getattr(a, f)),
                                       np.asarray(getattr(b, f)))
+
+
+def test_banded_counts_native_matches_numpy_sources_above(rng):
+    """Regression: a dst block whose sources ALL live in higher-numbered
+    blocks — the native fill bases slots at the true min source block while
+    the numpy builder includes the block's own id; the unified base (min of
+    both, pre-clamp) must make the two paths byte-identical."""
+    from sldm_gnn_tpu.build.native import available
+    import sldm_gnn_tpu.build.native as native_mod
+    from sldm_gnn_tpu.ops.spmm_banded import build_banded_counts
+
+    if not available():
+        pytest.skip("native library not built")
+    n, deg, tile = 30_000, 4, 64
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-80, 81, n * deg), 0, n - 1)
+    # block 0's sources forced entirely into blocks 2-3
+    blk0 = dst < tile
+    src[blk0] = rng.integers(2 * tile, 4 * tile, int(blk0.sum()))
+    assert len(src) >= 100_000
+
+    a = build_banded_counts(src, dst, n, tile=tile, k=4)
+    orig = native_mod.native_banded_blocks_i8
+    native_mod.native_banded_blocks_i8 = lambda *a_, **k_: None
+    try:
+        b = build_banded_counts(src, dst, n, tile=tile, k=4)
+    finally:
+        native_mod.native_banded_blocks_i8 = orig
+    assert a.s_span == b.s_span and a.wsz == b.wsz
+    assert int(np.asarray(a.bo)[0]) == 0  # arange-inclusive base
+    for f in ("a", "bo", "woff", "off"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)), err_msg=f)
+
+    # and the layout aggregates correctly
+    from sldm_gnn_tpu.graph.csr import mean_weights
+    from sldm_gnn_tpu.ops.spmm_banded import BandedBlocks, spmm_banded_xla
+
+    n_pad = a.num_dst_blocks * tile
+    degv = np.bincount(dst, minlength=n_pad)
+    scale = (1.0 / np.maximum(degv, 1)).astype(np.float32).reshape(-1, 1)
+    lay = BandedBlocks(a=a.a, bo=a.bo, woff=a.woff, off=a.off, row_scale=scale,
+                       tile=tile, wsz=a.wsz, k=a.k)
+    x = jnp.asarray(rng.standard_normal((n_pad, 8)).astype(np.float32))
+    got = np.asarray(spmm_banded_xla(x, jax.tree.map(jnp.asarray, lay)))
+    w = jnp.asarray(mean_weights(dst, n_pad))
+    want = np.asarray(spmm_xla(x, jnp.asarray(src), jnp.asarray(dst), w, n_pad))
+    np.testing.assert_allclose(got[: n], want[: n], rtol=1e-4, atol=1e-5)
