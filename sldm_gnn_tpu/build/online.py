@@ -263,8 +263,11 @@ class IncrementalGraphOnlineCreator:
 
         if len(frame_df):
             vid_arr = frame_df["VehicleId"].to_numpy()
-            wj = frame_df["Width"].to_numpy(np.float32)
-            lj = frame_df["Length"].to_numpy(np.float32)
+            # NaN dims -> 0.0 like the batch path (tensorize.py fillna):
+            # NaN here would poison px/py and every pair distance of the
+            # vehicle, silently dropping its edges vs the classic engine
+            wj = frame_df["Width"].fillna(0.0).to_numpy(np.float32)
+            lj = frame_df["Length"].fillna(0.0).to_numpy(np.float32)
             tj = frame_df["StationType"].to_numpy(np.int32)
             slots = np.array(
                 [self._slot_for(v, wj[i], lj[i], tj[i]) for i, v in enumerate(vid_arr)],

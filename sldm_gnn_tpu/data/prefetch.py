@@ -104,7 +104,19 @@ def _stack_group(group):
     import jax
     import numpy as np
 
-    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *group)
+    def stack(*xs):
+        arrs = [np.asarray(x) for x in xs]
+        shapes = {a.shape for a in arrs}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"dp batch group mixes batch shapes {sorted(shapes)}: the dp "
+                "step stacks consecutive batches, so every batch of an epoch "
+                "must share one capacity — use GraphLoader(buckets=1) (or a "
+                "fixed dims=) when training with mesh="
+            )
+        return np.stack(arrs)
+
+    return jax.tree.map(stack, *group)
 
 
 def _tree_zeros_like(batch):

@@ -179,6 +179,10 @@ class GruSage(nn.Module):
                 assert map_data is not None, "map_included model needs map_data or baked embeddings"
                 map_embeddings = self.map_encoder(map_data, train=train)
                 map_centroids = map_data.centroids
+            elif map_centroids is None:
+                raise ValueError(
+                    "baked map_embeddings require map_centroids (snapshots "
+                    "bake both — see train/snapshot.py); got centroids=None")
             ctx = self.map_attention(last_pos, map_centroids, map_embeddings)
             x = jnp.concatenate([x, ctx], axis=1)
 

@@ -165,21 +165,27 @@ class StreamingServer:
         self.terminate.set()
         with self.condition:
             self.condition.notify_all()
-        # unblock a producer parked in os.read: closing the fd makes the
-        # blocked read fail/EOF so its termination check runs
-        if self._fd is not None and not self._fd_closed:
-            self._fd_closed = True
-            try:
-                os.close(self._fd)
-            except OSError:
-                pass
+        # the producer's select() times out and re-checks the event, so no
+        # fd gymnastics are needed to wake it (closing the fd from another
+        # thread would NOT interrupt a blocked os.read on Linux anyway, and
+        # racing closes could hit an unrelated reused descriptor)
 
     def _producer(self, fd: int):
+        import select
+
         buffer = ""
         try:
             while not self.terminate.is_set():
+                # bounded wait instead of a blocking read: a consumer error
+                # (or any _signal_termination) must end this thread even if
+                # the writer never sends another byte
+                readable, _, _ = select.select([fd], [], [], 0.2)
+                if not readable:
+                    continue
                 try:
                     chunk = os.read(fd, MAX_JSON_CHUNK_SIZE).decode()
+                except BlockingIOError:
+                    continue
                 except OSError as e:
                     self._signal_termination(f"FIFO read error: {e}")
                     break
@@ -223,8 +229,7 @@ class StreamingServer:
         engine = InferenceEngine(
             self.snapshot_path, pack_size=self.pack_size, m_radius=self.m_radius
         )
-        with open(self.output_csv, "w") as f:
-            f.write("Score\n")
+        self._write_csv_header()
         while True:
             pack_df = None
             with self.condition:
@@ -240,12 +245,7 @@ class StreamingServer:
             if pack_df is None:
                 break
             scores = engine.score_window(pack_df)
-            with open(self.output_csv, "a") as f:
-                if scores is None:
-                    f.write(".\n")
-                else:
-                    f.write(",".join(f"{s:.6f}" for s in np.atleast_1d(scores)) + "\n")
-            self.n_scored += 1
+            self._append_score_row(scores)
             with self.condition:
                 if self.frames:
                     self.frames.popleft()
@@ -259,8 +259,7 @@ class StreamingServer:
             self.snapshot_path, pack_size=self.pack_size, m_radius=self.m_radius,
             incremental=True,
         )
-        with open(self.output_csv, "w") as f:
-            f.write("Score\n")
+        self._write_csv_header()
         while True:
             frame = None
             with self.condition:
@@ -273,15 +272,27 @@ class StreamingServer:
             scores = engine.push_frame(frame)
             if not engine.warm:
                 continue
-            with open(self.output_csv, "a") as f:
-                if scores is None:
-                    f.write(".\n")
-                else:
-                    f.write(",".join(f"{s:.6f}" for s in np.atleast_1d(scores)) + "\n")
-            self.n_scored += 1
+            self._append_score_row(scores)
+
+    def _write_csv_header(self):
+        with open(self.output_csv, "w") as f:
+            f.write("Score\n")
+
+    def _append_score_row(self, scores):
+        """One line per scored window: '.' for empty windows (reference
+        rcv.py:83-87), else comma-joined %.6f scores."""
+        with open(self.output_csv, "a") as f:
+            if scores is None:
+                f.write(".\n")
+            else:
+                f.write(",".join(f"{s:.6f}" for s in np.atleast_1d(scores)) + "\n")
+        self.n_scored += 1
 
     def run(self):
+        # blocking open (waits for a writer, reference rcv.py semantics),
+        # then non-blocking reads under select so termination can interrupt
         self._fd = os.open(self.fifo_path, os.O_RDONLY)
+        os.set_blocking(self._fd, False)
         try:
             t1 = threading.Thread(target=self._producer, args=(self._fd,))
             t2 = threading.Thread(target=self._consumer)

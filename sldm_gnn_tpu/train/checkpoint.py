@@ -79,7 +79,8 @@ class CheckpointManager:
 
     # ------------------------------------------------------------- saving
 
-    def maybe_save(self, state: TrainState, *, force: bool = False, step: int | None = None) -> bool:
+    def maybe_save(self, state: TrainState, *, force: bool = False, step: int | None = None,
+                   extras: dict | None = None) -> bool:
         import orbax.checkpoint as ocp
 
         step = int(state.step) if step is None else step
@@ -87,7 +88,7 @@ class CheckpointManager:
             return False
         if step in self._mgr.all_steps():  # e.g. epoch-end save right after a periodic one
             return False
-        saved = self._mgr.save(step, args=ocp.args.StandardSave(_to_pytree(state)))
+        saved = self._mgr.save(step, args=ocp.args.StandardSave(_to_pytree(state, extras)))
         if not self.async_save:
             self._mgr.wait_until_finished()
         return bool(saved)
@@ -96,13 +97,16 @@ class CheckpointManager:
     def preempted(self) -> bool:
         return self._preempted.is_set()
 
-    def on_step(self, state: TrainState, step: int | None = None) -> None:
+    def on_step(self, state: TrainState, step: int | None = None,
+                extras: dict | None = None) -> None:
         """Per-step hook for the train loop: periodic async save, plus the
         preemption path — force-save the exact step, drain the write, raise.
 
         Pass ``step`` (a host-side counter) to avoid forcing a device sync
         on ``state.step`` every step — on a remote-TPU tunnel that fetch is
-        a full roundtrip.
+        a full roundtrip. ``extras`` carries host-side training progress
+        (best val accuracy, completed epochs) so a resumed run does not
+        regress the best-snapshot gate or re-train finished epochs.
         """
         if step is None:
             step = int(state.step)
@@ -113,10 +117,10 @@ class CheckpointManager:
         except Exception:  # single-process: no jax.distributed sync point
             orbax_preempted = False
         if self.preempted or orbax_preempted:
-            self.maybe_save(state, force=True, step=step)
+            self.maybe_save(state, force=True, step=step, extras=extras)
             self._mgr.wait_until_finished()
             raise TrainingPreempted(step)
-        self.maybe_save(state, step=step)
+        self.maybe_save(state, step=step, extras=extras)
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
@@ -127,6 +131,15 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, template: TrainState, step: int | None = None) -> TrainState:
+        return self.restore_with_extras(template, step)[0]
+
+    def restore_with_extras(
+        self, template: TrainState, step: int | None = None
+    ) -> tuple[TrainState, dict]:
+        """Restore (state, extras): extras holds the host-side training
+        progress saved alongside the state — ``best_vacc`` (best-snapshot
+        gate) and ``epochs_done`` (completed epochs), both 0 when the
+        checkpoint predates them or never carried them."""
         import orbax.checkpoint as ocp
 
         self._mgr.wait_until_finished()  # drain in-flight async writes first
@@ -136,13 +149,19 @@ class CheckpointManager:
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(_to_pytree(template))
         )
-        return TrainState(
+        state = TrainState(
             params=restored["params"],
             opt_state=jax.tree.unflatten(
                 jax.tree.structure(template.opt_state), jax.tree.leaves(restored["opt_state"])
             ),
             step=restored["step"],
         )
+        ex = restored.get("extras", {})
+        extras = {
+            "best_vacc": float(ex.get("best_vacc", 0.0)),
+            "epochs_done": int(ex.get("epochs_done", 0)),
+        }
+        return state, extras
 
     def close(self):
         self._mgr.wait_until_finished()
@@ -155,9 +174,14 @@ class CheckpointManager:
         self._prev_handlers.clear()
 
 
-def _to_pytree(state: TrainState) -> dict[str, Any]:
+def _to_pytree(state: TrainState, extras: dict | None = None) -> dict[str, Any]:
+    extras = extras or {}
     return {
         "params": state.params,
         "opt_state": state.opt_state,
         "step": state.step,
+        "extras": {  # 0-d ndarrays: orbax rejects bare numpy scalars
+            "best_vacc": np.asarray(extras.get("best_vacc", 0.0), np.float32),
+            "epochs_done": np.asarray(extras.get("epochs_done", 0), np.int64),
+        },
     }

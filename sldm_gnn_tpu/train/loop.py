@@ -63,8 +63,11 @@ def build_step_fns(
     focal_alpha: float = 0.75,
     focal_gamma: float = 2.0,
     map_data: MapData | None = None,
+    eval_scores: bool = True,
 ) -> StepFns:
-    """Build jitted train/eval step closures for a model instance."""
+    """Build jitted train/eval step closures for a model instance.
+    ``eval_scores=False`` drops the per-graph scores/preds from eval_step's
+    outputs (only the single-label CM/ROC-AUC path reads them)."""
 
     def loss_fn(params, batch: PaddedGraphBatch, rng):
         logits = model.apply(
@@ -85,13 +88,10 @@ def build_step_fns(
         )
         return loss, logits
 
-    @jax.jit
-    def train_step(state: TrainState, batch: PaddedGraphBatch, rng):
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+    def _threshold_metrics(logits, batch):
+        """Shared 0.5-threshold accuracy accounting (reference
+        utils.py:229-235): sigmoid scores, binary preds, per-label masked
+        correct counts, valid-graph count."""
         scores = jax.nn.sigmoid(logits)
         preds = (scores >= 0.5).astype(jnp.float32)
         correct = jnp.sum(
@@ -99,6 +99,16 @@ def build_step_fns(
             axis=0,
         )
         n_graphs = jnp.sum(batch.graph_mask.astype(jnp.int32))
+        return scores, preds, correct, n_graphs
+
+    @jax.jit
+    def train_step(state: TrainState, batch: PaddedGraphBatch, rng):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        _, _, correct, n_graphs = _threshold_metrics(logits, batch)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, {
             "loss": loss,
@@ -118,20 +128,18 @@ def build_step_fns(
             focal_alpha=focal_alpha,
             focal_gamma=focal_gamma,
         )
-        scores = jax.nn.sigmoid(logits)
-        preds = (scores >= 0.5).astype(jnp.float32)
-        correct = jnp.sum(
-            (preds == batch.y).astype(jnp.int32) * batch.graph_mask[:, None].astype(jnp.int32),
-            axis=0,
-        )
-        n_graphs = jnp.sum(batch.graph_mask.astype(jnp.int32))
-        return {
+        scores, preds, correct, n_graphs = _threshold_metrics(logits, batch)
+        out = {
             "loss": loss,
             "correct": correct,
             "n_graphs": n_graphs,
-            "scores": scores,
-            "preds": preds,
         }
+        if eval_scores:
+            # per-graph score/pred arrays feed the single-label CM/ROC-AUC
+            # curves; multi-label runs skip them (never read — holding them
+            # per batch wasted device memory for the whole eval phase)
+            out["scores"], out["preds"] = scores, preds
+        return out
 
     def init(rng, example_batch: PaddedGraphBatch) -> TrainState:
         variables = model.init(
@@ -215,7 +223,8 @@ def train_model(
         loss_info = {"type": "BCEWithLogits", "pos_weight": float(neg_over_pos_ratio)}
 
     optimizer = make_optimizer(lr, weight_decay)
-    fns = build_step_fns(model, optimizer, map_data=map_data, **loss_kw)
+    fns = build_step_fns(model, optimizer, map_data=map_data,
+                         eval_scores=(L == 1), **loss_kw)
 
     dp = dp_sharding = repl_sharding = dp_step = None
     if mesh is not None:
@@ -241,9 +250,15 @@ def train_model(
         state = jax.device_put(state, repl_sharding)
 
     # crash recovery: resume params/optimizer/step from the latest orbax
-    # checkpoint (train.checkpoint.CheckpointManager) when one exists
+    # checkpoint (train.checkpoint.CheckpointManager) when one exists —
+    # including the host-side progress (best val acc so the best-snapshot
+    # gate doesn't regress, completed epochs so they aren't re-trained)
+    start_epoch = 0
+    resumed_best_vacc = 0.0
     if checkpoint_manager is not None and checkpoint_manager.latest_step() is not None:
-        state = checkpoint_manager.restore(state)
+        state, ckpt_extras = checkpoint_manager.restore_with_extras(state)
+        resumed_best_vacc = ckpt_extras["best_vacc"]
+        start_epoch = min(ckpt_extras["epochs_done"], epochs)
     # host-side mirror of state.step: avoids a device sync per train step
     host_step = int(state.step) if checkpoint_manager is not None else 0
 
@@ -255,9 +270,11 @@ def train_model(
     vl_loss_curve = np.zeros((epochs,), np.float32)
     bin_cm = np.zeros((4, epochs), np.int64) if L == 1 else None
     bin_auc = np.zeros((1, epochs), np.float32) if L == 1 else None
-    best_vacc = 0.0
+    best_vacc = resumed_best_vacc
 
-    for epoch in range(epochs):
+    # a resumed run re-enters at the first UNFINISHED epoch (curve entries
+    # for already-completed epochs stay zero — the prior run reported them)
+    for epoch in range(start_epoch, epochs):
         # ---- train phase: metrics stay device-side per step; one host
         # fetch per epoch so batch prep overlaps device compute
         from ..data.prefetch import prefetch as _prefetch
@@ -279,9 +296,13 @@ def train_model(
                 state, m = fns.train_step(state, jax.tree.map(jnp.asarray, batch), step_rng)
             step_metrics.append(m)
             if checkpoint_manager is not None:
-                # periodic async save + preemption exit (TrainingPreempted)
+                # periodic async save + preemption exit (TrainingPreempted);
+                # mid-epoch saves record the CURRENT epoch as unfinished, so
+                # a resume re-runs it from the saved params
                 host_step += 1
-                checkpoint_manager.on_step(state, step=host_step)
+                checkpoint_manager.on_step(
+                    state, step=host_step,
+                    extras={"best_vacc": best_vacc, "epochs_done": epoch})
         correct = np.zeros((L,), np.int64)
         n = 0
         loss_sum = 0.0
@@ -344,7 +365,9 @@ def train_model(
             bin_auc[0, epoch] = _roc_auc(gt, scr)
 
         if checkpoint_manager is not None:
-            checkpoint_manager.maybe_save(state, force=True)
+            checkpoint_manager.maybe_save(
+                state, force=True,
+                extras={"best_vacc": best_vacc, "epochs_done": epoch + 1})
 
         if epoch_callback is not None:
             epoch_callback(

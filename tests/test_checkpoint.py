@@ -146,3 +146,55 @@ def test_sigterm_sets_preempted_flag(tmp_path, rng):
     assert _signal.getsignal(_signal.SIGTERM) in (
         _signal.SIG_DFL, _signal.SIG_IGN, _signal.default_int_handler,
     ) or callable(_signal.getsignal(_signal.SIGTERM))
+
+
+def test_resume_carries_best_vacc_and_epochs(tmp_path, rng):
+    """A resumed train_model run must not regress the best-snapshot gate
+    (best_vacc restored) nor re-train completed epochs (epochs_done)."""
+    from sldm_gnn_tpu.train.loop import train_model
+
+    model, fns, state, batch = _setup(rng)
+    saved = []
+    epochs_seen = []
+
+    mgr = CheckpointManager(tmp_path / "ck2", save_every=0, max_to_keep=2,
+                            handle_signals=False)
+    train_model(
+        model, lambda: [batch], lambda: [batch], epochs=3, lr=3e-2,
+        active_labels=[0, 1], checkpoint_manager=mgr,
+        best_state_callback=lambda s, info: saved.append(info["val_acc"]),
+        epoch_callback=lambda e, m: epochs_seen.append(e),
+    )
+    mgr.close()
+    assert epochs_seen == [0, 1, 2] and saved
+
+    # resume with the same manager: all 3 epochs are done -> zero epochs
+    # run, best-snapshot callback never fires with a worse value
+    saved2, epochs2 = [], []
+    mgr2 = CheckpointManager(tmp_path / "ck2", save_every=0, max_to_keep=2,
+                             handle_signals=False)
+    _, extras = mgr2.restore_with_extras(state)
+    assert extras["epochs_done"] == 3
+    assert extras["best_vacc"] == max(saved)
+    train_model(
+        model, lambda: [batch], lambda: [batch], epochs=3, lr=3e-2,
+        active_labels=[0, 1], checkpoint_manager=mgr2,
+        best_state_callback=lambda s, info: saved2.append(info["val_acc"]),
+        epoch_callback=lambda e, m: epochs2.append(e),
+    )
+    mgr2.close()
+    assert epochs2 == [] and saved2 == []
+
+    # extending the budget resumes at epoch 3 and keeps the best gate
+    epochs3, saved3 = [], []
+    mgr3 = CheckpointManager(tmp_path / "ck2", save_every=0, max_to_keep=2,
+                             handle_signals=False)
+    train_model(
+        model, lambda: [batch], lambda: [batch], epochs=4, lr=3e-2,
+        active_labels=[0, 1], checkpoint_manager=mgr3,
+        best_state_callback=lambda s, info: saved3.append(info["val_acc"]),
+        epoch_callback=lambda e, m: epochs3.append(e),
+    )
+    mgr3.close()
+    assert epochs3 == [3]
+    assert all(v > max(saved) for v in saved3)  # only a strictly better acc fires

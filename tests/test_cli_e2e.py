@@ -222,10 +222,16 @@ def test_train_cli_with_checkpoints_resume(built, workspace):
     assert ckpts, "no checkpoints written"
     assert int(state1.step) > 0
 
-    # retry the same config dir: must restore from the saved step and
-    # continue (step counter strictly grows past the first run's)
+    # retry the same config dir after a COMPLETED run: crash recovery sees
+    # all epochs finished (epochs_done extras) and re-trains nothing
     state2, _ = train_combination(0, comb, **kw)
-    assert int(state2.step) > int(state1.step)
+    assert int(state2.step) == int(state1.step)
+
+    # a crash mid-run is modeled by extending the budget: resume restores
+    # the saved step and trains only the remaining epoch (step grows)
+    kw["epochs_override"] = 3
+    state3, _ = train_combination(0, comb, **kw)
+    assert int(state3.step) > int(state1.step)
 
 
 def test_streaming_server_incremental_matches_classic(trained, built, tmp_path):
