@@ -30,6 +30,7 @@ from sldm_gnn_tpu.ops.spmm import prepare_mean_aggregate, spmm_apply, spmm_xla
 from sldm_gnn_tpu.ops.spmm_dense import DenseBlocks, prepare_dense_mean_aggregate, spmm_dense_apply
 from sldm_gnn_tpu.ops.spmm_hybrid import prepare_hybrid_mean_aggregate, spmm_hybrid_apply
 from sldm_gnn_tpu.ops.spmm_banded import prepare_banded_mean_aggregate, spmm_banded_apply
+from sldm_gnn_tpu.ops.sage_fused import banded_sage_apply
 
 
 def make_local_graph(n: int, deg: int, *, reach: int = 256, seed: int = 0):
@@ -328,6 +329,25 @@ def main():
     # bf16 activation storage is numerically free and halves HBM traffic.
     dt = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
+    # BENCH_FUSED=1 (default on the banded backend): the whole SAGE layer —
+    # aggregation + both linears + ReLU — runs as ONE kernel per layer
+    # (ops/sage_fused.py); the aggregate never round-trips HBM. The step is
+    # HBM-bound (BASELINE.md roofline), so the saved materialize/re-read
+    # traffic is a direct step-time cut. BENCH_FUSED=0 restores the
+    # separate-kernel step.
+    fused = bool(int(os.environ.get("BENCH_FUSED", 1))) and spmm_backend == "banded"
+
+    def loss_pallas_fused(params, x, bf, br):
+        h = x.astype(dt)
+        p = jax.tree.map(lambda q: q.astype(dt), params)
+        layer = lambda h, wa, wb: banded_sage_apply(
+            h, wa, wb, None, bf, br, use_pallas, 0.0)
+        if remat:
+            layer = jax.checkpoint(layer)
+        h = layer(h, p["w0a"], p["w0b"])
+        h = layer(h, p["w1a"], p["w1b"])
+        return jnp.sum(h.astype(jnp.float32))
+
     def loss_pallas(params, x, bf, br):
         if spmm_backend == "banded":
             agg = lambda h: spmm_banded_apply(h, bf, br, use_pallas)
@@ -348,17 +368,21 @@ def main():
             agg = lambda h: spmm_xla(h, src_j, dst_j, w_j, n_pad)
         return jnp.sum(two_layer_sage(params, x, agg, dt, remat))
 
-    step_pallas = jax.grad(loss_pallas, argnums=(0, 1))
+    step_pallas = jax.grad(loss_pallas_fused if fused else loss_pallas, argnums=(0, 1))
     step_xla = jax.grad(loss_xla, argnums=(0, 1))
 
     # BENCH_SKIP_XLA=1 skips the (slow) XLA comparator — for very large
     # graphs where the chunked-scan baseline dominates wall time;
     # vs_baseline is then reported as null
     skip_xla = bool(int(os.environ.get("BENCH_SKIP_XLA", 0)))
-    # BENCH_INLOOP=1: fully-jitted training loop (fori_loop over steps) —
-    # amortizes the remote relay's ~0.3 ms per-dispatch cost to one launch;
-    # both paths use the same mode so vs_baseline stays apples-to-apples
-    inloop = bool(int(os.environ.get("BENCH_INLOOP", 0)))
+    # BENCH_INLOOP=1 (default): fully-jitted training loop (fori_loop over
+    # steps) — the standard production shape for a JAX train loop, and the
+    # honest chip measure on the remote relay (amortizes its ~0.3 ms
+    # per-dispatch cost to one launch; dispatched mode charged that
+    # overhead inconsistently across program variants). Both paths use the
+    # same mode so vs_baseline stays apples-to-apples. BENCH_INLOOP=0
+    # restores per-step dispatch timing.
+    inloop = bool(int(os.environ.get("BENCH_INLOOP", 1)))
     _vlog("starting XLA baseline" if not skip_xla else "skipping XLA baseline")
     t_xla = None if skip_xla else bench_step(
         step_xla, params, x, iters, src_j, dst_j, w_j, inloop=inloop)
@@ -374,7 +398,7 @@ def main():
         "unit": "edges/s",
         "vs_baseline": None if skip_xla else round(t_xla / t_pallas, 3),
         "backend": backend,
-        "spmm": spmm_backend,
+        "spmm": spmm_backend + ("+fused" if fused else ""),
         "dense_dtype": dense_dtype if spmm_backend in ("dense", "hybrid", "banded") else None,
         "dense_frac": round(dense_frac, 4) if spmm_backend == "hybrid" else None,
         "dtype": dt.name,

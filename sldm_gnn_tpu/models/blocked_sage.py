@@ -35,7 +35,29 @@ from ..ops.spmm_banded import (
     spmm_banded_xla,
 )
 from ..ops.spmm_hybrid import HybridLayout, spmm_hybrid_apply
+from ..ops.sage_fused import banded_sage_apply
 from .blocks import _activation
+
+
+class _DenseParams(nn.Module):
+    """nn.Dense's parameters (same names, shapes, initializers) without its
+    matmul — the fused kernel consumes them directly, so checkpoints move
+    freely between fused and unfused execution."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
 
 
 class BlockedSageConv(nn.Module):
@@ -47,6 +69,11 @@ class BlockedSageConv(nn.Module):
     # int8 x int8 MXU, ~0.7% rel err, no VJP. Requires a BandedBlocks
     # layout with int8 count tiles (prepare_banded_mean_aggregate default).
     int8_features: bool = False
+    # epilogue fusion (ops/sage_fused.py): lin_l/lin_r/bias fold into the
+    # banded kernel's output write — the aggregate never round-trips HBM.
+    # Banded (narrow) layouts only; other layouts run the unfused path.
+    # MXU operands round to bf16 like every DEFAULT-precision kernel here.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int):
@@ -54,6 +81,17 @@ class BlockedSageConv(nn.Module):
             raise TypeError(
                 "int8_features=True requires a BandedBlocks layout (the "
                 "fully-int8 kernel); got " + type(blocked_fwd).__name__)
+        if (
+            self.fused
+            and isinstance(blocked_fwd, BandedBlocks)
+            and not blocked_fwd.wide
+            and not self.int8_features
+        ):
+            wl, bl = _DenseParams(self.out_dim, True, name="lin_l")(x.shape[1])
+            wr, _ = _DenseParams(self.out_dim, False, name="lin_r")(x.shape[1])
+            return banded_sage_apply(
+                x, wl, wr, bl, blocked_fwd, blocked_rev, self.use_pallas, None
+            )
         if isinstance(blocked_fwd, BandedBlocks):
             # banded backend (ops/spmm_banded.py): windowed x DMA shared by
             # K dst blocks — fastest on locality graphs (1.38x over the
@@ -99,13 +137,14 @@ class BlockedSageBlock(nn.Module):
     use_pallas: bool = True
     k_per_step: int = 1
     int8_features: bool = False  # inference-only (see BlockedSageConv)
+    fused: bool = False  # epilogue fusion (see BlockedSageConv)
 
     @nn.compact
     def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int, *, train: bool = False):
         for i, h in enumerate(self.hidden_dims):
             x = BlockedSageConv(
                 h, use_pallas=self.use_pallas, k_per_step=self.k_per_step,
-                int8_features=self.int8_features, name=f"conv{i}"
+                int8_features=self.int8_features, fused=self.fused, name=f"conv{i}"
             )(x, blocked_fwd, blocked_rev, num_nodes)
             x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
             x = _activation(x, self.negative_slope)
@@ -125,12 +164,13 @@ class BlockedSageClassifier(nn.Module):
     use_pallas: bool = True
     k_per_step: int = 1
     int8_features: bool = False  # inference-only (see BlockedSageConv)
+    fused: bool = False  # epilogue fusion (see BlockedSageConv)
 
     @nn.compact
     def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int, *, train: bool = False):
         h = BlockedSageBlock(
             self.hidden_dims, dropout=self.dropout, negative_slope=self.negative_slope,
             use_pallas=self.use_pallas, k_per_step=self.k_per_step,
-            int8_features=self.int8_features, name="sage",
+            int8_features=self.int8_features, fused=self.fused, name="sage",
         )(x, blocked_fwd, blocked_rev, num_nodes, train=train)
         return nn.Dense(self.num_classes, name="head")(h)

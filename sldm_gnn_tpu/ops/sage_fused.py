@@ -1,0 +1,230 @@
+"""Fused banded SAGE layer — aggregation epilogue fusion.
+
+The unfused layer (models/blocked_sage.py, bench.py two_layer_sage) runs
+
+    y = act( lin_l(mean_agg(x)) + lin_r(x) )
+
+as three HBM round-trips: the banded kernel writes ``agg`` [N, D], XLA
+reads it back for ``lin_l``, and reads x again for ``lin_r``. At the
+headline config the step is HBM-bound (BASELINE.md roofline table), so
+those materialize/re-read trips ARE the remaining cost: ~2·N·D bytes per
+layer of pure epilogue traffic.
+
+This op folds the whole layer into the banded kernel's output write:
+
+    out[b] = act( rs[b]·(Σ_s A[b,s] @ xw[off+s]) @ Wl  +  xw[own_b] @ Wr + bias )
+
+The aggregate lives only in VMEM ([T, D] per block); ``lin_r``'s input is
+free because the block's own rows are ALWAYS resident in its group's x
+window (the builder keeps ``bo[b] <= b`` and ``off[b] + s_span <= wsz``,
+ops/spmm_banded.py build_banded_blocks) — no extra bytes move for either
+linear. Per layer this removes the agg write + agg read + the second x
+read (~3·N·D) and emits one [T, H] write instead.
+
+Backward (custom VJP) needs ONE reverse aggregation — the same count as
+the unfused layer — because the transpose factors through the aggregate:
+
+    t   = Âᵀ @ g̃          (g̃ = g·act'(y); banded kernel, reverse layout)
+    dx  = t @ Wlᵀ + g̃ @ Wrᵀ
+    dWl = xᵀ @ t           (= (Âx)ᵀ g̃ without ever materializing Âx)
+    dWr = xᵀ @ g̃,  db = Σ g̃
+
+MXU operands round to bf16 like every DEFAULT-precision kernel here
+(~1e-2 rel err; CLAUDE.md invariants) — parity-sensitive callers keep the
+unfused path. Reference semantics being fused: SAGEConv mean-aggregate +
+lin_l/lin_r (reference src/models/blocks/sageblock.py:8,18 via PyG).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .spmm import _operand_vma
+from .spmm_banded import BandedBlocks, _window_prologue, spmm_banded_pallas, spmm_banded_xla
+
+
+def _fused_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz,
+                  has_row, has_bias, slope):
+    from jax.experimental import pallas as pl
+
+    rest = list(rest)
+    rs_ref = rest.pop(0) if has_row else None
+    wl_ref = rest.pop(0)
+    wr_ref = rest.pop(0)
+    b_ref = rest.pop(0) if has_bias else None
+    x_hbm, out_ref, xw, sems = rest
+
+    slot = _window_prologue(woff_ref, x_hbm, xw, sems, tile, wsz)
+    g = pl.program_id(0)
+    d = wl_ref.shape[0]
+    wl = wl_ref[:].astype(jnp.bfloat16)
+    wr = wr_ref[:].astype(jnp.bfloat16)
+    for kk in range(K):
+        offk = off_ref[g * K + kk]
+        acc = jnp.zeros((tile, d), jnp.float32)
+        for s in range(s_span):
+            xs = xw[slot, pl.ds((offk + s) * tile, tile), :]
+            acc += jnp.dot(
+                a_ref[kk, s].astype(jnp.bfloat16),
+                xs.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        if has_row:
+            acc = acc * rs_ref[kk * tile:(kk + 1) * tile]
+        # own rows: window-resident by layout construction (bo <= block id,
+        # off + s_span <= wsz), offset = global block id - window base
+        own = (g * K + kk) - woff_ref[g]
+        xo = xw[slot, pl.ds(own * tile, tile), :]
+        out = jnp.dot(acc.astype(jnp.bfloat16), wl, preferred_element_type=jnp.float32)
+        out += jnp.dot(xo.astype(jnp.bfloat16), wr, preferred_element_type=jnp.float32)
+        if has_bias:
+            out += b_ref[0]
+        if slope is not None:
+            out = jnp.where(out > 0, out, slope * out)
+        out_ref[kk * tile:(kk + 1) * tile] = out.astype(out_ref.dtype)
+
+
+def banded_sage_fwd_pallas(
+    x: jax.Array,
+    wl: jax.Array,
+    wr: jax.Array,
+    bias: jax.Array | None,
+    blocks: BandedBlocks,
+    *,
+    negative_slope: float | None = None,
+    out_dtype=None,
+    interpret: bool = False,
+):
+    """One fused SAGE layer over the banded layout (forward only; use
+    :func:`banded_sage_apply` for training). ``negative_slope``: None = no
+    activation, 0.0 = ReLU, else LeakyReLU."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, d = x.shape
+    h = wl.shape[1]
+    assert wl.shape == (d, h) and wr.shape == (d, h), (wl.shape, wr.shape, d)
+    assert not blocks.wide, "fused kernel uses the per-slot (narrow) layout"
+    assert blocks.col_scale is None, "pass the FORWARD layout (row_scale form)"
+    tile, K, wsz = blocks.tile, blocks.k, blocks.wsz
+    nb = blocks.num_dst_blocks
+    s_span = blocks.s_span
+    assert n_pad == nb * tile, (n_pad, nb, tile)
+    steps = nb // K
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+
+    has_row = blocks.row_scale is not None
+    has_bias = bias is not None
+    specs = [pl.BlockSpec((K, s_span, tile, tile), lambda g, woff, off: (g, 0, 0, 0))]
+    args = [blocks.a]
+    if has_row:
+        specs.append(pl.BlockSpec((K * tile, 1), lambda g, woff, off: (g, 0)))
+        args.append(blocks.row_scale)
+    specs += [
+        pl.BlockSpec((d, h), lambda g, woff, off: (0, 0)),
+        pl.BlockSpec((d, h), lambda g, woff, off: (0, 0)),
+    ]
+    args += [wl, wr]
+    if has_bias:
+        specs.append(pl.BlockSpec((1, h), lambda g, woff, off: (0, 0)))
+        args.append(bias.reshape(1, h))
+    specs.append(pl.BlockSpec(memory_space=pl.ANY))  # x in HBM; windows DMA'd
+    args.append(x)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # woff [steps], off [steps*K]
+        grid=(steps,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((K * tile, h), lambda g, woff, off: (g, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, wsz * tile, d), x.dtype),  # double-buffered window
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    slope = None if negative_slope is None else float(negative_slope)
+    return pl.pallas_call(
+        partial(_fused_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,
+                has_row=has_row, has_bias=has_bias, slope=slope),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, h), out_dtype,
+            vma=_operand_vma(x, wl, wr, blocks.a, blocks.off)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * tile * d * (s_span * tile + 2 * h),
+            bytes_accessed=blocks.a.size * blocks.a.dtype.itemsize
+            + steps * wsz * tile * d * x.dtype.itemsize
+            + n_pad * h * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(blocks.woff, blocks.off, *args)
+
+
+def _act(y, slope):
+    return y if slope is None else jnp.where(y > 0, y, slope * y)
+
+
+def _fused_fwd_impl(x, wl, wr, bias, blocks, use_pallas, negative_slope, interpret):
+    if use_pallas:
+        return banded_sage_fwd_pallas(
+            x, wl, wr, bias, blocks, negative_slope=negative_slope,
+            interpret=interpret)
+    agg = spmm_banded_xla(x, blocks)
+    y = agg @ wl + x @ wr
+    if bias is not None:
+        y = y + bias
+    return _act(y, negative_slope).astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def banded_sage_apply(x, wl, wr, bias, blocks_fwd: BandedBlocks,
+                      blocks_rev: BandedBlocks, use_pallas: bool,
+                      negative_slope: float | None = None,
+                      interpret: bool = False):
+    """Differentiable fused SAGE layer: act(Â x Wl + x Wr + bias).
+    ``bias`` may be None. Backward routes through ONE reverse banded
+    aggregation (see module docstring) — same aggregation count as the
+    unfused layer, none of its epilogue HBM round-trips."""
+    return _fused_fwd_impl(x, wl, wr, bias, blocks_fwd, use_pallas,
+                           negative_slope, interpret)
+
+
+def _fused_vjp_fwd(x, wl, wr, bias, blocks_fwd, blocks_rev, use_pallas,
+                   negative_slope, interpret):
+    y = _fused_fwd_impl(x, wl, wr, bias, blocks_fwd, use_pallas,
+                        negative_slope, interpret)
+    # y (not the pre-activation) suffices for act': leaky/relu preserve sign
+    res = (x, wl, wr, bias, blocks_rev, y if negative_slope is not None else None)
+    return y, res
+
+
+def _fused_vjp_bwd(use_pallas, negative_slope, interpret, res, g):
+    x, wl, wr, bias, blocks_rev, y = res
+    if negative_slope is not None:
+        g = jnp.where(y > 0, g, jnp.asarray(negative_slope, g.dtype) * g)
+    # t = Âᵀ g̃ — stream g̃ at the activation storage dtype (the unfused
+    # backward aggregates its dagg at this dtype too)
+    gq = g.astype(x.dtype)
+    if use_pallas:
+        t = spmm_banded_pallas(gq, blocks_rev, interpret=interpret)
+    else:
+        t = spmm_banded_xla(gq, blocks_rev)
+    # matmuls at the storage dtype with f32 accumulation: casting the big
+    # operands to f32 would both materialize f32 copies AND drop the MXU to
+    # its f32 rate — the dense backward must match the unfused path's cost
+    f32 = jnp.float32
+    dx = (
+        jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
+        + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
+    ).astype(x.dtype)
+    dwl = jnp.dot(x.T, t.astype(x.dtype), preferred_element_type=f32).astype(wl.dtype)
+    dwr = jnp.dot(x.T, gq.astype(x.dtype), preferred_element_type=f32).astype(wr.dtype)
+    db = None if bias is None else g.sum(axis=0).astype(bias.dtype)
+    return dx, dwl, dwr, db, None, None
+
+
+banded_sage_apply.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
