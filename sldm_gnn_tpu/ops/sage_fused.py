@@ -164,6 +164,162 @@ def banded_sage_fwd_pallas(
     )(blocks.woff, blocks.off, *args)
 
 
+def _bwd_kernel(woff_ref, off_ref, a_ref, wlt_ref, wrt_ref, scale_hbm, g_hbm,
+                t_ref, dx_ref, gw, sw, sems, *, s_span, K, tile, wsz, has_scale):
+    """Reverse fused kernel: per destination block b,
+        t[b]  = Σ_s (A_rev[b,s] ⊙ scale[off+s]) @ g[off+s]   (= Âᵀ g̃ rows)
+        dx[b] = t[b] @ Wlᵀ + g[own_b] @ Wrᵀ
+    The g̃ windows stream UNSCALED (the Wrᵀ term needs raw rows); the
+    forward-degree col scale streams alongside as [wsz, T] windows (one
+    row per source block — lane-aligned) and folds into the A tile's
+    COLUMNS, algebraically identical to scaling the g rows:
+    A @ (s ⊙ g) = (A ⊙ sᵀ) @ g. This removes the XLA pre-scale pass (a
+    full [N, H] materialize + re-read) without any lane→sublane relayout
+    in the kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    num = pl.num_programs(0)
+
+    def window_dma(slot, g_):
+        return pltpu.make_async_copy(
+            g_hbm.at[pl.ds(woff_ref[g_] * tile, wsz * tile), :],
+            gw.at[slot], sems.at[slot],
+        )
+
+    def scale_dma(slot, g_):
+        return pltpu.make_async_copy(
+            scale_hbm.at[pl.ds(woff_ref[g_], wsz), :],
+            sw.at[slot], sems.at[2 + slot],
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        window_dma(0, 0).start()
+        if has_scale:
+            scale_dma(0, 0).start()
+
+    @pl.when(g + 1 < num)
+    def _():
+        window_dma(jax.lax.rem(g + 1, 2), g + 1).start()
+        if has_scale:
+            scale_dma(jax.lax.rem(g + 1, 2), g + 1).start()
+
+    window_dma(slot, g).wait()
+    if has_scale:
+        scale_dma(slot, g).wait()
+
+    wlt = wlt_ref[:].astype(jnp.bfloat16)
+    wrt = wrt_ref[:].astype(jnp.bfloat16)
+    for kk in range(K):
+        offk = off_ref[g * K + kk]
+        h = gw.shape[-1]
+        acc = jnp.zeros((tile, h), jnp.float32)
+        for s in range(s_span):
+            rows = gw[slot, pl.ds((offk + s) * tile, tile), :]
+            a_s = a_ref[kk, s].astype(jnp.bfloat16)
+            if has_scale:
+                # scale columns of A (== scaling the g rows): [1, T] lane
+                # vector broadcast over sublanes — relayout-free
+                a_s = a_s * sw[slot, pl.ds(offk + s, 1), :].astype(jnp.bfloat16)
+            acc += jnp.dot(
+                a_s,
+                rows.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        t_ref[kk * tile:(kk + 1) * tile] = acc.astype(t_ref.dtype)
+        own = (g * K + kk) - woff_ref[g]
+        go = gw[slot, pl.ds(own * tile, tile), :]
+        dx = jnp.dot(acc.astype(jnp.bfloat16), wlt, preferred_element_type=jnp.float32)
+        dx += jnp.dot(go.astype(jnp.bfloat16), wrt, preferred_element_type=jnp.float32)
+        dx_ref[kk * tile:(kk + 1) * tile] = dx.astype(dx_ref.dtype)
+
+
+def banded_sage_bwd_pallas(
+    gq: jax.Array,
+    wl: jax.Array,
+    wr: jax.Array,
+    blocks_rev: BandedBlocks,
+    *,
+    out_dtype=None,
+    interpret: bool = False,
+):
+    """Fused backward: returns ``(t, dx)`` where ``t = Âᵀ gq`` (feeds
+    dWl = xᵀt) and ``dx = t @ Wlᵀ + gq @ Wrᵀ`` — one kernel instead of a
+    scale pre-pass, a reverse aggregation, and two XLA matmuls re-reading
+    t and gq. ``gq`` is the activation-masked upstream gradient,
+    UNSCALED; ``blocks_rev`` is the reverse layout whose ``col_scale``
+    (the forward 1/deg) streams as a window alongside gq."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, h = gq.shape
+    d = wl.shape[0]
+    assert wl.shape == (d, h) and wr.shape == (d, h)
+    assert not blocks_rev.wide, "fused bwd kernel uses the narrow layout"
+    assert blocks_rev.row_scale is None, "pass the REVERSE layout (col_scale form)"
+    tile, K, wsz = blocks_rev.tile, blocks_rev.k, blocks_rev.wsz
+    nb = blocks_rev.num_dst_blocks
+    s_span = blocks_rev.s_span
+    assert n_pad == nb * tile, (n_pad, nb, tile)
+    steps = nb // K
+    out_dtype = gq.dtype if out_dtype is None else out_dtype
+    has_scale = blocks_rev.col_scale is not None
+    # [N, 1] → [nb, T]: one lane-aligned row per source block, DMA-able
+    # as [wsz, T] windows (a [rows, 1] slice violates Mosaic lane tiling)
+    scale = (blocks_rev.col_scale.reshape(nb, tile) if has_scale
+             else jnp.ones((1, tile), jnp.float32))  # placeholder operand
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # woff, off
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((K, s_span, tile, tile), lambda g, woff, off: (g, 0, 0, 0)),
+            pl.BlockSpec((h, d), lambda g, woff, off: (0, 0)),  # Wlᵀ
+            pl.BlockSpec((h, d), lambda g, woff, off: (0, 0)),  # Wrᵀ
+            pl.BlockSpec(memory_space=pl.ANY),  # scale in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # gq in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((K * tile, h), lambda g, woff, off: (g, 0)),
+            pl.BlockSpec((K * tile, d), lambda g, woff, off: (g, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, wsz * tile, h), gq.dtype),
+            pltpu.VMEM((2, wsz, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    # the kernel consumes W transposes: pass [H, D] views (host-side
+    # transpose of a [D, H] param — 64 KB, negligible)
+    wlt = wl.T
+    wrt = wr.T
+    t, dx = pl.pallas_call(
+        partial(_bwd_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,
+                has_scale=has_scale),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, h), out_dtype,
+                                 vma=_operand_vma(gq, wl, blocks_rev.a)),
+            jax.ShapeDtypeStruct((n_pad, d), out_dtype,
+                                 vma=_operand_vma(gq, wl, wr, blocks_rev.a)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * tile * h * (s_span * tile + 2 * d),
+            bytes_accessed=blocks_rev.a.size * blocks_rev.a.dtype.itemsize
+            + steps * wsz * tile * (h * gq.dtype.itemsize + 4)
+            + n_pad * (h + d) * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(blocks_rev.woff, blocks_rev.off, blocks_rev.a, wlt, wrt, scale, gq)
+    return t, dx
+
+
 def _act(y, slope):
     return y if slope is None else jnp.where(y > 0, y, slope * y)
 
@@ -209,18 +365,24 @@ def _fused_vjp_bwd(use_pallas, negative_slope, interpret, res, g):
     # t = Âᵀ g̃ — stream g̃ at the activation storage dtype (the unfused
     # backward aggregates its dagg at this dtype too)
     gq = g.astype(x.dtype)
-    if use_pallas:
-        t = spmm_banded_pallas(gq, blocks_rev, interpret=interpret)
-    else:
-        t = spmm_banded_xla(gq, blocks_rev)
-    # matmuls at the storage dtype with f32 accumulation: casting the big
-    # operands to f32 would both materialize f32 copies AND drop the MXU to
-    # its f32 rate — the dense backward must match the unfused path's cost
     f32 = jnp.float32
-    dx = (
-        jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
-        + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
-    ).astype(x.dtype)
+    if use_pallas and not blocks_rev.wide:
+        # fused reverse kernel: t AND dx = t@Wlᵀ + g̃@Wrᵀ in one pass —
+        # no scale pre-pass, no re-reads of t/g̃ for the dx matmuls
+        t, dx = banded_sage_bwd_pallas(gq, wl, wr, blocks_rev,
+                                       interpret=interpret)
+        dx = dx.astype(x.dtype)
+    else:
+        if use_pallas:
+            t = spmm_banded_pallas(gq, blocks_rev, interpret=interpret)
+        else:
+            t = spmm_banded_xla(gq, blocks_rev)
+        # matmuls at the storage dtype with f32 accumulation: f32 casts of
+        # the big operands would materialize copies AND drop the MXU rate
+        dx = (
+            jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
+            + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
+        ).astype(x.dtype)
     dwl = jnp.dot(x.T, t.astype(x.dtype), preferred_element_type=f32).astype(wl.dtype)
     dwr = jnp.dot(x.T, gq.astype(x.dtype), preferred_element_type=f32).astype(wr.dtype)
     db = None if bias is None else g.sum(axis=0).astype(bias.dtype)

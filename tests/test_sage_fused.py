@@ -114,6 +114,24 @@ def test_fused_bf16_storage(rng):
     assert np.abs(got - want).max() / scale < 5e-2
 
 
+def test_fused_bwd_kernel_matches_composition(rng):
+    """banded_sage_bwd_pallas == (scale pre-pass + reverse agg, then the
+    two dx matmuls) to kernel bf16 tolerance."""
+    from sldm_gnn_tpu.ops.sage_fused import banded_sage_bwd_pallas
+    from sldm_gnn_tpu.ops.spmm_banded import spmm_banded_xla
+
+    fj, rj, x, wl, wr, _ = _setup(rng, d=16, h=24)
+    gq = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (x.shape[0], wl.shape[1])).astype(np.float32))
+    t_want = np.asarray(spmm_banded_xla(gq, rj))
+    dx_want = t_want @ np.asarray(wl).T + np.asarray(gq) @ np.asarray(wr).T
+    t, dx = banded_sage_bwd_pallas(gq, wl, wr, rj, interpret=True)
+    scale = np.abs(t_want).max() + 1e-9
+    assert np.abs(np.asarray(t) - t_want).max() / scale < 3e-2
+    scale = np.abs(dx_want).max() + 1e-9
+    assert np.abs(np.asarray(dx) - dx_want).max() / scale < 3e-2
+
+
 def test_blocked_sage_fused_dispatch(rng):
     """BlockedSageConv(fused=True) produces the same params tree as the
     unfused layer (checkpoint-compatible) and matching outputs."""
