@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.containers import PaddedGraphBatch
-from ..ops.gru import GRUParams, gru_forward, init_gru_params
+from ..ops.gru import GRUParams, gru_forward
 from ..ops.segment import global_max_pool, global_mean_pool
 from .blocks import MLPStack, SageBlock
 from .map_modules import MapData, MapEncoder, MapSpatialAttention
@@ -220,37 +220,47 @@ class GRUCell(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        shapes = init_gru_params(jax.random.PRNGKey(0), self.input_size, self.hidden_size, self.num_layers)
+        # parameter shapes computed directly (torch GRU layout: 3H gate
+        # stacks; layer 0 separate from the [num_layers-1, ...] rest) —
+        # never materialize a dummy parameter set just to read .shape
+        h3 = 3 * self.hidden_size
+        lrest = max(self.num_layers - 1, 0)
+        shapes = dict(
+            w_ih0=(self.input_size, h3), w_hh0=(self.hidden_size, h3),
+            b_ih0=(h3,), b_hh0=(h3,),
+            w_ih=(lrest, self.hidden_size, h3), w_hh=(lrest, self.hidden_size, h3),
+            b_ih=(lrest, h3), b_hh=(lrest, h3),
+        )
 
-        def mk(name, template):
+        def mk(name, shape):
             bound = 1.0 / (self.hidden_size**0.5)
             return self.param(
                 name,
                 lambda k, s: jax.random.uniform(k, s, minval=-bound, maxval=bound),
-                template.shape,
+                shape,
             )
 
         if self.num_layers > 1:
             rest = dict(
-                w_ih=mk("w_ih", shapes.w_ih),
-                w_hh=mk("w_hh", shapes.w_hh),
-                b_ih=mk("b_ih", shapes.b_ih),
-                b_hh=mk("b_hh", shapes.b_hh),
+                w_ih=mk("w_ih", shapes["w_ih"]),
+                w_hh=mk("w_hh", shapes["w_hh"]),
+                b_ih=mk("b_ih", shapes["b_ih"]),
+                b_hh=mk("b_hh", shapes["b_hh"]),
             )
         else:
             # zero-size constants, NOT params: keeps the param tree free of
             # empty arrays (orbax cannot serialize zero-size leaves)
             rest = dict(
-                w_ih=jnp.zeros(shapes.w_ih.shape),
-                w_hh=jnp.zeros(shapes.w_hh.shape),
-                b_ih=jnp.zeros(shapes.b_ih.shape),
-                b_hh=jnp.zeros(shapes.b_hh.shape),
+                w_ih=jnp.zeros(shapes["w_ih"]),
+                w_hh=jnp.zeros(shapes["w_hh"]),
+                b_ih=jnp.zeros(shapes["b_ih"]),
+                b_hh=jnp.zeros(shapes["b_hh"]),
             )
         params = GRUParams(
-            w_ih0=mk("w_ih0", shapes.w_ih0),
-            w_hh0=mk("w_hh0", shapes.w_hh0),
-            b_ih0=mk("b_ih0", shapes.b_ih0),
-            b_hh0=mk("b_hh0", shapes.b_hh0),
+            w_ih0=mk("w_ih0", shapes["w_ih0"]),
+            w_hh0=mk("w_hh0", shapes["w_hh0"]),
+            b_ih0=mk("b_ih0", shapes["b_ih0"]),
+            b_hh0=mk("b_hh0", shapes["b_hh0"]),
             **rest,
         )
         return gru_forward(params, x, pad_to=self.pad_to)

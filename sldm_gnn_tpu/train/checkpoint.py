@@ -88,10 +88,42 @@ class CheckpointManager:
             return False
         if step in self._mgr.all_steps():  # e.g. epoch-end save right after a periodic one
             return False
+        if extras and extras.get("curves"):
+            self._save_curves(step, extras["curves"])
         saved = self._mgr.save(step, args=ocp.args.StandardSave(_to_pytree(state, extras)))
         if not self.async_save:
             self._mgr.wait_until_finished()
         return bool(saved)
+
+    # Host-side training curves travel in a sidecar .npz keyed by step —
+    # they are variable-shape numpy (epochs differ between runs), which
+    # orbax StandardRestore's fixed template cannot express. Written
+    # synchronously (a few KB) BEFORE the orbax save so a curves file
+    # always exists for any restorable step; stale sidecars are pruned to
+    # the manager's retained steps.
+    def _curves_path(self, step: int) -> Path:
+        return self.directory / f"curves_{step}.npz"
+
+    def _save_curves(self, step: int, curves: dict) -> None:
+        arrays = {k: np.asarray(v) for k, v in curves.items() if v is not None}
+        tmp = self._curves_path(step).with_suffix(".tmp.npz")
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        tmp.replace(self._curves_path(step))
+        keep = set(self._mgr.all_steps()) | {step}
+        for p in self.directory.glob("curves_*.npz"):
+            try:
+                if int(p.stem.split("_")[1]) not in keep:
+                    p.unlink()
+            except (ValueError, OSError):
+                pass
+
+    def _load_curves(self, step: int) -> dict | None:
+        p = self._curves_path(step)
+        if not p.is_file():
+            return None
+        with np.load(p) as z:
+            return {k: z[k] for k in z.files}
 
     @property
     def preempted(self) -> bool:
@@ -160,6 +192,7 @@ class CheckpointManager:
         extras = {
             "best_vacc": float(ex.get("best_vacc", 0.0)),
             "epochs_done": int(ex.get("epochs_done", 0)),
+            "curves": self._load_curves(step),
         }
         return state, extras
 

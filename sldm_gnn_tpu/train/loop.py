@@ -252,13 +252,17 @@ def train_model(
     # crash recovery: resume params/optimizer/step from the latest orbax
     # checkpoint (train.checkpoint.CheckpointManager) when one exists —
     # including the host-side progress (best val acc so the best-snapshot
-    # gate doesn't regress, completed epochs so they aren't re-trained)
+    # gate doesn't regress, completed epochs so they aren't re-trained,
+    # and the accuracy/loss curve prefix so plots/best-epoch stats of a
+    # resumed run equal an uninterrupted run's)
     start_epoch = 0
     resumed_best_vacc = 0.0
+    saved_curves = None
     if checkpoint_manager is not None and checkpoint_manager.latest_step() is not None:
         state, ckpt_extras = checkpoint_manager.restore_with_extras(state)
         resumed_best_vacc = ckpt_extras["best_vacc"]
         start_epoch = min(ckpt_extras["epochs_done"], epochs)
+        saved_curves = ckpt_extras.get("curves")
     # host-side mirror of state.step: avoids a device sync per train step
     host_step = int(state.step) if checkpoint_manager is not None else 0
 
@@ -272,8 +276,25 @@ def train_model(
     bin_auc = np.zeros((1, epochs), np.float32) if L == 1 else None
     best_vacc = resumed_best_vacc
 
-    # a resumed run re-enters at the first UNFINISHED epoch (curve entries
-    # for already-completed epochs stay zero — the prior run reported them)
+    curves = {
+        "pl_tracc": pl_tracc, "tot_tracc": tot_tracc,
+        "pl_vacc": pl_vacc, "tot_vacc": tot_vacc,
+        "tr_loss": tr_loss_curve, "vl_loss": vl_loss_curve,
+        "bin_cm": bin_cm, "bin_auc": bin_auc,
+    }
+    if saved_curves:
+        # restore the completed-epoch prefix (clipped: the resumed run may
+        # ask for a different total epoch count)
+        for key, dst in curves.items():
+            src_arr = saved_curves.get(key)
+            if dst is None or src_arr is None:
+                continue
+            span = min(start_epoch, dst.shape[-1], src_arr.shape[-1])
+            if dst.shape[:-1] == src_arr.shape[:-1]:
+                dst[..., :span] = src_arr[..., :span]
+
+    # a resumed run re-enters at the first UNFINISHED epoch with the
+    # completed prefix of every curve restored from the checkpoint sidecar
     for epoch in range(start_epoch, epochs):
         # ---- train phase: metrics stay device-side per step; one host
         # fetch per epoch so batch prep overlaps device compute
@@ -302,7 +323,8 @@ def train_model(
                 host_step += 1
                 checkpoint_manager.on_step(
                     state, step=host_step,
-                    extras={"best_vacc": best_vacc, "epochs_done": epoch})
+                    extras={"best_vacc": best_vacc, "epochs_done": epoch,
+                            "curves": curves})
         correct = np.zeros((L,), np.int64)
         n = 0
         loss_sum = 0.0
@@ -367,7 +389,8 @@ def train_model(
         if checkpoint_manager is not None:
             checkpoint_manager.maybe_save(
                 state, force=True,
-                extras={"best_vacc": best_vacc, "epochs_done": epoch + 1})
+                extras={"best_vacc": best_vacc, "epochs_done": epoch + 1,
+                        "curves": curves})
 
         if epoch_callback is not None:
             epoch_callback(

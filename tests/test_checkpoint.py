@@ -198,3 +198,45 @@ def test_resume_carries_best_vacc_and_epochs(tmp_path, rng):
     mgr3.close()
     assert epochs3 == [3]
     assert all(v > max(saved) for v in saved3)  # only a strictly better acc fires
+
+
+def test_resume_restores_curve_prefix(tmp_path, rng):
+    """Curves of an interrupted+resumed run equal an uninterrupted run's
+    (VERDICT r1 weak #4: resumed runs used to report zero for completed
+    epochs, corrupting plots and best-epoch stats)."""
+    from sldm_gnn_tpu.train.loop import train_model
+
+    model, fns, state, batch = _setup(rng)
+
+    # uninterrupted 4-epoch run (no checkpointing)
+    _, ref = train_model(
+        model, lambda: [batch], lambda: [batch], epochs=4, lr=3e-2,
+        active_labels=[0, 1], seed=7,
+    )
+
+    # same run, stopped after 2 epochs then resumed for the remaining 2
+    mgr = CheckpointManager(tmp_path / "ck3", save_every=0, max_to_keep=2,
+                            handle_signals=False)
+    train_model(
+        model, lambda: [batch], lambda: [batch], epochs=2, lr=3e-2,
+        active_labels=[0, 1], seed=7, checkpoint_manager=mgr,
+    )
+    mgr.close()
+    mgr2 = CheckpointManager(tmp_path / "ck3", save_every=0, max_to_keep=2,
+                             handle_signals=False)
+    _, res = train_model(
+        model, lambda: [batch], lambda: [batch], epochs=4, lr=3e-2,
+        active_labels=[0, 1], seed=7, checkpoint_manager=mgr2,
+    )
+    mgr2.close()
+
+    # the completed-epoch prefix is restored — nothing is zero, and the
+    # first two epochs match the uninterrupted run exactly (same init seed,
+    # same data, deterministic CPU steps)
+    np.testing.assert_allclose(res.total_val_acc[:, :2], ref.total_val_acc[:, :2])
+    np.testing.assert_allclose(res.per_label_train_acc[:, :2],
+                               ref.per_label_train_acc[:, :2])
+    np.testing.assert_allclose(res.train_loss[:2], ref.train_loss[:2])
+    np.testing.assert_allclose(res.val_loss[:2], ref.val_loss[:2])
+    assert (res.total_val_acc > 0).all()
+    assert res.best_val_acc == ref.best_val_acc
