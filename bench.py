@@ -163,6 +163,26 @@ def main():
     src, dst = make_local_graph(n, deg)
     e = len(src)
 
+    # BENCH_SHUFFLE=1: scramble node ids (simulates the FILE order real
+    # builders emit — /root/reference/src/gbuilder.py:392-424) and recover
+    # bandedness with the RCM pass (graph/reorder.py). The layouts and
+    # features then live in the reordered id space — zero runtime cost; the
+    # check is that the shuffled graph recovers the sorted-graph rate.
+    reordered = False
+    if bool(int(os.environ.get("BENCH_SHUFFLE", 0))):
+        from sldm_gnn_tpu.graph.reorder import (
+            relabel_edges, reorder_for_banding, source_span_tiles)
+
+        scramble = np.random.default_rng(2).permutation(n)
+        src, dst = scramble[src], scramble[dst]
+        t0 = time.perf_counter()
+        perm = reorder_for_banding(src, dst, n)
+        if perm is not None:
+            src, dst = relabel_edges(src, dst, perm)
+            reordered = True
+        _vlog(f"shuffle+reorder: {time.perf_counter() - t0:.1f}s host, "
+              f"span {source_span_tiles(src, dst, n)} tiles")
+
     # SpMM backend selection. 'dense' (ops/spmm_dense.py) turns the static
     # edge set into precomputed per-block-pair dense adjacency tiles —
     # ~10x fewer matmul FLOPs than the one-hot form on this locality graph
@@ -402,6 +422,7 @@ def main():
         "dense_dtype": dense_dtype if spmm_backend in ("dense", "hybrid", "banded") else None,
         "dense_frac": round(dense_frac, 4) if spmm_backend == "hybrid" else None,
         "dtype": dt.name,
+        "reordered": reordered or None,
         "nodes": n,
         "edges": e,
         "feat_dim": d,

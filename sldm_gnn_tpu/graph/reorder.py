@@ -1,0 +1,226 @@
+"""Bandwidth-reduction node reordering (RCM / Hilbert).
+
+The banded SpMM backend (ops/spmm_banded.py — the single-chip headline
+kernel) requires every destination block's sources to fall in a bounded
+contiguous band, i.e. nodes already in spatial order. Graphs emitted by the
+real builders arrive in FILE order (/root/reference/src/gbuilder.py:392-424
+iterates segments as read), so an arbitrary-order locality graph silently
+dropped to the dense/one-hot tiers in round 1. This module computes a
+permutation that restores bandedness:
+
+  * :func:`cuthill_mckee` / :func:`rcm_order` — classic bandwidth-reducing
+    BFS ordering, implemented as a vectorized level-synchronous sweep
+    (exact CM: children keyed by (first-parent position, degree, id));
+    handles disconnected graphs by restarting at the min-degree unvisited
+    node. O(E) numpy work per BFS level.
+  * :func:`hilbert_order` — space-filling-curve order from 2D coordinates
+    (lane-segment centroids); one vectorized bit-interleave pass,
+    independent of edge structure.
+
+Convention: ``perm[new_id] = old_id``; ``inv[old_id] = new_id``. Relabel
+edges with ``inv[src], inv[dst]``; permute node features ONCE on the host
+(``x[perm]``) and run the whole model in the new order — zero runtime cost
+(outputs map back through ``out[inv]`` only if original order is needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .csr import TILE
+
+
+def _to_csr(src: np.ndarray, dst: np.ndarray, num_nodes: int):
+    """Undirected CSR (both directions) — bandwidth is symmetric."""
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    order = np.argsort(u, kind="stable")
+    u, v = u[order], v[order]
+    indptr = np.zeros(num_nodes + 1, np.int64)
+    np.add.at(indptr, u + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, v
+
+
+def _gather_neighbors(indptr, indices, frontier):
+    """Concatenated adjacency lists of ``frontier`` (order-preserving) and
+    the frontier-position of each entry's parent — one vectorized gather."""
+    starts = indptr[frontier]
+    counts = indptr[frontier + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, indices.dtype), np.zeros(0, np.int64)
+    offs = np.repeat(np.cumsum(counts) - counts, counts)
+    idx = np.arange(total, dtype=np.int64) - offs + np.repeat(starts, counts)
+    return indices[idx], np.repeat(np.arange(len(frontier), dtype=np.int64), counts)
+
+
+def _pseudo_peripheral(indptr, indices, deg, start, sweeps: int = 2):
+    """A few BFS sweeps toward an eccentric low-degree start node."""
+    n = len(deg)
+    for _ in range(sweeps):
+        dist = np.full(n, -1, np.int64)
+        dist[start] = 0
+        frontier = np.array([start], np.int64)
+        level = 0
+        last = frontier
+        while len(frontier):
+            nbrs, _ = _gather_neighbors(indptr, indices, frontier)
+            nbrs = np.unique(nbrs)
+            nbrs = nbrs[dist[nbrs] < 0]
+            level += 1
+            dist[nbrs] = level
+            last, frontier = frontier if not len(nbrs) else nbrs, nbrs
+        cand = last
+        start = int(cand[np.argmin(deg[cand])])
+    return start
+
+
+def cuthill_mckee(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Cuthill-McKee ordering: ``perm[new_id] = old_id``.
+
+    Level-synchronous exact CM: within a BFS level, children are ordered by
+    (position of their first-reached parent, degree, id) — the queue
+    discipline of the classic sequential algorithm with id tie-breaks.
+    Components are processed in order of their min-degree entry node."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    indptr, indices = _to_csr(src, dst, num_nodes)
+    deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
+
+    visited = np.zeros(num_nodes, bool)
+    order = np.empty(num_nodes, np.int64)
+    pos = 0
+    # isolated / component entry points, cheapest degree first
+    entry_order = np.lexsort((np.arange(num_nodes), deg))
+    entry_ptr = 0
+    while pos < num_nodes:
+        while entry_ptr < num_nodes and visited[entry_order[entry_ptr]]:
+            entry_ptr += 1
+        start = int(entry_order[entry_ptr])
+        if deg[start] > 0:
+            start = _pseudo_peripheral(indptr, indices, deg, start)
+        visited[start] = True
+        order[pos] = start
+        pos += 1
+        frontier = np.array([start], np.int64)
+        while len(frontier):
+            nbrs, parent_pos = _gather_neighbors(indptr, indices, frontier)
+            keep = ~visited[nbrs]
+            nbrs, parent_pos = nbrs[keep], parent_pos[keep]
+            if not len(nbrs):
+                break
+            # first-parent position per child (min over duplicates) — sort
+            # within the level's edges only, no O(N)-per-level transient
+            o = np.lexsort((parent_pos, nbrs))
+            nb_s, pp_s = nbrs[o], parent_pos[o]
+            head = np.empty(len(nb_s), bool)
+            head[0] = True
+            head[1:] = nb_s[1:] != nb_s[:-1]
+            uniq, first = nb_s[head], pp_s[head]
+            key = np.lexsort((uniq, deg[uniq], first))
+            level = uniq[key]
+            visited[level] = True
+            order[pos : pos + len(level)] = level
+            pos += len(level)
+            frontier = level
+    return order
+
+
+def rcm_order(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Reverse Cuthill-McKee: ``perm[new_id] = old_id``."""
+    return cuthill_mckee(src, dst, num_nodes)[::-1].copy()
+
+
+def hilbert_order(coords: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Hilbert-curve ordering of 2D points: ``perm[new_id] = old_id``.
+
+    Coordinates are min-max scaled onto a 2^bits grid; the Hilbert index is
+    computed with the standard rotate-and-fold loop, vectorized over all
+    points (``bits`` iterations of O(N) numpy ops)."""
+    coords = np.asarray(coords, np.float64)
+    if coords.ndim != 2 or coords.shape[1] != 2:
+        raise ValueError(f"expected [N, 2] coordinates, got {coords.shape}")
+    lo = coords.min(axis=0)
+    span = np.maximum(coords.max(axis=0) - lo, 1e-12)
+    side = (1 << bits) - 1
+    xy = ((coords - lo) / span * side).astype(np.uint64)
+    x, y = xy[:, 0].copy(), xy[:, 1].copy()
+
+    rx = np.zeros_like(x)
+    ry = np.zeros_like(y)
+    d = np.zeros_like(x)
+    s = np.uint64(1) << np.uint64(bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - np.uint64(1) - x, x)
+        y_f = np.where(flip, s - np.uint64(1) - y, y)
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= np.uint64(1)
+    return np.argsort(d, kind="stable").astype(np.int64)
+
+
+def source_span_tiles(src: np.ndarray, dst: np.ndarray, num_nodes: int,
+                      tile: int = TILE) -> int:
+    """Max per-destination-block source span in tiles — the quantity the
+    banded builder bounds (ops/spmm_banded.py ``max_span``)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if not len(src):
+        return 1
+    nb = (num_nodes + tile - 1) // tile
+    bo = np.arange(nb, dtype=np.int64)
+    hi = bo.copy()
+    np.minimum.at(bo, dst // tile, src // tile)
+    np.maximum.at(hi, dst // tile, src // tile)
+    return int((hi - bo + 1).max())
+
+
+def invert_perm(perm: np.ndarray) -> np.ndarray:
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm), dtype=perm.dtype)
+    return inv
+
+
+def relabel_edges(src: np.ndarray, dst: np.ndarray, perm: np.ndarray):
+    """Edge endpoints in the reordered id space (``perm[new]=old``)."""
+    inv = invert_perm(np.asarray(perm, np.int64))
+    return inv[np.asarray(src, np.int64)], inv[np.asarray(dst, np.int64)]
+
+
+def reorder_for_banding(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    tile: int = TILE,
+    max_span: int = 16,
+    coords: np.ndarray | None = None,
+) -> np.ndarray | None:
+    """Find a permutation under which the graph is banded (source span ≤
+    ``max_span`` tiles). Tries, in order: identity (already banded — return
+    None), Hilbert on ``coords`` when given, RCM. Returns ``perm`` with
+    ``perm[new]=old``, or raises ValueError when no candidate achieves the
+    span bound (caller falls back to the dense/hybrid tiers)."""
+    if source_span_tiles(src, dst, num_nodes, tile) <= max_span:
+        return None
+    candidates = []
+    if coords is not None:
+        candidates.append(hilbert_order(coords))
+    candidates.append(rcm_order(src, dst, num_nodes))
+    best_perm, best_span = None, np.inf
+    for perm in candidates:
+        s2, d2 = relabel_edges(src, dst, perm)
+        span = source_span_tiles(s2, d2, num_nodes, tile)
+        if span <= max_span:
+            return perm
+        if span < best_span:
+            best_perm, best_span = perm, span
+    raise ValueError(
+        f"no reordering reached span<={max_span} tiles (best {best_span}); "
+        "graph is not bandable — use the dense/hybrid backends")

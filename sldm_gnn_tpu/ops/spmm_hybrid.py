@@ -252,6 +252,8 @@ def prepare_auto_mean_aggregate(
     edge_chunk: int = EDGE_CHUNK,
     a_budget_bytes: float = 8e9,
     min_pair_edges: int | None = None,
+    reorder: bool = False,
+    coords: np.ndarray | None = None,
 ):
     """Pick the fastest SpMM layout for a static edge set under an A-tile
     HBM budget (the bench's selection policy, as a library surface):
@@ -270,8 +272,32 @@ def prepare_auto_mean_aggregate(
     the hybrid case (the HybridLayout carries both directions). Duplicate
     edges with multiplicity > 127 fall back to bf16 weight tiles (the
     non-factorable general case).
+
+    ``reorder=True`` returns ``(layout_fwd, layout_rev, n_pad, perm)``
+    instead: before abandoning the banded tier, a bandwidth-reducing node
+    permutation is tried (Hilbert on ``coords`` when given, else RCM —
+    graph/reorder.py). ``perm`` (``perm[new]=old``) is non-None when the
+    layouts live in the REORDERED id space: permute node features once on
+    the host (``x[perm]``) and run in the new order; real builders emit
+    FILE order (/root/reference/src/gbuilder.py:392-424), not spatial.
     """
     from .spmm_dense import prepare_dense_mean_aggregate
+
+    if reorder:
+        from ..graph.reorder import relabel_edges, reorder_for_banding
+
+        try:
+            perm = reorder_for_banding(src, dst, num_nodes, tile=tile,
+                                       coords=coords)
+        except ValueError:
+            perm = None  # not bandable under any candidate order
+        if perm is not None:
+            src, dst = relabel_edges(src, dst, perm)
+        out = prepare_auto_mean_aggregate(
+            src, dst, num_nodes, tile=tile, dense_k=dense_k,
+            k_per_step=k_per_step, edge_chunk=edge_chunk,
+            a_budget_bytes=a_budget_bytes, min_pair_edges=min_pair_edges)
+        return (*out, perm)
 
     if dense_tile_bytes(src, dst, num_nodes, tile=tile, dense_k=dense_k,
                         itemsize=1) <= a_budget_bytes:
