@@ -160,7 +160,35 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 100))
 
     backend = jax.default_backend()
-    src, dst = make_local_graph(n, deg)
+    # BENCH_GRAPH=map: the REAL data path — a grid-city lane map through
+    # the repo's own MapBuilder edge rules (skewed degree ~3, long-range
+    # crossings, FILE emission order), instead of the idealized pre-sorted
+    # local generator. BENCH_NODES then counts lane segments.
+    graph_mode = os.environ.get("BENCH_GRAPH", "local")
+    coords = None
+    if graph_mode == "map":
+        from sldm_gnn_tpu.data.synthetic import make_city_lane_map
+        from sldm_gnn_tpu.build.map_builder import build_map_edges
+
+        start, end, wd_, al_, ar_ = make_city_lane_map(n)
+        n = len(start)
+        coords = (start + end) / 2
+        cache_f = (os.path.join(os.environ["BENCH_LAYOUT_CACHE"],
+                                f"cityedges-n{n}.npz")
+                   if os.environ.get("BENCH_LAYOUT_CACHE") else None)
+        if cache_f and os.path.exists(cache_f):
+            z = np.load(cache_f)
+            src, dst = z["src"], z["dst"]
+        else:
+            t0 = time.perf_counter()
+            src, dst = build_map_edges(start, end, wd_, al_, ar_)
+            _vlog(f"map edge build: {time.perf_counter() - t0:.1f}s host (S={n})")
+            if cache_f:
+                os.makedirs(os.path.dirname(cache_f), exist_ok=True)
+                np.savez(cache_f, src=src, dst=dst)
+        src, dst = src.astype(np.int64), dst.astype(np.int64)
+    else:
+        src, dst = make_local_graph(n, deg)
     e = len(src)
 
     # BENCH_SHUFFLE=1: scramble node ids (simulates the FILE order real
@@ -168,19 +196,21 @@ def main():
     # bandedness with the RCM pass (graph/reorder.py). The layouts and
     # features then live in the reordered id space — zero runtime cost; the
     # check is that the shuffled graph recovers the sorted-graph rate.
+    # Map mode is already in file order: the reorder pass ALWAYS runs there.
     reordered = False
-    if bool(int(os.environ.get("BENCH_SHUFFLE", 0))):
+    if bool(int(os.environ.get("BENCH_SHUFFLE", 0))) or graph_mode == "map":
         from sldm_gnn_tpu.graph.reorder import (
             relabel_edges, reorder_for_banding, source_span_tiles)
 
-        scramble = np.random.default_rng(2).permutation(n)
-        src, dst = scramble[src], scramble[dst]
+        if graph_mode != "map":
+            scramble = np.random.default_rng(2).permutation(n)
+            src, dst = scramble[src], scramble[dst]
         t0 = time.perf_counter()
-        perm = reorder_for_banding(src, dst, n)
+        perm = reorder_for_banding(src, dst, n, coords=coords)
         if perm is not None:
             src, dst = relabel_edges(src, dst, perm)
             reordered = True
-        _vlog(f"shuffle+reorder: {time.perf_counter() - t0:.1f}s host, "
+        _vlog(f"reorder: {time.perf_counter() - t0:.1f}s host, "
               f"span {source_span_tiles(src, dst, n)} tiles")
 
     # SpMM backend selection. 'dense' (ops/spmm_dense.py) turns the static
@@ -248,21 +278,43 @@ def main():
         return cached_layouts(cache_dir, key, build)
 
     if spmm_backend == "banded":
+        # near-banded split first (ops/banded_residual.py): outlier blocks
+        # must not dictate every block's span — e.g. a shuffled+RCM graph
+        # leaves ~0.1% of edges outside a tight band, and pure banded would
+        # pay the widened span on EVERY block. Empty residual (perfectly
+        # banded, e.g. the sorted generator) keeps the plain banded layout.
+        from sldm_gnn_tpu.ops.banded_residual import (
+            banded_residual_sage_apply, prepare_banded_residual_mean_aggregate,
+            spmm_banded_residual_apply)
+
         try:
-            banded_fwd, banded_rev, n_pad = maybe_cached(
-                f"banded-n{n}-deg{deg}-t{dense_tile}-k{banded_k}-i8"
-                + ("-wide" if banded_wide else ""),
-                lambda: prepare_banded_mean_aggregate(
-                    src, dst, n, tile=dense_tile, k=banded_k, dtype=np.int8,
-                    wide=banded_wide))
-            blocked_fwd = jax.tree.map(jnp.asarray, banded_fwd)
-            blocked_rev = jax.tree.map(jnp.asarray, banded_rev)
-            _vlog(f"banded layout: A {banded_fwd.a.nbytes/1e9:.2f}+{banded_rev.a.nbytes/1e9:.2f} GB, "
-                  f"s_span {banded_fwd.s_span}/{banded_rev.s_span}, wsz {banded_fwd.wsz}/{banded_rev.wsz}")
+            rlayout, n_pad = prepare_banded_residual_mean_aggregate(
+                src, dst, n, tile=dense_tile, k=banded_k)
         except ValueError as err:
             _vlog(f"banded build failed ({err}); falling back to dense")
             spmm_backend = "dense"
-    if spmm_backend == "banded":
+        else:
+            if len(rlayout.r_src):
+                spmm_backend = "banded_residual"
+                blocked_fwd = jax.tree.map(jnp.asarray, rlayout)
+                blocked_rev = None
+                _vlog(
+                    f"banded-residual layout: span "
+                    f"{rlayout.banded_fwd.s_span}/{rlayout.banded_rev.s_span}, "
+                    f"resid {rlayout.resid_frac:.5f} ({len(rlayout.r_src)} edges), "
+                    f"slots {rlayout.m_fwd}/{rlayout.m_rev} of {rlayout.steps} groups")
+            else:
+                banded_fwd, banded_rev, n_pad = maybe_cached(
+                    f"banded-{graph_mode}-n{n}-deg{deg}-t{dense_tile}-k{banded_k}-i8"
+                    + ("-r" if reordered else "") + ("-wide" if banded_wide else ""),
+                    lambda: prepare_banded_mean_aggregate(
+                        src, dst, n, tile=dense_tile, k=banded_k, dtype=np.int8,
+                        wide=banded_wide))
+                blocked_fwd = jax.tree.map(jnp.asarray, banded_fwd)
+                blocked_rev = jax.tree.map(jnp.asarray, banded_rev)
+                _vlog(f"banded layout: A {banded_fwd.a.nbytes/1e9:.2f}+{banded_rev.a.nbytes/1e9:.2f} GB, "
+                      f"s_span {banded_fwd.s_span}/{banded_rev.s_span}, wsz {banded_fwd.wsz}/{banded_rev.wsz}")
+    if spmm_backend in ("banded", "banded_residual"):
         pass  # layouts built above
     elif spmm_backend == "hybrid":
         # density-split backend (ops/spmm_hybrid.py): dense tiles for block
@@ -355,13 +407,18 @@ def main():
     # HBM-bound (BASELINE.md roofline), so the saved materialize/re-read
     # traffic is a direct step-time cut. BENCH_FUSED=0 restores the
     # separate-kernel step.
-    fused = bool(int(os.environ.get("BENCH_FUSED", 1))) and spmm_backend == "banded"
+    fused = (bool(int(os.environ.get("BENCH_FUSED", 1)))
+             and spmm_backend in ("banded", "banded_residual"))
 
     def loss_pallas_fused(params, x, bf, br):
         h = x.astype(dt)
         p = jax.tree.map(lambda q: q.astype(dt), params)
-        layer = lambda h, wa, wb: banded_sage_apply(
-            h, wa, wb, None, bf, br, use_pallas, 0.0)
+        if spmm_backend == "banded_residual":
+            layer = lambda h, wa, wb: banded_residual_sage_apply(
+                h, wa, wb, None, bf, use_pallas, 0.0)
+        else:
+            layer = lambda h, wa, wb: banded_sage_apply(
+                h, wa, wb, None, bf, br, use_pallas, 0.0)
         if remat:
             layer = jax.checkpoint(layer)
         h = layer(h, p["w0a"], p["w0b"])
@@ -369,7 +426,9 @@ def main():
         return jnp.sum(h.astype(jnp.float32))
 
     def loss_pallas(params, x, bf, br):
-        if spmm_backend == "banded":
+        if spmm_backend == "banded_residual":
+            agg = lambda h: spmm_banded_residual_apply(h, bf, use_pallas)
+        elif spmm_backend == "banded":
             agg = lambda h: spmm_banded_apply(h, bf, br, use_pallas)
         elif spmm_backend == "hybrid":
             agg = lambda h: spmm_hybrid_apply(h, bf, use_pallas)
@@ -419,9 +478,11 @@ def main():
         "vs_baseline": None if skip_xla else round(t_xla / t_pallas, 3),
         "backend": backend,
         "spmm": spmm_backend + ("+fused" if fused else ""),
-        "dense_dtype": dense_dtype if spmm_backend in ("dense", "hybrid", "banded") else None,
+        "dense_dtype": dense_dtype
+        if spmm_backend in ("dense", "hybrid", "banded", "banded_residual") else None,
         "dense_frac": round(dense_frac, 4) if spmm_backend == "hybrid" else None,
         "dtype": dt.name,
+        "graph": graph_mode,
         "reordered": reordered or None,
         "nodes": n,
         "edges": e,

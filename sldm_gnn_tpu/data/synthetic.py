@@ -135,6 +135,84 @@ def make_dataset_tree(
     return root
 
 
+def make_city_lane_map(
+    n_segments: int,
+    *,
+    lanes_per_dir: int = 2,
+    seg_len: float = 5.0,
+    lane_width: float = 3.5,
+    road_spacing: float = 250.0,
+    seed: int = 0,
+):
+    """Synthetic grid-city lane map at benchmark scale, in FILE order.
+
+    A square grid of vertical and horizontal multi-lane roads; every lane
+    is chopped into ``seg_len``-metre segments emitted road-major (all
+    vertical roads, then all horizontal) — the emission order of the
+    reference builder (/root/reference/src/gbuilder.py:392-424 iterates
+    segments as read), NOT a spatial order. Adjacent lanes sit
+    ``lane_width`` apart so the MapBuilder's lateral rule (adjusted
+    distance < 1.0 m with the width subtraction) connects them; opposite-
+    direction lanes are offset further so only same-direction neighbors
+    link laterally. Horizontal roads cross EVERY vertical road, so their
+    forward/lateral edges are long-range in id space — the realistic
+    stress case for the reordering + banded-residual pipeline.
+
+    Returns ``(start, end, widths, allow_left, allow_right)`` float32/bool
+    arrays of ~``n_segments`` rows (rounded to whole lanes).
+    """
+    rng = np.random.default_rng(seed)
+    lanes_per_road = 2 * lanes_per_dir
+    # grid sized so total segments ≈ n_segments: g roads each way, each
+    # road length g*road_spacing → segs/road = lanes*g*spacing/seg_len;
+    # total = 2g * that → g = sqrt(n*seg_len / (2*lanes*spacing))
+    g = max(int(round((n_segments * seg_len / (2 * lanes_per_road * road_spacing)) ** 0.5)), 1)
+    length = g * road_spacing
+    per_lane = int(length / seg_len)
+
+    starts, ends, widths, al, ar = [], [], [], [], []
+
+    def emit_road(origin, axis):
+        """One road from ``origin`` along ``axis`` (0=x, 1=y) with
+        lanes_per_dir lanes each way, lane offsets across the road."""
+        t = np.arange(per_lane, dtype=np.float64) * seg_len
+        for direction in (1.0, -1.0):
+            for lane in range(lanes_per_dir):
+                # same-direction lanes adjacent; directions separated by
+                # one extra width so lateral links stay within direction
+                off = (lane + 0.75) * lane_width * (1 if direction > 0 else -1)
+                s = np.zeros((per_lane, 2))
+                e = np.zeros((per_lane, 2))
+                tt = t if direction > 0 else length - t
+                s[:, axis] = tt
+                e[:, axis] = tt + direction * seg_len
+                s[:, 1 - axis] = origin + off
+                e[:, 1 - axis] = origin + off
+                # ~1% missing segments: degree skew + band gaps
+                keep = rng.random(per_lane) > 0.01
+                starts.append(s[keep])
+                ends.append(e[keep])
+                n_k = int(keep.sum())
+                widths.append(np.full(n_k, lane_width))
+                # inner lanes allow both; outer lane only toward center
+                al.append(np.full(n_k, lane > 0 or lanes_per_dir == 1))
+                ar.append(np.full(n_k, lane < lanes_per_dir - 1))
+
+    # per-road origin jitter: crossing endpoints land within the forward
+    # rule's 2.0 m radius for a realistic fraction of intersections
+    for i in range(g):  # vertical roads (along y)
+        emit_road(origin=(i + 0.5) * road_spacing + rng.uniform(-2.5, 2.5), axis=1)
+    for i in range(g):  # horizontal roads (along x)
+        emit_road(origin=(i + 0.5) * road_spacing + rng.uniform(-2.5, 2.5), axis=0)
+
+    start = np.concatenate(starts).astype(np.float32)
+    end = np.concatenate(ends).astype(np.float32)
+    return (start, end,
+            np.concatenate(widths).astype(np.float32),
+            np.concatenate(al).astype(bool),
+            np.concatenate(ar).astype(bool))
+
+
 def make_random_graph(
     num_nodes: int, num_edges: int, feat_dim: int, *, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

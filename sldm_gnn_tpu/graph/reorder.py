@@ -217,10 +217,14 @@ def reorder_for_banding(
     for perm in candidates:
         s2, d2 = relabel_edges(src, dst, perm)
         span = source_span_tiles(s2, d2, num_nodes, tile)
-        if span <= max_span:
-            return perm
         if span < best_span:
             best_perm, best_span = perm, span
+    # ALL candidates are evaluated and the tightest span wins — on grid-
+    # city maps Hilbert clears the bound with a 3-5x wider band than RCM
+    # (curve discontinuities at road crossings), and span directly scales
+    # the banded kernel's A bytes / window traffic
+    if best_span <= max_span:
+        return best_perm
     raise ValueError(
         f"no reordering reached span<={max_span} tiles (best {best_span}); "
         "graph is not bandable — use the dense/hybrid backends")

@@ -35,6 +35,11 @@ from ..ops.spmm_banded import (
     spmm_banded_xla,
 )
 from ..ops.spmm_hybrid import HybridLayout, spmm_hybrid_apply
+from ..ops.banded_residual import (
+    BandedResidualLayout,
+    banded_residual_sage_apply,
+    spmm_banded_residual_apply,
+)
 from ..ops.sage_fused import banded_sage_apply
 from .blocks import _activation
 
@@ -92,7 +97,21 @@ class BlockedSageConv(nn.Module):
             return banded_sage_apply(
                 x, wl, wr, bl, blocked_fwd, blocked_rev, self.use_pallas, None
             )
-        if isinstance(blocked_fwd, BandedBlocks):
+        if (
+            self.fused
+            and isinstance(blocked_fwd, BandedResidualLayout)
+            and not self.int8_features
+        ):
+            # near-banded split (ops/banded_residual.py): the compact
+            # residual rides the fused kernels' extra operand
+            wl, bl = _DenseParams(self.out_dim, True, name="lin_l")(x.shape[1])
+            wr, _ = _DenseParams(self.out_dim, False, name="lin_r")(x.shape[1])
+            return banded_residual_sage_apply(
+                x, wl, wr, bl, blocked_fwd, self.use_pallas, None
+            )
+        if isinstance(blocked_fwd, BandedResidualLayout):
+            agg = spmm_banded_residual_apply(x, blocked_fwd, self.use_pallas)
+        elif isinstance(blocked_fwd, BandedBlocks):
             # banded backend (ops/spmm_banded.py): windowed x DMA shared by
             # K dst blocks — fastest on locality graphs (1.38x over the
             # compact dense tiles per aggregation on v5e)

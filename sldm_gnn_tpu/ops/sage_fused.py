@@ -46,15 +46,20 @@ from .spmm import _operand_vma
 from .spmm_banded import BandedBlocks, _window_prologue, spmm_banded_pallas, spmm_banded_xla
 
 
-def _fused_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz,
-                  has_row, has_bias, slope):
+def _fused_kernel(woff_ref, *rest, s_span, K, tile, wsz,
+                  has_row, has_bias, slope, has_resid):
     from jax.experimental import pallas as pl
 
     rest = list(rest)
+    off_ref = rest.pop(0)
+    if has_resid:
+        rest.pop(0)  # rg prefetch: consumed by the residual BlockSpec only
+    a_ref = rest.pop(0)
     rs_ref = rest.pop(0) if has_row else None
     wl_ref = rest.pop(0)
     wr_ref = rest.pop(0)
     b_ref = rest.pop(0) if has_bias else None
+    r_ref = rest.pop(0) if has_resid else None
     x_hbm, out_ref, xw, sems = rest
 
     slot = _window_prologue(woff_ref, x_hbm, xw, sems, tile, wsz)
@@ -74,6 +79,11 @@ def _fused_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz,
             )
         if has_row:
             acc = acc * rs_ref[kk * tile:(kk + 1) * tile]
+        if has_resid:
+            # compact residual aggregate (ops/banded_residual.py): the
+            # slot's rows already carry their mean weights — add after the
+            # banded half's row scaling
+            acc += r_ref[0, kk * tile:(kk + 1) * tile, :]
         # own rows: window-resident by layout construction (bo <= block id,
         # off + s_span <= wsz), offset = global block id - window base
         own = (g * K + kk) - woff_ref[g]
@@ -97,10 +107,17 @@ def banded_sage_fwd_pallas(
     negative_slope: float | None = None,
     out_dtype=None,
     interpret: bool = False,
+    resid=None,
 ):
     """One fused SAGE layer over the banded layout (forward only; use
     :func:`banded_sage_apply` for training). ``negative_slope``: None = no
-    activation, 0.0 = ReLU, else LeakyReLU."""
+    activation, 0.0 = ReLU, else LeakyReLU.
+
+    ``resid=(r_c, rg)``: compact residual aggregate ``r_c [m, K*T, H_in]``
+    (slot 0 = zeros) + per-group slot map ``rg [steps]`` — added to each
+    block's aggregate through a scalar-prefetch-indexed BlockSpec (groups
+    without residual revisit the dummy slot, so no extra DMA moves for
+    them). See ops/banded_residual.py."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -118,27 +135,38 @@ def banded_sage_fwd_pallas(
 
     has_row = blocks.row_scale is not None
     has_bias = bias is not None
-    specs = [pl.BlockSpec((K, s_span, tile, tile), lambda g, woff, off: (g, 0, 0, 0))]
+    has_resid = resid is not None
+    specs = [pl.BlockSpec((K, s_span, tile, tile), lambda g, *_: (g, 0, 0, 0))]
     args = [blocks.a]
     if has_row:
-        specs.append(pl.BlockSpec((K * tile, 1), lambda g, woff, off: (g, 0)))
+        specs.append(pl.BlockSpec((K * tile, 1), lambda g, *_: (g, 0)))
         args.append(blocks.row_scale)
     specs += [
-        pl.BlockSpec((d, h), lambda g, woff, off: (0, 0)),
-        pl.BlockSpec((d, h), lambda g, woff, off: (0, 0)),
+        pl.BlockSpec((d, h), lambda g, *_: (0, 0)),
+        pl.BlockSpec((d, h), lambda g, *_: (0, 0)),
     ]
     args += [wl, wr]
     if has_bias:
-        specs.append(pl.BlockSpec((1, h), lambda g, woff, off: (0, 0)))
+        specs.append(pl.BlockSpec((1, h), lambda g, *_: (0, 0)))
         args.append(bias.reshape(1, h))
+    prefetch = [blocks.woff, blocks.off]
+    if has_resid:
+        r_c, rg = resid
+        assert r_c.shape[1] == K * tile and r_c.shape[2] == d, r_c.shape
+        # index map reads the THIRD prefetch operand (rg): groups map to
+        # their compact slot, residual-free groups to the zeros dummy
+        specs.append(pl.BlockSpec((1, K * tile, d),
+                                  lambda g, woff, off, rg: (rg[g], 0, 0)))
+        args.append(r_c)
+        prefetch.append(rg)
     specs.append(pl.BlockSpec(memory_space=pl.ANY))  # x in HBM; windows DMA'd
     args.append(x)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # woff [steps], off [steps*K]
+        num_scalar_prefetch=len(prefetch),  # woff [steps], off [steps*K], rg?
         grid=(steps,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((K * tile, h), lambda g, woff, off: (g, 0)),
+        out_specs=pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, wsz * tile, d), x.dtype),  # double-buffered window
             pltpu.SemaphoreType.DMA((2,)),
@@ -147,7 +175,8 @@ def banded_sage_fwd_pallas(
     slope = None if negative_slope is None else float(negative_slope)
     return pl.pallas_call(
         partial(_fused_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,
-                has_row=has_row, has_bias=has_bias, slope=slope),
+                has_row=has_row, has_bias=has_bias, slope=slope,
+                has_resid=has_resid),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_pad, h), out_dtype,
@@ -161,11 +190,11 @@ def banded_sage_fwd_pallas(
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(blocks.woff, blocks.off, *args)
+    )(*prefetch, *args)
 
 
-def _bwd_kernel(woff_ref, off_ref, a_ref, wlt_ref, wrt_ref, scale_hbm, g_hbm,
-                t_ref, dx_ref, gw, sw, sems, *, s_span, K, tile, wsz, has_scale):
+def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
+                has_resid):
     """Reverse fused kernel: per destination block b,
         t[b]  = Σ_s (A_rev[b,s] ⊙ scale[off+s]) @ g[off+s]   (= Âᵀ g̃ rows)
         dx[b] = t[b] @ Wlᵀ + g[own_b] @ Wrᵀ
@@ -178,6 +207,15 @@ def _bwd_kernel(woff_ref, off_ref, a_ref, wlt_ref, wrt_ref, scale_hbm, g_hbm,
     in the kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    rest = list(rest)
+    if has_resid:
+        rest.pop(0)  # rg prefetch: consumed by the residual BlockSpec only
+    a_ref = rest.pop(0)
+    wlt_ref = rest.pop(0)
+    wrt_ref = rest.pop(0)
+    tr_ref = rest.pop(0) if has_resid else None
+    scale_hbm, g_hbm, t_ref, dx_ref, gw, sw, sems = rest
 
     g = pl.program_id(0)
     num = pl.num_programs(0)
@@ -230,6 +268,11 @@ def _bwd_kernel(woff_ref, off_ref, a_ref, wlt_ref, wrt_ref, scale_hbm, g_hbm,
                 rows.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
+        if has_resid:
+            # compact Rᵀ g̃ slot (weights already folded in): completes
+            # acc to the FULL Âᵀ g̃ before both the t write and the dx
+            # matmuls (ops/banded_residual.py)
+            acc += tr_ref[0, kk * tile:(kk + 1) * tile, :]
         t_ref[kk * tile:(kk + 1) * tile] = acc.astype(t_ref.dtype)
         own = (g * K + kk) - woff_ref[g]
         go = gw[slot, pl.ds(own * tile, tile), :]
@@ -246,13 +289,18 @@ def banded_sage_bwd_pallas(
     *,
     out_dtype=None,
     interpret: bool = False,
+    resid=None,
 ):
     """Fused backward: returns ``(t, dx)`` where ``t = Âᵀ gq`` (feeds
     dWl = xᵀt) and ``dx = t @ Wlᵀ + gq @ Wrᵀ`` — one kernel instead of a
     scale pre-pass, a reverse aggregation, and two XLA matmuls re-reading
     t and gq. ``gq`` is the activation-masked upstream gradient,
     UNSCALED; ``blocks_rev`` is the reverse layout whose ``col_scale``
-    (the forward 1/deg) streams as a window alongside gq."""
+    (the forward 1/deg) streams as a window alongside gq.
+
+    ``resid=(t_c, rg)``: compact reverse residual ``t_c [m, K*T, H]``
+    (Rᵀ g̃ rows, slot 0 = zeros) + per-group slot map — added into the
+    aggregate before the in-kernel dx matmuls (ops/banded_residual.py)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -268,24 +316,41 @@ def banded_sage_bwd_pallas(
     steps = nb // K
     out_dtype = gq.dtype if out_dtype is None else out_dtype
     has_scale = blocks_rev.col_scale is not None
+    has_resid = resid is not None
     # [N, 1] → [nb, T]: one lane-aligned row per source block, DMA-able
     # as [wsz, T] windows (a [rows, 1] slice violates Mosaic lane tiling)
     scale = (blocks_rev.col_scale.reshape(nb, tile) if has_scale
              else jnp.ones((1, tile), jnp.float32))  # placeholder operand
 
+    specs = [
+        pl.BlockSpec((K, s_span, tile, tile), lambda g, *_: (g, 0, 0, 0)),
+        pl.BlockSpec((h, d), lambda g, *_: (0, 0)),  # Wlᵀ
+        pl.BlockSpec((h, d), lambda g, *_: (0, 0)),  # Wrᵀ
+    ]
+    # the kernel consumes W transposes: pass [H, D] views (host-side
+    # transpose of a [D, H] param — 64 KB, negligible)
+    args = [blocks_rev.a, wl.T, wr.T]
+    prefetch = [blocks_rev.woff, blocks_rev.off]
+    if has_resid:
+        t_c, rg = resid
+        assert t_c.shape[1] == K * tile and t_c.shape[2] == h, t_c.shape
+        specs.append(pl.BlockSpec((1, K * tile, h),
+                                  lambda g, woff, off, rg: (rg[g], 0, 0)))
+        args.append(t_c)
+        prefetch.append(rg)
+    specs += [
+        pl.BlockSpec(memory_space=pl.ANY),  # scale in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # gq in HBM
+    ]
+    args += [scale, gq]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # woff, off
+        num_scalar_prefetch=len(prefetch),  # woff, off, rg?
         grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((K, s_span, tile, tile), lambda g, woff, off: (g, 0, 0, 0)),
-            pl.BlockSpec((h, d), lambda g, woff, off: (0, 0)),  # Wlᵀ
-            pl.BlockSpec((h, d), lambda g, woff, off: (0, 0)),  # Wrᵀ
-            pl.BlockSpec(memory_space=pl.ANY),  # scale in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # gq in HBM
-        ],
+        in_specs=specs,
         out_specs=(
-            pl.BlockSpec((K * tile, h), lambda g, woff, off: (g, 0)),
-            pl.BlockSpec((K * tile, d), lambda g, woff, off: (g, 0)),
+            pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0)),
+            pl.BlockSpec((K * tile, d), lambda g, *_: (g, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, wsz * tile, h), gq.dtype),
@@ -293,13 +358,9 @@ def banded_sage_bwd_pallas(
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    # the kernel consumes W transposes: pass [H, D] views (host-side
-    # transpose of a [D, H] param — 64 KB, negligible)
-    wlt = wl.T
-    wrt = wr.T
     t, dx = pl.pallas_call(
         partial(_bwd_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,
-                has_scale=has_scale),
+                has_scale=has_scale, has_resid=has_resid),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, h), out_dtype,
@@ -316,7 +377,7 @@ def banded_sage_bwd_pallas(
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(blocks_rev.woff, blocks_rev.off, blocks_rev.a, wlt, wrt, scale, gq)
+    )(*prefetch, *args)
     return t, dx
 
 

@@ -303,12 +303,23 @@ def prepare_auto_mean_aggregate(
                         itemsize=1) <= a_budget_bytes:
         try:
             # banded first: windowed x streaming, 1.38x over compact dense
-            # on locality graphs; raises when the graph is not banded
+            # on locality graphs. The residual builder picks the TIGHTEST
+            # span whose overflow stays under its threshold (a handful of
+            # outlier blocks must not dictate every block's A bytes /
+            # window size — ops/banded_residual.py); when the overflow is
+            # empty the plain banded layout is the same kernel without the
+            # residual bookkeeping. Raises when the graph is not (near-)
+            # banded under this node order.
+            from .banded_residual import prepare_banded_residual_mean_aggregate
             from .spmm_banded import prepare_banded_mean_aggregate
 
-            return prepare_banded_mean_aggregate(
-                src, dst, num_nodes, tile=tile, k=max(dense_k, 4),
-                dtype=np.int8)
+            layout, n_pad = prepare_banded_residual_mean_aggregate(
+                src, dst, num_nodes, tile=tile, k=max(dense_k, 4))
+            if len(layout.r_src) == 0:
+                return prepare_banded_mean_aggregate(
+                    src, dst, num_nodes, tile=tile, k=max(dense_k, 4),
+                    dtype=np.int8)
+            return layout, None, n_pad
         except ValueError:
             pass
         try:
