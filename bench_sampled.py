@@ -1,0 +1,110 @@
+"""Config-3 benchmark: neighbor-sampled mini-batch training throughput.
+
+One chip, fanout [25,10] (BASELINE.json configs[2]) on the headline-class
+locality graph: seed batches → host numpy fanout sampling (the PyG
+NeighborLoader replacement, data/sampler.py) → jitted SampledSage train
+step, with sampling overlapped via the prefetch thread
+(train/sampled_loop.py). Reports BOTH the raw host sampling rate (the
+2-CPU budget check) and the overlapped steady-state training rate.
+
+Prints exactly ONE JSON line:
+  {"metric": "seeds/s (sampled mini-batch train, fanout [25,10])", ...}
+
+Env knobs: BENCH_NODES, BENCH_DEG, BENCH_DIM, BENCH_BATCH, BENCH_FANOUTS
+(comma list), BENCH_STEPS, BENCH_HIDDEN.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bench import make_local_graph
+from sldm_gnn_tpu.data.prefetch import Prefetcher
+from sldm_gnn_tpu.data.sampler import NeighborSampler
+from sldm_gnn_tpu.models.sampled_sage import SampledSage
+from sldm_gnn_tpu.train.loop import make_optimizer
+from sldm_gnn_tpu.train.sampled_loop import make_sampled_step_fns, sampled_batches
+
+
+def main():
+    n = int(os.environ.get("BENCH_NODES", 200_000))
+    deg = int(os.environ.get("BENCH_DEG", 16))
+    d = int(os.environ.get("BENCH_DIM", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    fanouts = tuple(int(f) for f in os.environ.get("BENCH_FANOUTS", "25,10").split(","))
+    steps = int(os.environ.get("BENCH_STEPS", 50))
+    hidden = int(os.environ.get("BENCH_HIDDEN", 128))
+
+    src, dst = make_local_graph(n, deg)
+    labels = np.random.default_rng(3).integers(0, 16, n)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+
+    sampler = NeighborSampler(src, dst, n)
+
+    # ---- raw host sampling rate (no device work): the 2-CPU budget check
+    seeds = rng.permutation(n)[: batch * 8]
+    t0 = time.perf_counter()
+    for s in range(0, len(seeds), batch):
+        sampler.sample(seeds[s:s + batch], fanouts, rng=rng)
+    t_sample = (time.perf_counter() - t0) / (len(seeds) / batch)
+    host_seeds_s = batch / t_sample
+
+    # ---- overlapped training steady state
+    model = SampledSage(hidden_dims=(hidden,) * len(fanouts), out_dim=16)
+    train_step, _eval, init = make_sampled_step_fns(
+        model, make_optimizer(1e-3, 5e-5), fanouts)
+    probe = sampler.sample(seeds[:batch], fanouts, rng=rng)
+    levels0 = tuple(jnp.asarray(l) for l in probe.levels)
+    masks0 = tuple(jnp.asarray(m) for m in probe.masks)
+    state = init(jax.random.PRNGKey(0), x, levels0, masks0)
+    key = jax.random.PRNGKey(1)
+
+    def run(n_steps):
+        nonlocal state, key
+        it = Prefetcher(
+            sampled_batches(sampler, np.arange(n), batch, fanouts, labels,
+                            rng=rng), depth=4)
+        edges = 0
+        done = 0
+        loss = None
+        for levels, masks, y, _ in it:
+            key, sub = jax.random.split(key)
+            state, loss = train_step(state, x, levels, masks, y, sub)
+            edges += sum(int(m.sum()) for m in probe.masks[1:])
+            done += 1
+            if done >= n_steps:
+                break
+        float(loss)  # value fetch closes the timing window
+        return edges
+
+    run(3)  # compile + warm
+    t0 = time.perf_counter()
+    edges = run(steps)
+    dt = time.perf_counter() - t0
+    seeds_s = steps * batch / dt
+    print(json.dumps({
+        "metric": "seeds/s (sampled mini-batch train, fanout "
+                  f"{list(fanouts)})",
+        "value": round(seeds_s, 1),
+        "unit": "seeds/s",
+        "vs_baseline": None,
+        "backend": jax.default_backend(),
+        "sampled_edges_per_s": round(edges / dt, 1),
+        "host_sampling_seeds_per_s": round(host_seeds_s, 1),
+        "overlap_efficiency": round(seeds_s / host_seeds_s, 3),
+        "nodes": n, "deg": deg, "feat_dim": d, "batch": batch,
+        "hidden": hidden, "steps": steps,
+        "step_ms": round(dt / steps * 1e3, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.knn import knn_topk
+from ..ops.knn import knn_topk, knn_topk_sharded
 from .blocks import SageBlock
 
 
@@ -98,16 +98,29 @@ class MapEncoder(nn.Module):
 
 
 class MapSpatialAttention(nn.Module):
-    """Distance-based attention over the K nearest map segments per vehicle."""
+    """Distance-based attention over the K nearest map segments per vehicle.
+
+    ``segment_axis``: when set (under shard_map), ``centroids`` and
+    ``map_embeddings`` are the device's CONTIGUOUS segment shard and the
+    KNN runs as local-top-k + k-way merge (ops/knn.knn_topk_sharded) —
+    the full [V, S] distance matrix and the [S, D] embedding table are
+    never replicated; results match the dense call bit-for-bit. For maps
+    that do not fit one device (SURVEY.md §7 hard part 5)."""
 
     k_neighbors: int = 5
+    segment_axis: str | None = None
 
     @nn.compact
     def __call__(self, vehicle_positions, centroids, map_embeddings):
-        # [V, K] distances + indices of nearest segments
-        k_dists, idx = knn_topk(vehicle_positions, centroids, self.k_neighbors)
-        # gather the K map embeddings per vehicle: [V, K, D]
-        gathered = map_embeddings[idx]
+        if self.segment_axis is not None:
+            k_dists, idx, (gathered,) = knn_topk_sharded(
+                vehicle_positions, centroids, self.k_neighbors,
+                self.segment_axis, map_embeddings)
+        else:
+            # [V, K] distances + indices of nearest segments
+            k_dists, idx = knn_topk(vehicle_positions, centroids, self.k_neighbors)
+            # gather the K map embeddings per vehicle: [V, K, D]
+            gathered = map_embeddings[idx]
         # learned distance -> score MLP (Linear(1,16) -> ReLU -> Linear(16,1))
         h = nn.Dense(16, name="attn_fc0")(k_dists[..., None])
         h = nn.relu(h)

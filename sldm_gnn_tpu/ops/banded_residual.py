@@ -65,15 +65,19 @@ class BandedResidualLayout:
 
     banded_fwd: BandedBlocks
     banded_rev: BandedBlocks
-    r_src: jax.Array
-    r_dst: jax.Array
-    r_row_fwd: jax.Array
-    r_row_rev: jax.Array
-    r_w: jax.Array
+    # forward-order arrays (sorted by r_row_fwd) and reverse-order arrays
+    # (sorted by r_row_rev): each direction's segment_sum then runs with
+    # indices_are_sorted=True — XLA TPU compiles UNSORTED row scatters
+    # pathologically slowly (measured 250+ s for a 376-row scatter at the
+    # 50k-node probe vs seconds sorted)
+    r_src: jax.Array      # [Er] gather rows of x (fwd order)
+    r_row_fwd: jax.Array  # [Er] sorted compact rows
+    r_w: jax.Array        # [Er] mean weights (fwd order)
+    r_dst: jax.Array      # [Er] gather rows of g (rev order)
+    r_row_rev: jax.Array  # [Er] sorted compact rows
+    r_w_rev: jax.Array    # [Er] mean weights (rev order)
     rg_fwd: jax.Array
     rg_rev: jax.Array
-    slot_group_fwd: jax.Array
-    slot_group_rev: jax.Array
     n_pad: int = field(metadata=dict(static=True))
     m_fwd: int = field(metadata=dict(static=True))
     m_rev: int = field(metadata=dict(static=True))
@@ -122,15 +126,16 @@ def _residual_maps(nodes_r: np.ndarray, k: int, tile: int, steps: int):
     """Compact slot assignment for residual rows on one direction's grid.
 
     ``nodes_r``: destination node id (in THAT direction) per residual edge.
-    Returns (rows [Er], rg [steps], slot_group [m], m)."""
+    Returns (rows [Er], rg [steps], order [Er], m) where ``order`` sorts
+    the edges by compact row (ascending) for sorted segment sums."""
     kt = k * tile
     grp = nodes_r // kt
     uniq = np.unique(grp)
     rg = np.zeros(steps, np.int32)
     rg[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
     rows = rg[grp].astype(np.int64) * kt + (nodes_r - grp * kt)
-    slot_group = np.concatenate([[0], uniq]).astype(np.int32)
-    return rows.astype(np.int32), rg, slot_group, len(uniq) + 1
+    order = np.argsort(rows, kind="stable")
+    return rows.astype(np.int32), rg, order, len(uniq) + 1
 
 
 def split_banded_residual(
@@ -170,11 +175,16 @@ def prepare_banded_residual_mean_aggregate(
     """Build the span-bounded banded + compact-residual split for mean
     aggregation (int8 count tiles, FULL-degree scales).
 
-    ``span=None`` picks the smallest candidate span (edge-weighted
-    percentiles of the per-block span distribution) whose residual edge
-    fraction stays under ``resid_frac``; raises ValueError when even
-    ``max_span`` leaves more than ``4 * resid_frac`` of edges outside the
-    band (the graph is not near-banded — use the dense/hybrid backends)."""
+    ``span=None`` picks the candidate span (edge-weighted percentiles of
+    the per-block span distribution, plus max_span) minimizing a traffic
+    model: banded A bytes (∝ nb·span, both directions) + residual-group
+    slot traffic (∝ affected groups × K·T·feat_dim_hint — the segment_sum
+    write plus the kernel's gated DMA read, see the fused kernels) — NOT
+    simply the tightest span: a tighter band with outliers scattered over
+    many groups can cost more than one extra A slot per block. Raises
+    ValueError when even ``max_span`` leaves more than ``4 * resid_frac``
+    of edges outside the band (the graph is not near-banded — use the
+    dense/hybrid backends)."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     check_edge_range(src, dst, num_nodes)
@@ -183,6 +193,7 @@ def prepare_banded_residual_mean_aggregate(
     n_pad = nb * tile
     steps = nb // k
     e = max(len(src), 1)
+    feat_dim_hint = 128  # nominal D for the traffic model (relative choice)
 
     if span is None:
         db = dst // tile
@@ -194,16 +205,23 @@ def prepare_banded_residual_mean_aggregate(
         per_edge_span = (hi - bo + 1)[db] if len(src) else np.array([1])
         cands = sorted(
             {int(np.percentile(per_edge_span, q)) for q in (50, 75, 90, 99)}
+            | {max_span}
         )
-        cands = [c for c in cands if c <= max_span] or [max_span]
-        if cands[-1] < max_span:
-            cands.append(max_span)
+        cands = [c for c in cands if c <= max_span]
+        best_cost = np.inf
         span = cands[-1]
+        kt = k * tile
         for c in cands:
-            keep = split_banded_residual(src, dst, nb, tile=tile, span=c)
-            if (len(src) - keep.sum()) / e <= resid_frac:
-                span = c
-                break
+            keep_c = split_banded_residual(src, dst, nb, tile=tile, span=c)
+            er = len(src) - int(keep_c.sum())
+            if er / e > 4 * resid_frac:
+                continue
+            rs, rd = src[~keep_c], dst[~keep_c]
+            m = len(np.unique(rd // kt)) + len(np.unique(rs // kt))
+            cost = (2 * nb * c * tile * tile  # int8 A, both directions
+                    + 2 * m * kt * feat_dim_hint * 2)  # slot write+read, bf16
+            if cost < best_cost:
+                best_cost, span = cost, c
 
     keep = split_banded_residual(src, dst, nb, tile=tile, span=span)
     frac = float((len(src) - keep.sum()) / e)
@@ -229,15 +247,15 @@ def prepare_banded_residual_mean_aggregate(
     r_src = src[~keep]
     r_dst = dst[~keep]
     r_w = (1.0 / np.maximum(deg, 1))[r_dst].astype(np.float32)
-    row_f, rg_f, sg_f, m_f = _residual_maps(r_dst, k, tile, steps)
-    row_r, rg_r, sg_r, m_r = _residual_maps(r_src, k, tile, steps)
+    row_f, rg_f, of, m_f = _residual_maps(r_dst, k, tile, steps)
+    row_r, rg_r, orv, m_r = _residual_maps(r_src, k, tile, steps)
 
     layout = BandedResidualLayout(
         banded_fwd=fwd, banded_rev=rev,
-        r_src=r_src.astype(np.int32), r_dst=r_dst.astype(np.int32),
-        r_row_fwd=row_f, r_row_rev=row_r, r_w=r_w,
+        r_src=r_src[of].astype(np.int32), r_row_fwd=row_f[of], r_w=r_w[of],
+        r_dst=r_dst[orv].astype(np.int32), r_row_rev=row_r[orv],
+        r_w_rev=r_w[orv],
         rg_fwd=rg_f, rg_rev=rg_r,
-        slot_group_fwd=sg_f, slot_group_rev=sg_r,
         n_pad=n_pad, m_fwd=m_f, m_rev=m_r, resid_frac=frac,
     )
     return layout, n_pad
@@ -248,41 +266,62 @@ def prepare_banded_residual_mean_aggregate(
 
 def residual_fwd_compact(x: jax.Array, layout: BandedResidualLayout) -> jax.Array:
     """Compact forward residual aggregate: [m_fwd, K*T, D] f32 (slot 0 =
-    zeros). A gather + segment_sum over the few overflow edges."""
+    zeros). A gather + SORTED segment_sum over the few overflow edges."""
     kt = layout.group_rows
     msgs = x[layout.r_src].astype(jnp.float32) * layout.r_w[:, None]
     r = jax.ops.segment_sum(msgs, layout.r_row_fwd,
-                            num_segments=layout.m_fwd * kt)
+                            num_segments=layout.m_fwd * kt,
+                            indices_are_sorted=True)
     return r.reshape(layout.m_fwd, kt, x.shape[1])
 
 
 def residual_rev_compact(g: jax.Array, layout: BandedResidualLayout) -> jax.Array:
     """Compact reverse residual (Rᵀ g rows): [m_rev, K*T, H] f32."""
     kt = layout.group_rows
-    msgs = g[layout.r_dst].astype(jnp.float32) * layout.r_w[:, None]
+    msgs = g[layout.r_dst].astype(jnp.float32) * layout.r_w_rev[:, None]
     r = jax.ops.segment_sum(msgs, layout.r_row_rev,
-                            num_segments=layout.m_rev * kt)
+                            num_segments=layout.m_rev * kt,
+                            indices_are_sorted=True)
     return r.reshape(layout.m_rev, kt, g.shape[1])
 
 
-def _expand_compact(out: jax.Array, r: jax.Array, slot_group: jax.Array,
-                    kt: int) -> jax.Array:
-    """Scatter-add compact residual slots into the full [n_pad, D] output
-    (slot 0 is zeros, so its scatter into group 0 is a no-op add)."""
+def _expand_compact(out: jax.Array, r: jax.Array, rg: jax.Array) -> jax.Array:
+    """Add each group's compact residual slot to the full output — a
+    GATHER by the group→slot map (residual-free groups read the zeros
+    dummy), never a scatter (XLA TPU compiles unsorted scatters slowly)."""
     n_pad, d = out.shape
-    o3 = out.reshape(n_pad // kt, kt, d)
-    o3 = o3.at[slot_group].add(r.astype(out.dtype))
-    return o3.reshape(n_pad, d)
+    return out + r[rg].reshape(n_pad, d).astype(out.dtype)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def spmm_banded_residual_apply(x: jax.Array, layout: BandedResidualLayout,
                                use_pallas: bool) -> jax.Array:
-    """Mean aggregation = banded part + expanded residual. Both terms are
-    linear and differentiable (the banded half through its custom VJP, the
-    residual through XLA gather/scatter AD) — no extra VJP machinery."""
+    """Mean aggregation = banded part + expanded residual. Custom VJP: the
+    transpose runs the REVERSE banded layout plus the rev-sorted residual
+    maps — both directions are forward-style gather/segment_sum programs,
+    so no gather is ever AD-transposed into an unsorted scatter."""
+    return _resid_agg_fwd_impl(x, layout, use_pallas)
+
+
+def _resid_agg_fwd_impl(x, layout, use_pallas):
     out = spmm_banded_apply(x, layout.banded_fwd, layout.banded_rev, use_pallas)
     r = residual_fwd_compact(x, layout)
-    return _expand_compact(out, r, layout.slot_group_fwd, layout.group_rows)
+    return _expand_compact(out, r, layout.rg_fwd)
+
+
+def _resid_agg_vjp_fwd(x, layout, use_pallas):
+    return _resid_agg_fwd_impl(x, layout, use_pallas), (layout,)
+
+
+def _resid_agg_vjp_bwd(use_pallas, res, g):
+    (layout,) = res
+    # Âᵀ g = banded transpose + reverse residual (both forward-style)
+    t = spmm_banded_apply(g, layout.banded_rev, layout.banded_fwd, use_pallas)
+    t = _expand_compact(t, residual_rev_compact(g, layout), layout.rg_rev)
+    return t, None
+
+
+spmm_banded_residual_apply.defvjp(_resid_agg_vjp_fwd, _resid_agg_vjp_bwd)
 
 
 # ----------------------------------------------------- fused layer (VJP)
@@ -293,12 +332,14 @@ def _fused_fwd_impl(x, wl, wr, bias, layout, use_pallas, slope, interpret):
 
     r = residual_fwd_compact(x, layout)
     if use_pallas:
+        # slots stream at the activation dtype (the kernel's MXU operands
+        # round to bf16 anyway; halves the gated-DMA bytes)
         return banded_sage_fwd_pallas(
             x, wl, wr, bias, layout.banded_fwd,
-            resid=(r, layout.rg_fwd),
+            resid=(r.astype(x.dtype), layout.rg_fwd),
             negative_slope=slope, interpret=interpret)
     agg = spmm_banded_xla(x, layout.banded_fwd)
-    agg = _expand_compact(agg, r, layout.slot_group_fwd, layout.group_rows)
+    agg = _expand_compact(agg, r, layout.rg_fwd)
     y = agg @ wl + x @ wr
     if bias is not None:
         y = y + bias
@@ -339,12 +380,12 @@ def _vjp_bwd(use_pallas, negative_slope, interpret, res, g):
         # injected into t before the in-kernel dx matmuls, so both t (for
         # dWl) and dx carry the full Âᵀ g̃
         t, dx = banded_sage_bwd_pallas(gq, wl, wr, layout.banded_rev,
-                                       resid=(t_r, layout.rg_rev),
+                                       resid=(t_r.astype(gq.dtype), layout.rg_rev),
                                        interpret=interpret)
         dx = dx.astype(x.dtype)
     else:
         t = spmm_banded_xla(gq, layout.banded_rev)
-        t = _expand_compact(t, t_r, layout.slot_group_rev, layout.group_rows)
+        t = _expand_compact(t, t_r, layout.rg_rev)
         dx = (
             jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
             + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)

@@ -49,22 +49,36 @@ from .spmm_banded import BandedBlocks, _window_prologue, spmm_banded_pallas, spm
 def _fused_kernel(woff_ref, *rest, s_span, K, tile, wsz,
                   has_row, has_bias, slope, has_resid):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     rest = list(rest)
     off_ref = rest.pop(0)
-    if has_resid:
-        rest.pop(0)  # rg prefetch: consumed by the residual BlockSpec only
+    rg_ref = rest.pop(0) if has_resid else None
     a_ref = rest.pop(0)
     rs_ref = rest.pop(0) if has_row else None
     wl_ref = rest.pop(0)
     wr_ref = rest.pop(0)
     b_ref = rest.pop(0) if has_bias else None
-    r_ref = rest.pop(0) if has_resid else None
-    x_hbm, out_ref, xw, sems = rest
+    r_hbm = rest.pop(0) if has_resid else None
+    x_hbm, out_ref, xw, sems = rest[:4]
+    if has_resid:
+        rw, rsem = rest[4], rest[5]
 
     slot = _window_prologue(woff_ref, x_hbm, xw, sems, tile, wsz)
     g = pl.program_id(0)
     d = wl_ref.shape[0]
+    if has_resid:
+        # compact residual aggregate (ops/banded_residual.py): only the few
+        # grid groups with overflow edges fetch their slot — a gated manual
+        # DMA, NOT a BlockSpec operand (slot/dummy alternation would defeat
+        # Pallas's revisit skipping and re-stream ~K*T*D on every step)
+        rgv = rg_ref[g]
+
+        @pl.when(rgv > 0)
+        def _():
+            cp = pltpu.make_async_copy(r_hbm.at[rgv], rw.at[0], rsem)
+            cp.start()
+            cp.wait()
     wl = wl_ref[:].astype(jnp.bfloat16)
     wr = wr_ref[:].astype(jnp.bfloat16)
     for kk in range(K):
@@ -80,10 +94,11 @@ def _fused_kernel(woff_ref, *rest, s_span, K, tile, wsz,
         if has_row:
             acc = acc * rs_ref[kk * tile:(kk + 1) * tile]
         if has_resid:
-            # compact residual aggregate (ops/banded_residual.py): the
-            # slot's rows already carry their mean weights — add after the
-            # banded half's row scaling
-            acc += r_ref[0, kk * tile:(kk + 1) * tile, :]
+            # rows already carry their mean weights — add after the banded
+            # half's row scaling; residual-free groups read stale scratch,
+            # masked by the where (NaN-safe: select, not multiply)
+            r_tile = rw[0, kk * tile:(kk + 1) * tile, :].astype(jnp.float32)
+            acc += jnp.where(rgv > 0, r_tile, 0.0)
         # own rows: window-resident by layout construction (bo <= block id,
         # off + s_span <= wsz), offset = global block id - window base
         own = (g * K + kk) - woff_ref[g]
@@ -150,15 +165,20 @@ def banded_sage_fwd_pallas(
         specs.append(pl.BlockSpec((1, h), lambda g, *_: (0, 0)))
         args.append(bias.reshape(1, h))
     prefetch = [blocks.woff, blocks.off]
+    scratch = [
+        pltpu.VMEM((2, wsz * tile, d), x.dtype),  # double-buffered window
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     if has_resid:
         r_c, rg = resid
         assert r_c.shape[1] == K * tile and r_c.shape[2] == d, r_c.shape
-        # index map reads the THIRD prefetch operand (rg): groups map to
-        # their compact slot, residual-free groups to the zeros dummy
-        specs.append(pl.BlockSpec((1, K * tile, d),
-                                  lambda g, woff, off, rg: (rg[g], 0, 0)))
+        # rg rides the scalar prefetch (gates the in-kernel DMA); r_c stays
+        # in HBM and only affected groups fetch their slot
+        specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(r_c)
         prefetch.append(rg)
+        scratch += [pltpu.VMEM((1, K * tile, d), r_c.dtype),
+                    pltpu.SemaphoreType.DMA(())]
     specs.append(pl.BlockSpec(memory_space=pl.ANY))  # x in HBM; windows DMA'd
     args.append(x)
 
@@ -167,10 +187,7 @@ def banded_sage_fwd_pallas(
         grid=(steps,),
         in_specs=specs,
         out_specs=pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, wsz * tile, d), x.dtype),  # double-buffered window
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     slope = None if negative_slope is None else float(negative_slope)
     return pl.pallas_call(
@@ -209,13 +226,14 @@ def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
     from jax.experimental.pallas import tpu as pltpu
 
     rest = list(rest)
-    if has_resid:
-        rest.pop(0)  # rg prefetch: consumed by the residual BlockSpec only
+    rg_ref = rest.pop(0) if has_resid else None
     a_ref = rest.pop(0)
     wlt_ref = rest.pop(0)
     wrt_ref = rest.pop(0)
-    tr_ref = rest.pop(0) if has_resid else None
-    scale_hbm, g_hbm, t_ref, dx_ref, gw, sw, sems = rest
+    tr_hbm = rest.pop(0) if has_resid else None
+    scale_hbm, g_hbm, t_ref, dx_ref, gw, sw, sems = rest[:7]
+    if has_resid:
+        rw, rsem = rest[7], rest[8]
 
     g = pl.program_id(0)
     num = pl.num_programs(0)
@@ -249,6 +267,16 @@ def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
     window_dma(slot, g).wait()
     if has_scale:
         scale_dma(slot, g).wait()
+    if has_resid:
+        # gated manual fetch of the group's compact Rᵀg̃ slot (see the
+        # forward kernel's rationale)
+        rgv = rg_ref[g]
+
+        @pl.when(rgv > 0)
+        def _():
+            cp = pltpu.make_async_copy(tr_hbm.at[rgv], rw.at[0], rsem)
+            cp.start()
+            cp.wait()
 
     wlt = wlt_ref[:].astype(jnp.bfloat16)
     wrt = wrt_ref[:].astype(jnp.bfloat16)
@@ -271,8 +299,9 @@ def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
         if has_resid:
             # compact Rᵀ g̃ slot (weights already folded in): completes
             # acc to the FULL Âᵀ g̃ before both the t write and the dx
-            # matmuls (ops/banded_residual.py)
-            acc += tr_ref[0, kk * tile:(kk + 1) * tile, :]
+            # matmuls (ops/banded_residual.py); stale scratch is masked
+            r_tile = rw[0, kk * tile:(kk + 1) * tile, :].astype(jnp.float32)
+            acc += jnp.where(rgv > 0, r_tile, 0.0)
         t_ref[kk * tile:(kk + 1) * tile] = acc.astype(t_ref.dtype)
         own = (g * K + kk) - woff_ref[g]
         go = gw[slot, pl.ds(own * tile, tile), :]
@@ -331,13 +360,19 @@ def banded_sage_bwd_pallas(
     # transpose of a [D, H] param — 64 KB, negligible)
     args = [blocks_rev.a, wl.T, wr.T]
     prefetch = [blocks_rev.woff, blocks_rev.off]
+    scratch = [
+        pltpu.VMEM((2, wsz * tile, h), gq.dtype),
+        pltpu.VMEM((2, wsz, tile), jnp.float32),
+        pltpu.SemaphoreType.DMA((4,)),
+    ]
     if has_resid:
         t_c, rg = resid
         assert t_c.shape[1] == K * tile and t_c.shape[2] == h, t_c.shape
-        specs.append(pl.BlockSpec((1, K * tile, h),
-                                  lambda g, woff, off, rg: (rg[g], 0, 0)))
+        specs.append(pl.BlockSpec(memory_space=pl.ANY))  # gated manual DMA
         args.append(t_c)
         prefetch.append(rg)
+        scratch += [pltpu.VMEM((1, K * tile, h), t_c.dtype),
+                    pltpu.SemaphoreType.DMA(())]
     specs += [
         pl.BlockSpec(memory_space=pl.ANY),  # scale in HBM
         pl.BlockSpec(memory_space=pl.ANY),  # gq in HBM
@@ -352,11 +387,7 @@ def banded_sage_bwd_pallas(
             pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0)),
             pl.BlockSpec((K * tile, d), lambda g, *_: (g, 0)),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, wsz * tile, h), gq.dtype),
-            pltpu.VMEM((2, wsz, tile), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        scratch_shapes=scratch,
     )
     t, dx = pl.pallas_call(
         partial(_bwd_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,

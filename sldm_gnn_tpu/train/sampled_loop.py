@@ -1,0 +1,203 @@
+"""Neighbor-sampled mini-batch training driver (BASELINE config 3).
+
+The PyG-NeighborLoader replacement, end to end: seed batches
+(data/sampler.iterate_seed_batches) → host fanout sampling
+(data/sampler.NeighborSampler, numpy) → jitted train step on
+models/sampled_sage.SampledSage — with host sampling running in a
+prefetch thread (data/prefetch.Prefetcher) so it overlaps device compute,
+the TPU answer to the reference's torch_geometric NeighborLoader native
+sampler (/root/reference/install_dependencies.sh:10, SURVEY.md §2.3).
+
+TPU-first shape discipline: every batch has identical static shapes
+(fixed batch size incl. the wrap-around tail, fixed fanout tree with
+validity masks), so the step compiles ONCE. Node features stay
+device-resident [N, D]; the step gathers each level's rows on device —
+the host moves only the int32 id tree (~B·(1+f1+f1·f2) ids per batch),
+not features.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from ..data.prefetch import Prefetcher
+from ..data.sampler import NeighborSampler, SampledBatch, iterate_seed_batches
+from ..models.sampled_sage import SampledSage
+from .loop import make_optimizer
+
+
+@dataclass
+class SampledTrainResult:
+    train_loss: np.ndarray  # [epochs]
+    val_acc: np.ndarray  # [epochs]
+    seeds_per_s: float  # steady-state training throughput (host+device)
+    sampled_edges_per_s: float  # valid sampled tree edges per second
+
+
+def _tree_arrays(batch: SampledBatch, labels: np.ndarray):
+    """Device-ready (levels, masks, seed_labels) tuple for one batch."""
+    levels = tuple(jnp.asarray(l) for l in batch.levels)
+    masks = tuple(jnp.asarray(m) for m in batch.masks)
+    y = jnp.asarray(labels[batch.levels[0]])
+    return levels, masks, y
+
+
+def make_sampled_step_fns(
+    model: SampledSage,
+    optimizer: optax.GradientTransformation,
+    fanouts: Sequence[int],
+):
+    """Jitted train/eval steps over the sampled tree. The feature matrix
+    ``x [N, D]`` is a traced argument (device-resident, donated nowhere);
+    levels/masks are the per-batch id tree."""
+    fanouts = tuple(fanouts)
+
+    def gather(x, levels):
+        return [x[l] for l in levels]
+
+    def loss_fn(params, x, levels, masks, y, rng):
+        logits = model.apply(
+            {"params": params}, gather(x, levels), masks, fanouts,
+            train=True, rngs={"dropout": rng})
+        logp = jax.nn.log_softmax(logits)
+        loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+        return loss
+
+    @jax.jit
+    def train_step(state, x, levels, masks, y, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, x, levels, masks, y, rng)
+        return state.apply_gradients(grads=grads), loss
+
+    @jax.jit
+    def eval_step(params, x, levels, masks, y):
+        """Per-seed hit vector (callers slice off wrap padding)."""
+        logits = model.apply({"params": params}, gather(x, levels), masks, fanouts)
+        return jnp.argmax(logits, axis=1) == y
+
+    def init(rng, x, levels, masks):
+        params = model.init(rng, gather(x, levels), masks, fanouts)["params"]
+        return train_state.TrainState.create(
+            apply_fn=model.apply, params=params, tx=optimizer)
+
+    return train_step, eval_step, init
+
+
+def sampled_batches(
+    sampler: NeighborSampler,
+    seeds_order: np.ndarray,
+    batch_size: int,
+    fanouts: Sequence[int],
+    labels: np.ndarray,
+    *,
+    rng: np.random.Generator,
+    shuffle: bool = True,
+    mode: str = "uniform",
+):
+    """Generator of device-ready sampled batches over ``seeds_order``
+    (wrap-padded to keep shapes static) — the Prefetcher's producer."""
+    n = len(seeds_order)
+    order = rng.permutation(seeds_order) if shuffle else seeds_order
+    for s in range(0, n, batch_size):
+        chunk = order[s:s + batch_size]
+        n_real = len(chunk)
+        if n_real < batch_size:  # wrap-pad: shapes stay static
+            chunk = np.concatenate([chunk, np.resize(order, batch_size - n_real)])
+        batch = sampler.sample(chunk, tuple(fanouts), rng=rng, mode=mode)
+        yield (*_tree_arrays(batch, labels), n_real)
+
+
+def train_sampled_classifier(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    x: np.ndarray | jax.Array,
+    labels: np.ndarray,
+    *,
+    hidden_dims: Sequence[int] = (96, 96),
+    num_classes: int | None = None,
+    fanouts: Sequence[int] = (25, 10),
+    batch_size: int = 1024,
+    epochs: int = 5,
+    lr: float = 1e-3,
+    weight_decay: float = 5e-5,
+    dropout: float | None = None,
+    train_seeds: np.ndarray | None = None,
+    val_seeds: np.ndarray | None = None,
+    seed: int = 0,
+    prefetch_depth: int = 2,
+) -> tuple[train_state.TrainState, SampledTrainResult]:
+    """Config-3 training loop: node classification on one large graph via
+    fanout-sampled mini-batches. ``fanouts`` is outermost-first (layer 1
+    aggregates the deepest level), matching SampledSage's tree layout."""
+    import time
+
+    labels = np.asarray(labels, np.int64)
+    num_classes = int(labels.max()) + 1 if num_classes is None else num_classes
+    if train_seeds is None:
+        split = int(num_nodes * 0.9)
+        perm = np.random.default_rng(seed).permutation(num_nodes)
+        train_seeds, val_seeds = perm[:split], perm[split:]
+    rng = np.random.default_rng(seed + 1)
+
+    sampler = NeighborSampler(src, dst, num_nodes)
+    model = SampledSage(hidden_dims=tuple(hidden_dims), out_dim=num_classes,
+                        dropout=dropout)
+    train_step, eval_step, init = make_sampled_step_fns(
+        model, make_optimizer(lr, weight_decay), fanouts)
+
+    x = jnp.asarray(x)
+    # one probe batch fixes the static shapes and initializes params
+    probe = sampler.sample(train_seeds[:batch_size] if len(train_seeds) >= batch_size
+                           else np.resize(train_seeds, batch_size),
+                           tuple(fanouts), rng=rng)
+    levels0, masks0, _ = _tree_arrays(probe, labels)
+    state = init(jax.random.PRNGKey(seed), x, levels0, masks0)
+
+    key = jax.random.PRNGKey(seed + 2)
+    tr_loss = np.zeros(epochs, np.float32)
+    val_acc = np.zeros(epochs, np.float32)
+    steps_timed = 0
+    edges_per_batch = 0
+    t_train = 0.0
+    for epoch in range(epochs):
+        losses = []
+        t0 = time.perf_counter()
+        for levels, masks, y, _ in Prefetcher(
+            sampled_batches(sampler, train_seeds, batch_size, fanouts, labels,
+                            rng=rng), prefetch_depth):
+            key, sub = jax.random.split(key)
+            state, loss = train_step(state, x, levels, masks, y, sub)
+            losses.append(loss)
+            # valid tree edges this batch (host-side mask sums are cheap
+            # relative to sampling itself)
+            edges_per_batch = sum(int(np.asarray(m).sum()) for m in masks[1:])
+            steps_timed += 1
+        jax.block_until_ready(losses[-1])
+        t_train += time.perf_counter() - t0
+        tr_loss[epoch] = float(jnp.mean(jnp.stack(losses)))
+
+        if val_seeds is not None and len(val_seeds):
+            correct = 0
+            total = 0
+            for levels, masks, y, n_real in Prefetcher(
+                sampled_batches(sampler, val_seeds, batch_size, fanouts,
+                                labels, rng=rng, shuffle=False, mode="first"),
+                prefetch_depth):
+                hits = np.asarray(eval_step(state.params, x, levels, masks, y))
+                correct += int(hits[:n_real].sum())  # drop wrap padding
+                total += n_real
+            val_acc[epoch] = correct / max(total, 1)
+
+    seeds_per_s = steps_timed * batch_size / max(t_train, 1e-9)
+    return state, SampledTrainResult(
+        train_loss=tr_loss, val_acc=val_acc, seeds_per_s=seeds_per_s,
+        sampled_edges_per_s=seeds_per_s / batch_size * edges_per_batch)
