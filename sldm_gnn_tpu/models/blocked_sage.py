@@ -38,9 +38,10 @@ from ..ops.spmm_hybrid import HybridLayout, spmm_hybrid_apply
 from ..ops.banded_residual import (
     BandedResidualLayout,
     banded_residual_sage_apply,
+    banded_residual_sage_ln_apply,
     spmm_banded_residual_apply,
 )
-from ..ops.sage_fused import banded_sage_apply
+from ..ops.sage_fused import _act, _ln_fwd_xla, banded_sage_apply, banded_sage_ln_apply
 from .blocks import _activation
 
 
@@ -65,6 +66,18 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """nn.LayerNorm's parameters (same names/shapes/initializers) without
+    its compute — the LN-fused kernel consumes them directly, so
+    checkpoints move freely between fused-LN and unfused execution."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones_init(), (features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (features,))
+        return scale, bias
+
+
 class BlockedSageConv(nn.Module):
     out_dim: int
     use_pallas: bool = True
@@ -81,27 +94,50 @@ class BlockedSageConv(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int):
+    def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int, *,
+                 ln=None, negative_slope: float | None = None):
         if self.int8_features and not isinstance(blocked_fwd, BandedBlocks):
             raise TypeError(
                 "int8_features=True requires a BandedBlocks layout (the "
                 "fully-int8 kernel); got " + type(blocked_fwd).__name__)
-        if (
-            self.fused
-            and isinstance(blocked_fwd, BandedBlocks)
+        fusable_banded = (
+            isinstance(blocked_fwd, BandedBlocks)
             and not blocked_fwd.wide
             and not self.int8_features
-        ):
+        )
+        fusable_resid = (
+            isinstance(blocked_fwd, BandedResidualLayout)
+            and not self.int8_features
+        )
+        if ln is not None:
+            # whole-sublayer fusion: act(LN(conv(x))) in one kernel pass
+            # each way (ops/sage_fused.py banded_sage_ln_apply). ``ln`` is
+            # (gamma, beta) created by the caller under its norm{i} scope;
+            # the model's None-slope means ReLU (kernel: 0.0).
+            slope_k = 0.0 if negative_slope is None else float(negative_slope)
+            wl, bl = _DenseParams(self.out_dim, True, name="lin_l")(x.shape[1])
+            wr, _ = _DenseParams(self.out_dim, False, name="lin_r")(x.shape[1])
+            gamma, beta = ln
+            if self.fused and fusable_banded:
+                return banded_sage_ln_apply(
+                    x, wl, wr, bl, gamma, beta, blocked_fwd, blocked_rev,
+                    self.use_pallas, slope_k, 1e-5)
+            if self.fused and fusable_resid:
+                return banded_residual_sage_ln_apply(
+                    x, wl, wr, bl, gamma, beta, blocked_fwd,
+                    self.use_pallas, slope_k, 1e-5)
+            # non-fusable layout: same params, plain-AD XLA math
+            agg = self._aggregate(x, blocked_fwd, blocked_rev, num_nodes)
+            y = agg @ wl + bl + x @ wr
+            z, _, _ = _ln_fwd_xla(y, gamma, beta, 1e-5)
+            return _act(z, slope_k).astype(x.dtype)
+        if self.fused and fusable_banded:
             wl, bl = _DenseParams(self.out_dim, True, name="lin_l")(x.shape[1])
             wr, _ = _DenseParams(self.out_dim, False, name="lin_r")(x.shape[1])
             return banded_sage_apply(
                 x, wl, wr, bl, blocked_fwd, blocked_rev, self.use_pallas, None
             )
-        if (
-            self.fused
-            and isinstance(blocked_fwd, BandedResidualLayout)
-            and not self.int8_features
-        ):
+        if self.fused and fusable_resid:
             # near-banded split (ops/banded_residual.py): the compact
             # residual rides the fused kernels' extra operand
             wl, bl = _DenseParams(self.out_dim, True, name="lin_l")(x.shape[1])
@@ -109,6 +145,11 @@ class BlockedSageConv(nn.Module):
             return banded_residual_sage_apply(
                 x, wl, wr, bl, blocked_fwd, self.use_pallas, None
             )
+        agg = self._aggregate(x, blocked_fwd, blocked_rev, num_nodes)
+        out = nn.Dense(self.out_dim, use_bias=True, name="lin_l")(agg)
+        return out + nn.Dense(self.out_dim, use_bias=False, name="lin_r")(x)
+
+    def _aggregate(self, x, blocked_fwd, blocked_rev, num_nodes: int):
         if isinstance(blocked_fwd, BandedResidualLayout):
             agg = spmm_banded_residual_apply(x, blocked_fwd, self.use_pallas)
         elif isinstance(blocked_fwd, BandedBlocks):
@@ -145,8 +186,7 @@ class BlockedSageConv(nn.Module):
             agg = spmm_apply(
                 x, blocked_fwd, blocked_rev, num_nodes, self.use_pallas, self.k_per_step
             )
-        out = nn.Dense(self.out_dim, use_bias=True, name="lin_l")(agg)
-        return out + nn.Dense(self.out_dim, use_bias=False, name="lin_r")(x)
+        return agg
 
 
 class BlockedSageBlock(nn.Module):
@@ -157,16 +197,27 @@ class BlockedSageBlock(nn.Module):
     k_per_step: int = 1
     int8_features: bool = False  # inference-only (see BlockedSageConv)
     fused: bool = False  # epilogue fusion (see BlockedSageConv)
+    # whole-sublayer fusion: conv + LayerNorm + activation as ONE kernel
+    # each way on banded/residual layouts (ops/sage_fused.py
+    # banded_sage_ln_apply) — the pre-activation never round-trips HBM.
+    # Params stay at conv{i}/norm{i} paths, checkpoint-compatible.
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int, *, train: bool = False):
         for i, h in enumerate(self.hidden_dims):
-            x = BlockedSageConv(
+            conv = BlockedSageConv(
                 h, use_pallas=self.use_pallas, k_per_step=self.k_per_step,
                 int8_features=self.int8_features, fused=self.fused, name=f"conv{i}"
-            )(x, blocked_fwd, blocked_rev, num_nodes)
-            x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
-            x = _activation(x, self.negative_slope)
+            )
+            if self.fused_ln and not self.int8_features:
+                gamma, beta = _LNParams(name=f"norm{i}")(h)
+                x = conv(x, blocked_fwd, blocked_rev, num_nodes,
+                         ln=(gamma, beta), negative_slope=self.negative_slope)
+            else:
+                x = conv(x, blocked_fwd, blocked_rev, num_nodes)
+                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+                x = _activation(x, self.negative_slope)
             if self.dropout is not None:
                 x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         return x
@@ -184,12 +235,14 @@ class BlockedSageClassifier(nn.Module):
     k_per_step: int = 1
     int8_features: bool = False  # inference-only (see BlockedSageConv)
     fused: bool = False  # epilogue fusion (see BlockedSageConv)
+    fused_ln: bool = False  # conv+LN+act single-kernel (see BlockedSageBlock)
 
     @nn.compact
     def __call__(self, x, blocked_fwd, blocked_rev, num_nodes: int, *, train: bool = False):
         h = BlockedSageBlock(
             self.hidden_dims, dropout=self.dropout, negative_slope=self.negative_slope,
             use_pallas=self.use_pallas, k_per_step=self.k_per_step,
-            int8_features=self.int8_features, fused=self.fused, name="sage",
+            int8_features=self.int8_features, fused=self.fused,
+            fused_ln=self.fused_ln, name="sage",
         )(x, blocked_fwd, blocked_rev, num_nodes, train=train)
         return nn.Dense(self.num_classes, name="head")(h)

@@ -376,13 +376,16 @@ def _vjp_bwd(use_pallas, negative_slope, interpret, res, g):
     f32 = jnp.float32
     t_r = residual_rev_compact(gq, layout)  # compact Rᵀ g̃
     if use_pallas:
-        # t and dx in one fused reverse pass; the compact residual is
-        # injected into t before the in-kernel dx matmuls, so both t (for
-        # dWl) and dx carry the full Âᵀ g̃
-        t, dx = banded_sage_bwd_pallas(gq, wl, wr, layout.banded_rev,
-                                       resid=(t_r.astype(gq.dtype), layout.rg_rev),
-                                       interpret=interpret)
+        # dx AND the dW matmuls in one fused reverse pass; the compact
+        # residual is injected into the aggregate before the in-kernel
+        # dx/dWl matmuls, so every output carries the full Âᵀ g̃ — and t
+        # itself never round-trips HBM
+        dx, dwl, dwr = banded_sage_bwd_pallas(
+            gq, wl, wr, layout.banded_rev, x=x,
+            resid=(t_r.astype(gq.dtype), layout.rg_rev),
+            interpret=interpret)
         dx = dx.astype(x.dtype)
+        dwl, dwr = dwl.astype(wl.dtype), dwr.astype(wr.dtype)
     else:
         t = spmm_banded_xla(gq, layout.banded_rev)
         t = _expand_compact(t, t_r, layout.rg_rev)
@@ -390,10 +393,92 @@ def _vjp_bwd(use_pallas, negative_slope, interpret, res, g):
             jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
             + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
         ).astype(x.dtype)
-    dwl = jnp.dot(x.T, t.astype(x.dtype), preferred_element_type=f32).astype(wl.dtype)
-    dwr = jnp.dot(x.T, gq.astype(x.dtype), preferred_element_type=f32).astype(wr.dtype)
+        dwl = jnp.dot(x.T, t.astype(x.dtype),
+                      preferred_element_type=f32).astype(wl.dtype)
+        dwr = jnp.dot(x.T, gq.astype(x.dtype),
+                      preferred_element_type=f32).astype(wr.dtype)
     db = None if bias is None else g.sum(axis=0).astype(bias.dtype)
     return dx, dwl, dwr, db, None
 
 
 banded_residual_sage_apply.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ------------------------------------- LayerNorm-fused layer (VJP, resid)
+
+
+def _ln_fused_fwd_impl(x, wl, wr, bias, gamma, beta, layout, use_pallas,
+                       slope, eps, interpret):
+    from .sage_fused import _act, _ln_fwd_xla, banded_sage_fwd_pallas
+
+    r = residual_fwd_compact(x, layout)
+    if use_pallas:
+        return banded_sage_fwd_pallas(
+            x, wl, wr, bias, layout.banded_fwd,
+            resid=(r.astype(x.dtype), layout.rg_fwd),
+            negative_slope=slope, ln=(gamma, beta), eps=eps,
+            interpret=interpret)
+    agg = spmm_banded_xla(x, layout.banded_fwd)
+    agg = _expand_compact(agg, r, layout.rg_fwd)
+    y = agg @ wl + x @ wr
+    if bias is not None:
+        y = y + bias
+    z, xhat, rstd = _ln_fwd_xla(y, gamma, beta, eps)
+    return _act(z, slope).astype(x.dtype), xhat.astype(x.dtype), rstd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def banded_residual_sage_ln_apply(x, wl, wr, bias, gamma, beta,
+                                  layout: BandedResidualLayout,
+                                  use_pallas: bool,
+                                  negative_slope: float | None = None,
+                                  eps: float = 1e-5,
+                                  interpret: bool = False):
+    """act(LN((B + R) x Wl + x Wr + bias)) as one fused kernel each way —
+    the LayerNorm-fused layer (ops/sage_fused.py banded_sage_ln_apply)
+    over the banded+residual split."""
+    out, _, _ = _ln_fused_fwd_impl(x, wl, wr, bias, gamma, beta, layout,
+                                   use_pallas, negative_slope, eps, interpret)
+    return out
+
+
+def _ln_vjp_fwd(x, wl, wr, bias, gamma, beta, layout, use_pallas,
+                negative_slope, eps, interpret):
+    out, xhat, rstd = _ln_fused_fwd_impl(
+        x, wl, wr, bias, gamma, beta, layout, use_pallas, negative_slope,
+        eps, interpret)
+    return out, (x, wl, wr, bias, gamma, beta, xhat, rstd, layout)
+
+
+def _ln_vjp_bwd(use_pallas, negative_slope, eps, interpret, res, g):
+    from .sage_fused import _ln_bwd_prologue, banded_sage_bwd_pallas
+
+    x, wl, wr, bias, gamma, beta, xhat, rstd, layout = res
+    dy, dgamma, dbeta = _ln_bwd_prologue(g, xhat, rstd, gamma, beta,
+                                         negative_slope)
+    gq = dy.astype(x.dtype)
+    f32 = jnp.float32
+    t_r = residual_rev_compact(gq, layout)
+    if use_pallas:
+        dx, dwl, dwr = banded_sage_bwd_pallas(
+            gq, wl, wr, layout.banded_rev, x=x,
+            resid=(t_r.astype(gq.dtype), layout.rg_rev),
+            interpret=interpret)
+        dx = dx.astype(x.dtype)
+        dwl, dwr = dwl.astype(wl.dtype), dwr.astype(wr.dtype)
+    else:
+        t = spmm_banded_xla(gq, layout.banded_rev)
+        t = _expand_compact(t, t_r, layout.rg_rev)
+        dx = (
+            jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
+            + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
+        ).astype(x.dtype)
+        dwl = jnp.dot(x.T, t.astype(x.dtype),
+                      preferred_element_type=f32).astype(wl.dtype)
+        dwr = jnp.dot(x.T, gq.astype(x.dtype),
+                      preferred_element_type=f32).astype(wr.dtype)
+    db = None if bias is None else dy.sum(axis=0).astype(bias.dtype)
+    return dx, dwl, dwr, db, dgamma, dbeta, None
+
+
+banded_residual_sage_ln_apply.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)

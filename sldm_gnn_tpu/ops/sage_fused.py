@@ -47,7 +47,7 @@ from .spmm_banded import BandedBlocks, _window_prologue, spmm_banded_pallas, spm
 
 
 def _fused_kernel(woff_ref, *rest, s_span, K, tile, wsz,
-                  has_row, has_bias, slope, has_resid):
+                  has_row, has_bias, slope, has_resid, has_ln, eps):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -59,10 +59,16 @@ def _fused_kernel(woff_ref, *rest, s_span, K, tile, wsz,
     wl_ref = rest.pop(0)
     wr_ref = rest.pop(0)
     b_ref = rest.pop(0) if has_bias else None
+    gamma_ref = rest.pop(0) if has_ln else None
+    beta_ref = rest.pop(0) if has_ln else None
     r_hbm = rest.pop(0) if has_resid else None
-    x_hbm, out_ref, xw, sems = rest[:4]
+    x_hbm = rest.pop(0)
+    out_ref = rest.pop(0)
+    xhat_ref = rest.pop(0) if has_ln else None
+    rstd_ref = rest.pop(0) if has_ln else None
+    xw, sems = rest[:2]
     if has_resid:
-        rw, rsem = rest[4], rest[5]
+        rw, rsem = rest[2], rest[3]
 
     slot = _window_prologue(woff_ref, x_hbm, xw, sems, tile, wsz)
     g = pl.program_id(0)
@@ -107,6 +113,18 @@ def _fused_kernel(woff_ref, *rest, s_span, K, tile, wsz,
         out += jnp.dot(xo.astype(jnp.bfloat16), wr, preferred_element_type=jnp.float32)
         if has_bias:
             out += b_ref[0]
+        if has_ln:
+            # LayerNorm over the feature lanes, f32 stats, in the output
+            # write: the pre-activation never round-trips HBM. xhat + rstd
+            # are the backward residuals (models/blocks.py eps invariant)
+            mu = jnp.mean(out, axis=1, keepdims=True)
+            xc = out - mu
+            var = jnp.mean(xc * xc, axis=1, keepdims=True)
+            rstd = jax.lax.rsqrt(var + eps)
+            xh = xc * rstd
+            xhat_ref[kk * tile:(kk + 1) * tile] = xh.astype(xhat_ref.dtype)
+            rstd_ref[kk * tile:(kk + 1) * tile] = rstd
+            out = xh * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
         if slope is not None:
             out = jnp.where(out > 0, out, slope * out)
         out_ref[kk * tile:(kk + 1) * tile] = out.astype(out_ref.dtype)
@@ -123,6 +141,8 @@ def banded_sage_fwd_pallas(
     out_dtype=None,
     interpret: bool = False,
     resid=None,
+    ln=None,
+    eps: float = 1e-5,
 ):
     """One fused SAGE layer over the banded layout (forward only; use
     :func:`banded_sage_apply` for training). ``negative_slope``: None = no
@@ -132,7 +152,14 @@ def banded_sage_fwd_pallas(
     (slot 0 = zeros) + per-group slot map ``rg [steps]`` — added to each
     block's aggregate through a scalar-prefetch-indexed BlockSpec (groups
     without residual revisit the dummy slot, so no extra DMA moves for
-    them). See ops/banded_residual.py."""
+    them). See ops/banded_residual.py.
+
+    ``ln=(gamma, beta)``: fold LayerNorm(eps) over the feature axis into
+    the output write — the layer becomes act(LN(ÂxWl + xWr + b)) in ONE
+    kernel (activation applies AFTER the norm, the model family's
+    ordering). Returns ``(out, xhat, rstd)``: xhat (at x's dtype) and
+    rstd (f32 [N, 1]) are exactly the residuals the LN backward needs, so
+    the pre-activation never materializes in HBM in either direction."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -151,6 +178,7 @@ def banded_sage_fwd_pallas(
     has_row = blocks.row_scale is not None
     has_bias = bias is not None
     has_resid = resid is not None
+    has_ln = ln is not None
     specs = [pl.BlockSpec((K, s_span, tile, tile), lambda g, *_: (g, 0, 0, 0))]
     args = [blocks.a]
     if has_row:
@@ -164,6 +192,12 @@ def banded_sage_fwd_pallas(
     if has_bias:
         specs.append(pl.BlockSpec((1, h), lambda g, *_: (0, 0)))
         args.append(bias.reshape(1, h))
+    if has_ln:
+        gamma, beta = ln
+        assert gamma.shape == (h,) and beta.shape == (h,), (gamma.shape, h)
+        specs += [pl.BlockSpec((1, h), lambda g, *_: (0, 0)),
+                  pl.BlockSpec((1, h), lambda g, *_: (0, 0))]
+        args += [gamma.reshape(1, h), beta.reshape(1, h)]
     prefetch = [blocks.woff, blocks.off]
     scratch = [
         pltpu.VMEM((2, wsz * tile, d), x.dtype),  # double-buffered window
@@ -182,27 +216,40 @@ def banded_sage_fwd_pallas(
     specs.append(pl.BlockSpec(memory_space=pl.ANY))  # x in HBM; windows DMA'd
     args.append(x)
 
+    vma = _operand_vma(x, wl, wr, blocks.a, blocks.off)
+    if has_ln:
+        out_specs = (
+            pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0)),   # out
+            pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0)),   # xhat
+            pl.BlockSpec((K * tile, 1), lambda g, *_: (g, 0)),   # rstd
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((n_pad, h), out_dtype, vma=vma),
+            jax.ShapeDtypeStruct((n_pad, h), x.dtype, vma=vma),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32, vma=vma),
+        )
+    else:
+        out_specs = pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0))
+        out_shape = jax.ShapeDtypeStruct((n_pad, h), out_dtype, vma=vma)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),  # woff [steps], off [steps*K], rg?
         grid=(steps,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0)),
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     slope = None if negative_slope is None else float(negative_slope)
     return pl.pallas_call(
         partial(_fused_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,
                 has_row=has_row, has_bias=has_bias, slope=slope,
-                has_resid=has_resid),
+                has_resid=has_resid, has_ln=has_ln, eps=float(eps)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_pad, h), out_dtype,
-            vma=_operand_vma(x, wl, wr, blocks.a, blocks.off)),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * tile * d * (s_span * tile + 2 * h),
             bytes_accessed=blocks.a.size * blocks.a.dtype.itemsize
             + steps * wsz * tile * d * x.dtype.itemsize
-            + n_pad * h * jnp.dtype(out_dtype).itemsize,
+            + (2 if has_ln else 1) * n_pad * h * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -211,7 +258,7 @@ def banded_sage_fwd_pallas(
 
 
 def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
-                has_resid):
+                has_resid, fuse_dw):
     """Reverse fused kernel: per destination block b,
         t[b]  = Σ_s (A_rev[b,s] ⊙ scale[off+s]) @ g[off+s]   (= Âᵀ g̃ rows)
         dx[b] = t[b] @ Wlᵀ + g[own_b] @ Wrᵀ
@@ -221,7 +268,14 @@ def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
     COLUMNS, algebraically identical to scaling the g rows:
     A @ (s ⊙ g) = (A ⊙ sᵀ) @ g. This removes the XLA pre-scale pass (a
     full [N, H] materialize + re-read) without any lane→sublane relayout
-    in the kernel."""
+    in the kernel.
+
+    ``fuse_dw``: stream the saved x in per-group [K·T, D] blocks and
+    accumulate   dWl += xₒᵀ t[b],   dWr += xₒᵀ g[own_b]   into VMEM-
+    resident [D, H] outputs (constant index map — flushed once at grid
+    end). t then never round-trips HBM at all: the kernel's outputs are
+    (dx, dWl, dWr) and the XLA dW matmuls (two more full reads of x plus
+    re-reads of t and g̃) disappear from the step."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -231,9 +285,19 @@ def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
     wlt_ref = rest.pop(0)
     wrt_ref = rest.pop(0)
     tr_hbm = rest.pop(0) if has_resid else None
-    scale_hbm, g_hbm, t_ref, dx_ref, gw, sw, sems = rest[:7]
-    if has_resid:
-        rw, rsem = rest[7], rest[8]
+    scale_hbm = rest.pop(0)
+    g_hbm = rest.pop(0)
+    if fuse_dw:
+        x_ref = rest.pop(0)
+        dx_ref, dwl_ref, dwr_ref = rest[:3]
+        gw, sw, sems = rest[3:6]
+        if has_resid:
+            rw, rsem = rest[6], rest[7]
+        t_ref = None
+    else:
+        t_ref, dx_ref, gw, sw, sems = rest[:5]
+        if has_resid:
+            rw, rsem = rest[5], rest[6]
 
     g = pl.program_id(0)
     num = pl.num_programs(0)
@@ -278,8 +342,16 @@ def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
             cp.start()
             cp.wait()
 
+    if fuse_dw:
+        # dW accumulators live in the (revisited) output blocks: zero once
+        @pl.when(g == 0)
+        def _():
+            dwl_ref[...] = jnp.zeros_like(dwl_ref)
+            dwr_ref[...] = jnp.zeros_like(dwr_ref)
+
     wlt = wlt_ref[:].astype(jnp.bfloat16)
     wrt = wrt_ref[:].astype(jnp.bfloat16)
+    tdot = (((0,), (0,)), ((), ()))  # xₒᵀ @ rhs: contract the sublane dim
     for kk in range(K):
         offk = off_ref[g * K + kk]
         h = gw.shape[-1]
@@ -302,12 +374,21 @@ def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
             # matmuls (ops/banded_residual.py); stale scratch is masked
             r_tile = rw[0, kk * tile:(kk + 1) * tile, :].astype(jnp.float32)
             acc += jnp.where(rgv > 0, r_tile, 0.0)
-        t_ref[kk * tile:(kk + 1) * tile] = acc.astype(t_ref.dtype)
+        if not fuse_dw:
+            t_ref[kk * tile:(kk + 1) * tile] = acc.astype(t_ref.dtype)
         own = (g * K + kk) - woff_ref[g]
         go = gw[slot, pl.ds(own * tile, tile), :]
         dx = jnp.dot(acc.astype(jnp.bfloat16), wlt, preferred_element_type=jnp.float32)
         dx += jnp.dot(go.astype(jnp.bfloat16), wrt, preferred_element_type=jnp.float32)
         dx_ref[kk * tile:(kk + 1) * tile] = dx.astype(dx_ref.dtype)
+        if fuse_dw:
+            xo = x_ref[kk * tile:(kk + 1) * tile].astype(jnp.bfloat16)
+            dwl_ref[...] += jax.lax.dot_general(
+                xo, acc.astype(jnp.bfloat16), dimension_numbers=tdot,
+                preferred_element_type=jnp.float32)
+            dwr_ref[...] += jax.lax.dot_general(
+                xo, go.astype(jnp.bfloat16), dimension_numbers=tdot,
+                preferred_element_type=jnp.float32)
 
 
 def banded_sage_bwd_pallas(
@@ -319,6 +400,7 @@ def banded_sage_bwd_pallas(
     out_dtype=None,
     interpret: bool = False,
     resid=None,
+    x: jax.Array | None = None,
 ):
     """Fused backward: returns ``(t, dx)`` where ``t = Âᵀ gq`` (feeds
     dWl = xᵀt) and ``dx = t @ Wlᵀ + gq @ Wrᵀ`` — one kernel instead of a
@@ -329,7 +411,14 @@ def banded_sage_bwd_pallas(
 
     ``resid=(t_c, rg)``: compact reverse residual ``t_c [m, K*T, H]``
     (Rᵀ g̃ rows, slot 0 = zeros) + per-group slot map — added into the
-    aggregate before the in-kernel dx matmuls (ops/banded_residual.py)."""
+    aggregate before the in-kernel dx matmuls (ops/banded_residual.py).
+
+    ``x``: the layer's saved input. When given, the dW matmuls fold into
+    the kernel too — x streams once as per-group [K·T, D] blocks, dWl/dWr
+    accumulate in VMEM-resident f32 [D, H] outputs, and ``t`` never
+    touches HBM. Returns ``(dx, dwl, dwr)`` instead of ``(t, dx)``;
+    removes ~3 full [N, D] passes per layer from the backward (the t
+    write + re-read and one of the two XLA x reads)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -346,6 +435,7 @@ def banded_sage_bwd_pallas(
     out_dtype = gq.dtype if out_dtype is None else out_dtype
     has_scale = blocks_rev.col_scale is not None
     has_resid = resid is not None
+    fuse_dw = x is not None
     # [N, 1] → [nb, T]: one lane-aligned row per source block, DMA-able
     # as [wsz, T] windows (a [rows, 1] slice violates Mosaic lane tiling)
     scale = (blocks_rev.col_scale.reshape(nb, tile) if has_scale
@@ -378,38 +468,60 @@ def banded_sage_bwd_pallas(
         pl.BlockSpec(memory_space=pl.ANY),  # gq in HBM
     ]
     args += [scale, gq]
+    if fuse_dw:
+        assert x.shape == (n_pad, d), (x.shape, n_pad, d)
+        specs.append(pl.BlockSpec((K * tile, d), lambda g, *_: (g, 0)))
+        args.append(x)
+        out_specs = (
+            pl.BlockSpec((K * tile, d), lambda g, *_: (g, 0)),   # dx
+            pl.BlockSpec((d, h), lambda g, *_: (0, 0)),          # dWl
+            pl.BlockSpec((d, h), lambda g, *_: (0, 0)),          # dWr
+        )
+        dw_vma = _operand_vma(gq, wl, wr, blocks_rev.a)
+        out_shape = (
+            jax.ShapeDtypeStruct((n_pad, d), out_dtype,
+                                 vma=_operand_vma(gq, wl, wr, blocks_rev.a)),
+            jax.ShapeDtypeStruct((d, h), jnp.float32, vma=dw_vma),
+            jax.ShapeDtypeStruct((d, h), jnp.float32, vma=dw_vma),
+        )
+    else:
+        out_specs = (
+            pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0)),
+            pl.BlockSpec((K * tile, d), lambda g, *_: (g, 0)),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((n_pad, h), out_dtype,
+                                 vma=_operand_vma(gq, wl, blocks_rev.a)),
+            jax.ShapeDtypeStruct((n_pad, d), out_dtype,
+                                 vma=_operand_vma(gq, wl, wr, blocks_rev.a)),
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),  # woff, off, rg?
         grid=(steps,),
         in_specs=specs,
-        out_specs=(
-            pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0)),
-            pl.BlockSpec((K * tile, d), lambda g, *_: (g, 0)),
-        ),
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
-    t, dx = pl.pallas_call(
+    outs = pl.pallas_call(
         partial(_bwd_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,
-                has_scale=has_scale, has_resid=has_resid),
+                has_scale=has_scale, has_resid=has_resid, fuse_dw=fuse_dw),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_pad, h), out_dtype,
-                                 vma=_operand_vma(gq, wl, blocks_rev.a)),
-            jax.ShapeDtypeStruct((n_pad, d), out_dtype,
-                                 vma=_operand_vma(gq, wl, wr, blocks_rev.a)),
-        ),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2 * nb * tile * h * (s_span * tile + 2 * d),
+            flops=2 * nb * tile * h * (s_span * tile + 2 * d)
+            + (4 * nb * tile * d * h if fuse_dw else 0),
             bytes_accessed=blocks_rev.a.size * blocks_rev.a.dtype.itemsize
             + steps * wsz * tile * (h * gq.dtype.itemsize + 4)
-            + n_pad * (h + d) * jnp.dtype(out_dtype).itemsize,
+            + (n_pad * d * x.dtype.itemsize if fuse_dw
+               else n_pad * h * jnp.dtype(out_dtype).itemsize)
+            + n_pad * d * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(*prefetch, *args)
-    return t, dx
+    return outs
 
 
 def _act(y, slope):
@@ -459,11 +571,13 @@ def _fused_vjp_bwd(use_pallas, negative_slope, interpret, res, g):
     gq = g.astype(x.dtype)
     f32 = jnp.float32
     if use_pallas and not blocks_rev.wide:
-        # fused reverse kernel: t AND dx = t@Wlᵀ + g̃@Wrᵀ in one pass —
-        # no scale pre-pass, no re-reads of t/g̃ for the dx matmuls
-        t, dx = banded_sage_bwd_pallas(gq, wl, wr, blocks_rev,
-                                       interpret=interpret)
+        # fused reverse kernel: dx = t@Wlᵀ + g̃@Wrᵀ AND the dW matmuls in
+        # one pass — no scale pre-pass, and t (= Âᵀg̃) never touches HBM:
+        # dWl/dWr accumulate in VMEM against the streamed x blocks
+        dx, dwl, dwr = banded_sage_bwd_pallas(gq, wl, wr, blocks_rev,
+                                              x=x, interpret=interpret)
         dx = dx.astype(x.dtype)
+        dwl, dwr = dwl.astype(wl.dtype), dwr.astype(wr.dtype)
     else:
         if use_pallas:
             t = spmm_banded_pallas(gq, blocks_rev, interpret=interpret)
@@ -475,10 +589,123 @@ def _fused_vjp_bwd(use_pallas, negative_slope, interpret, res, g):
             jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
             + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
         ).astype(x.dtype)
-    dwl = jnp.dot(x.T, t.astype(x.dtype), preferred_element_type=f32).astype(wl.dtype)
-    dwr = jnp.dot(x.T, gq.astype(x.dtype), preferred_element_type=f32).astype(wr.dtype)
+        dwl = jnp.dot(x.T, t.astype(x.dtype),
+                      preferred_element_type=f32).astype(wl.dtype)
+        dwr = jnp.dot(x.T, gq.astype(x.dtype),
+                      preferred_element_type=f32).astype(wr.dtype)
     db = None if bias is None else g.sum(axis=0).astype(bias.dtype)
     return dx, dwl, dwr, db, None, None
 
 
 banded_sage_apply.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+# ------------------------------------------- LayerNorm-fused layer (VJP)
+
+
+def _ln_fwd_xla(y, gamma, beta, eps):
+    """f32 LayerNorm over the last axis; returns (z, xhat, rstd[N,1])."""
+    y32 = y.astype(jnp.float32)
+    mu = jnp.mean(y32, axis=-1, keepdims=True)
+    xc = y32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    return xhat * gamma.astype(jnp.float32) + beta.astype(jnp.float32), xhat, rstd
+
+
+def _ln_bwd_prologue(g, xhat, rstd, gamma, beta, slope):
+    """(dL/dout, LN residuals) -> (dL/dy_pre, dgamma, dbeta) — one fused
+    XLA elementwise+row-reduce pass over [N, H]:
+
+        z     = gamma·xhat + beta           (act' sign, no saved z)
+        g̃     = g·act'(z)
+        gz    = g̃·gamma
+        dy    = rstd·(gz − mean(gz) − xhat·mean(gz·xhat))
+        dγ/dβ = Σ_rows g̃·xhat / Σ_rows g̃
+    """
+    xhat32 = xhat.astype(jnp.float32)
+    gamma32 = gamma.astype(jnp.float32)
+    if slope is not None:
+        z = xhat32 * gamma32 + beta.astype(jnp.float32)
+        g = jnp.where(z > 0, g, jnp.asarray(slope, g.dtype) * g)
+    gf = g.astype(jnp.float32)
+    dgamma = (gf * xhat32).sum(axis=0).astype(gamma.dtype)
+    dbeta = gf.sum(axis=0).astype(beta.dtype)
+    gz = gf * gamma32
+    m1 = gz.mean(axis=-1, keepdims=True)
+    m2 = (gz * xhat32).mean(axis=-1, keepdims=True)
+    dy = (gz - m1 - xhat32 * m2) * rstd
+    return dy, dgamma, dbeta
+
+
+def _ln_fused_fwd_impl(x, wl, wr, bias, gamma, beta, blocks, use_pallas,
+                       slope, eps, interpret):
+    if use_pallas:
+        return banded_sage_fwd_pallas(
+            x, wl, wr, bias, blocks, negative_slope=slope,
+            ln=(gamma, beta), eps=eps, interpret=interpret)
+    agg = spmm_banded_xla(x, blocks)
+    y = agg @ wl + x @ wr
+    if bias is not None:
+        y = y + bias
+    z, xhat, rstd = _ln_fwd_xla(y, gamma, beta, eps)
+    return _act(z, slope).astype(x.dtype), xhat.astype(x.dtype), rstd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def banded_sage_ln_apply(x, wl, wr, bias, gamma, beta,
+                         blocks_fwd: BandedBlocks, blocks_rev: BandedBlocks,
+                         use_pallas: bool,
+                         negative_slope: float | None = None,
+                         eps: float = 1e-5,
+                         interpret: bool = False):
+    """Differentiable SAGE layer WITH its LayerNorm + activation:
+    act(LN(Â x Wl + x Wr + bias; gamma, beta, eps)) as one fused kernel
+    each way — the pre-activation never materializes in HBM (forward
+    saves xhat/rstd instead; backward turns dL/dout into dL/dy_pre in one
+    XLA pass and rides the fused reverse kernel with in-kernel dW).
+    Matches the model family's conv -> LayerNorm(1e-5) -> act ordering
+    (reference src/models/blocks/sageblock.py:8-20)."""
+    out, _, _ = _ln_fused_fwd_impl(x, wl, wr, bias, gamma, beta, blocks_fwd,
+                                   use_pallas, negative_slope, eps, interpret)
+    return out
+
+
+def _ln_vjp_fwd(x, wl, wr, bias, gamma, beta, blocks_fwd, blocks_rev,
+                use_pallas, negative_slope, eps, interpret):
+    out, xhat, rstd = _ln_fused_fwd_impl(
+        x, wl, wr, bias, gamma, beta, blocks_fwd, use_pallas,
+        negative_slope, eps, interpret)
+    return out, (x, wl, wr, bias, gamma, beta, xhat, rstd, blocks_rev)
+
+
+def _ln_vjp_bwd(use_pallas, negative_slope, eps, interpret, res, g):
+    x, wl, wr, bias, gamma, beta, xhat, rstd, blocks_rev = res
+    dy, dgamma, dbeta = _ln_bwd_prologue(g, xhat, rstd, gamma, beta,
+                                         negative_slope)
+    gq = dy.astype(x.dtype)
+    f32 = jnp.float32
+    if use_pallas and not blocks_rev.wide:
+        dx, dwl, dwr = banded_sage_bwd_pallas(gq, wl, wr, blocks_rev,
+                                              x=x, interpret=interpret)
+        dx = dx.astype(x.dtype)
+        dwl, dwr = dwl.astype(wl.dtype), dwr.astype(wr.dtype)
+    else:
+        if use_pallas:
+            t = spmm_banded_pallas(gq, blocks_rev, interpret=interpret)
+        else:
+            t = spmm_banded_xla(gq, blocks_rev)
+        dx = (
+            jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
+            + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
+        ).astype(x.dtype)
+        dwl = jnp.dot(x.T, t.astype(x.dtype),
+                      preferred_element_type=f32).astype(wl.dtype)
+        dwr = jnp.dot(x.T, gq.astype(x.dtype),
+                      preferred_element_type=f32).astype(wr.dtype)
+    db = None if bias is None else dy.sum(axis=0).astype(bias.dtype)
+    return dx, dwl, dwr, db, dgamma, dbeta, None, None
+
+
+banded_sage_ln_apply.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)

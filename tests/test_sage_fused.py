@@ -132,6 +132,115 @@ def test_fused_bwd_kernel_matches_composition(rng):
     assert np.abs(np.asarray(dx) - dx_want).max() / scale < 3e-2
 
 
+def test_fused_bwd_kernel_fuse_dw(rng):
+    """banded_sage_bwd_pallas(x=...) returns (dx, dwl, dwr) matching the
+    composition (t = Âᵀg̃; dwl = xᵀt; dwr = xᵀg̃) — t never leaves the
+    kernel."""
+    from sldm_gnn_tpu.ops.sage_fused import banded_sage_bwd_pallas
+    from sldm_gnn_tpu.ops.spmm_banded import spmm_banded_xla
+
+    fj, rj, x, wl, wr, _ = _setup(rng, d=16, h=24)
+    gq = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (x.shape[0], wl.shape[1])).astype(np.float32))
+    t_want = np.asarray(spmm_banded_xla(gq, rj))
+    dx_want = t_want @ np.asarray(wl).T + np.asarray(gq) @ np.asarray(wr).T
+    dwl_want = np.asarray(x).T @ t_want
+    dwr_want = np.asarray(x).T @ np.asarray(gq)
+    dx, dwl, dwr = banded_sage_bwd_pallas(gq, wl, wr, rj, x=x, interpret=True)
+    for got, want, name in ((dx, dx_want, "dx"), (dwl, dwl_want, "dwl"),
+                            (dwr, dwr_want, "dwr")):
+        scale = np.abs(want).max() + 1e-9
+        assert np.abs(np.asarray(got) - want).max() / scale < 3e-2, name
+
+
+def _ln_ref(x, wl, wr, b, gamma, beta, fj, rj, slope, eps=1e-5):
+    """Plain-AD composition: conv -> LayerNorm(eps) -> (Leaky)ReLU."""
+    y = spmm_banded_apply(x, fj, rj, False) @ wl + x @ wr
+    if b is not None:
+        y = y + b
+    mu = y.mean(-1, keepdims=True)
+    var = ((y - mu) ** 2).mean(-1, keepdims=True)
+    z = (y - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
+    return jnp.where(z > 0, z, slope * z)
+
+
+@pytest.mark.parametrize("slope", [0.0, 0.1])
+def test_ln_fused_forward_matches_composition(rng, slope):
+    from sldm_gnn_tpu.ops.sage_fused import banded_sage_ln_apply, banded_sage_fwd_pallas
+
+    fj, rj, x, wl, wr, b = _setup(rng)
+    h = wl.shape[1]
+    r2 = np.random.default_rng(5)
+    gamma = jnp.asarray(1.0 + 0.2 * r2.standard_normal(h).astype(np.float32))
+    beta = jnp.asarray(0.1 * r2.standard_normal(h).astype(np.float32))
+    want = np.asarray(_ln_ref(x, wl, wr, b, gamma, beta, fj, rj, slope))
+    got_xla = np.asarray(banded_sage_ln_apply(
+        x, wl, wr, b, gamma, beta, fj, rj, False, slope))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-4, atol=1e-4)
+    out_k, xhat_k, rstd_k = banded_sage_fwd_pallas(
+        x, wl, wr, b, fj, negative_slope=slope, ln=(gamma, beta),
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out_k), want, rtol=3e-2, atol=3e-2)
+    assert xhat_k.shape == x.shape[:1] + (h,) and rstd_k.shape == (x.shape[0], 1)
+
+
+@pytest.mark.parametrize("slope", [0.0, 0.1])
+def test_ln_fused_vjp_matches_autodiff(rng, slope):
+    from sldm_gnn_tpu.ops.sage_fused import banded_sage_ln_apply
+
+    fj, rj, x, wl, wr, b = _setup(rng)
+    h = wl.shape[1]
+    r2 = np.random.default_rng(5)
+    gamma = jnp.asarray(1.0 + 0.2 * r2.standard_normal(h).astype(np.float32))
+    beta = jnp.asarray(0.1 * r2.standard_normal(h).astype(np.float32))
+    t = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (x.shape[0], h)).astype(np.float32))
+
+    def loss_f(x, wl, wr, b, gamma, beta):
+        return jnp.sum(banded_sage_ln_apply(
+            x, wl, wr, b, gamma, beta, fj, rj, False, slope) * t)
+
+    def loss_r(x, wl, wr, b, gamma, beta):
+        return jnp.sum(_ln_ref(x, wl, wr, b, gamma, beta, fj, rj, slope) * t)
+
+    g_f = jax.grad(loss_f, argnums=tuple(range(6)))(x, wl, wr, b, gamma, beta)
+    g_r = jax.grad(loss_r, argnums=tuple(range(6)))(x, wl, wr, b, gamma, beta)
+    for a, want, name in zip(g_f, g_r,
+                             ("dx", "dwl", "dwr", "db", "dgamma", "dbeta")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_ln_fused_kernel_full_pipeline(rng):
+    """Interpreted kernels end-to-end: LN-fused forward + fuse_dw reverse
+    through the custom VJP, against plain-AD composition."""
+    from sldm_gnn_tpu.ops.sage_fused import banded_sage_ln_apply
+
+    fj, rj, x, wl, wr, b = _setup(rng, d=16, h=16)
+    h = wl.shape[1]
+    r2 = np.random.default_rng(5)
+    gamma = jnp.asarray(1.0 + 0.2 * r2.standard_normal(h).astype(np.float32))
+    beta = jnp.asarray(0.1 * r2.standard_normal(h).astype(np.float32))
+
+    def loss(x, wl, wr, b, gamma, beta):
+        y = banded_sage_ln_apply(x, wl, wr, b, gamma, beta, fj, rj,
+                                 True, 0.0, 1e-5, True)
+        return jnp.sum(y ** 2)
+
+    val, grads = jax.value_and_grad(loss, argnums=tuple(range(6)))(
+        x, wl, wr, b, gamma, beta)
+    ref_val, ref_grads = jax.value_and_grad(
+        lambda *a: jnp.sum(_ln_ref(*a, fj, rj, 0.0) ** 2),
+        argnums=tuple(range(6)))(x, wl, wr, b, gamma, beta)
+    rel = abs(float(val) - float(ref_val)) / (abs(float(ref_val)) + 1e-9)
+    assert rel < 3e-2, (val, ref_val)
+    for a, want, name in zip(grads, ref_grads,
+                             ("dx", "dwl", "dwr", "db", "dgamma", "dbeta")):
+        a, want = np.asarray(a), np.asarray(want)
+        scale = np.abs(want).max() + 1e-9
+        assert np.abs(a - want).max() / scale < 6e-2, name
+
+
 def test_blocked_sage_fused_dispatch(rng):
     """BlockedSageConv(fused=True) produces the same params tree as the
     unfused layer (checkpoint-compatible) and matching outputs."""
@@ -152,3 +261,49 @@ def test_blocked_sage_fused_dispatch(rng):
     # and gradients flow
     g = jax.grad(lambda p: jnp.sum(m_f.apply(p, x, fj, rj, n_pad) ** 2))(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_blocked_sage_fused_ln_dispatch(rng):
+    """BlockedSageBlock(fused_ln=True): identical params tree to the
+    unfused block (conv{i} + norm{i}) and matching outputs on the XLA
+    path; gradients flow through every param."""
+    from sldm_gnn_tpu.models.blocked_sage import BlockedSageBlock
+
+    fj, rj, x, _, _, _ = _setup(rng, d=16, h=16)
+    n_pad = x.shape[0]
+    m_u = BlockedSageBlock((16, 16), use_pallas=False, fused=False)
+    m_f = BlockedSageBlock((16, 16), use_pallas=False, fused=True, fused_ln=True)
+    params = m_u.init(jax.random.PRNGKey(0), x, fj, rj, n_pad)
+    params_f = m_f.init(jax.random.PRNGKey(0), x, fj, rj, n_pad)
+    assert jax.tree.structure(params) == jax.tree.structure(params_f)
+    out_u = np.asarray(m_u.apply(params, x, fj, rj, n_pad))
+    out_f = np.asarray(m_f.apply(params, x, fj, rj, n_pad))
+    np.testing.assert_allclose(out_f, out_u, rtol=1e-4, atol=1e-4)
+    g = jax.grad(lambda p: jnp.sum(m_f.apply(p, x, fj, rj, n_pad) ** 2))(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # at least one LN gradient is nonzero (the norm params are live)
+    import flax
+    flat = flax.traverse_util.flatten_dict(g["params"] if "params" in g else g)
+    norm_leaves = [v for k, v in flat.items() if any("norm" in p for p in k)]
+    assert norm_leaves and any(float(np.abs(np.asarray(v)).max()) > 0
+                               for v in norm_leaves)
+
+
+def test_blocked_sage_fused_ln_nonbanded_fallback(rng):
+    """fused_ln with a NON-banded layout (one-hot BlockedEdges): the conv
+    falls back to plain XLA math with the same params and still matches
+    the unfused block."""
+    from sldm_gnn_tpu.models.blocked_sage import BlockedSageBlock
+    from sldm_gnn_tpu.ops.spmm import prepare_mean_aggregate
+
+    src, dst = _banded_graph(rng, n=600)
+    bf, br, n_pad = prepare_mean_aggregate(src, dst, 600, step_chunks=1)
+    bf, br = jax.tree.map(jnp.asarray, (bf, br))
+    x = jnp.asarray(rng.standard_normal((n_pad, 16)).astype(np.float32))
+    m_u = BlockedSageBlock((16,), use_pallas=False, fused=False)
+    m_f = BlockedSageBlock((16,), use_pallas=False, fused=True, fused_ln=True)
+    params = m_u.init(jax.random.PRNGKey(0), x, bf, br, n_pad)
+    out_u = np.asarray(m_u.apply(params, x, bf, br, n_pad))
+    out_f = np.asarray(m_f.apply(params, x, bf, br, n_pad))
+    np.testing.assert_allclose(out_f, out_u, rtol=1e-4, atol=1e-4)
