@@ -242,3 +242,53 @@ def test_window_choice_beats_min_base(rng):
     keep = split_banded_residual(src, dst, n // tile, tile=tile, span=2)
     assert keep.sum() == 63  # the lone far source is the residual
     assert not keep[0]
+
+
+def _ln_ref(x, wl, wr, b, gamma, beta, lj, slope, eps=1e-5):
+    y = spmm_banded_residual_apply(x, lj, False) @ wl + x @ wr
+    if b is not None:
+        y = y + b
+    mu = y.mean(-1, keepdims=True)
+    var = ((y - mu) ** 2).mean(-1, keepdims=True)
+    z = (y - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
+    return jnp.where(z > 0, z, slope * z)
+
+
+@pytest.mark.parametrize("slope", [0.0, 0.1])
+def test_ln_fused_with_residual(rng, slope):
+    """banded_residual_sage_ln_apply: XLA fallback at tight tolerance and
+    interpreted-kernel fwd+bwd (LN-fused forward, fuse_dw reverse with
+    compact residual) at kernel bf16 tolerance."""
+    from sldm_gnn_tpu.ops.banded_residual import banded_residual_sage_ln_apply
+
+    n, tile, k, d, h = 2000, 64, 4, 16, 24
+    src, dst = _near_banded_graph(rng, n=n, n_outliers=25)
+    layout, n_pad = prepare_banded_residual_mean_aggregate(
+        src, dst, n, tile=tile, k=k, span=4)
+    lj = jax.tree.map(jnp.asarray, layout)
+    r2 = np.random.default_rng(5)
+    x = jnp.asarray(r2.standard_normal((n_pad, d)).astype(np.float32))
+    wl = jnp.asarray(r2.standard_normal((d, h)).astype(np.float32) * 0.2)
+    wr = jnp.asarray(r2.standard_normal((d, h)).astype(np.float32) * 0.2)
+    b = jnp.asarray(r2.standard_normal((h,)).astype(np.float32) * 0.1)
+    gamma = jnp.asarray(1.0 + 0.2 * r2.standard_normal(h).astype(np.float32))
+    beta = jnp.asarray(0.1 * r2.standard_normal(h).astype(np.float32))
+
+    want = np.asarray(_ln_ref(x, wl, wr, b, gamma, beta, lj, slope))
+    got = np.asarray(banded_residual_sage_ln_apply(
+        x, wl, wr, b, gamma, beta, lj, False, slope))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    args = (x, wl, wr, b, gamma, beta)
+    got_g = jax.grad(
+        lambda *a: jnp.sum(banded_residual_sage_ln_apply(
+            *a, lj, True, slope, 1e-5, True) ** 2),
+        argnums=tuple(range(6)))(*args)
+    want_g = jax.grad(
+        lambda *a: jnp.sum(_ln_ref(*a, lj, slope) ** 2),
+        argnums=tuple(range(6)))(*args)
+    for g, w_, name in zip(got_g, want_g,
+                           ("dx", "dwl", "dwr", "db", "dgamma", "dbeta")):
+        g, w_ = np.asarray(g), np.asarray(w_)
+        scale = np.abs(w_).max() + 1e-9
+        assert np.abs(g - w_).max() / scale < 6e-2, name
