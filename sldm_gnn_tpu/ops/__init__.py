@@ -48,3 +48,17 @@ from .spmm_hybrid import (  # noqa: F401
     prepare_hybrid_mean_aggregate,
     spmm_hybrid_apply,
 )
+from .sage_fused import (  # noqa: F401
+    banded_sage_apply,
+    banded_sage_ln_apply,
+    banded_sage_fwd_pallas,
+    banded_sage_bwd_pallas,
+    banded_sage_ln_bwd_pallas,
+)
+from .banded_residual import (  # noqa: F401
+    BandedResidualLayout,
+    banded_residual_sage_apply,
+    banded_residual_sage_ln_apply,
+    prepare_banded_residual_mean_aggregate,
+    spmm_banded_residual_apply,
+)

@@ -171,6 +171,7 @@ def prepare_banded_residual_mean_aggregate(
     span: int | None = None,
     max_span: int = 16,
     resid_frac: float = 0.005,
+    count_cap: int | None = None,
 ) -> tuple[BandedResidualLayout, int]:
     """Build the span-bounded banded + compact-residual split for mean
     aggregation (int8 count tiles, FULL-degree scales).
@@ -230,6 +231,25 @@ def prepare_banded_residual_mean_aggregate(
             f"residual fraction {frac:.4f} at span={span} exceeds "
             f"{4 * resid_frac:.4f}: graph is not near-banded — use the "
             "dense/hybrid backends")
+    if count_cap is not None and keep.any():
+        # cap banded tile values at count_cap by spilling EXCESS edge
+        # multiplicity (copies beyond the cap of a duplicated (src, dst)
+        # pair) into the residual as ordinary unit-weight entries — keeps
+        # the banded counts int4-safe (counts_to_int4) with exact math.
+        # Unique-edge graphs are untouched.
+        kept_idx = np.nonzero(keep)[0]
+        s_in0, d_in0 = src[kept_idx], dst[kept_idx]
+        order = np.lexsort((s_in0, d_in0))
+        ss, dd = s_in0[order], d_in0[order]
+        new = np.ones(len(ss), bool)
+        new[1:] = (ss[1:] != ss[:-1]) | (dd[1:] != dd[:-1])
+        run_id = np.cumsum(new) - 1
+        first = np.nonzero(new)[0]
+        within = np.arange(len(ss)) - first[run_id]
+        drop = within >= count_cap
+        if drop.any():
+            keep[kept_idx[order[drop]]] = False
+        frac = float((len(src) - keep.sum()) / e)
 
     s_in, d_in = src[keep], dst[keep]
     fwd = build_banded_counts(s_in, d_in, num_nodes, tile=tile, k=k, max_span=span)
@@ -451,32 +471,48 @@ def _ln_vjp_fwd(x, wl, wr, bias, gamma, beta, layout, use_pallas,
 
 
 def _ln_vjp_bwd(use_pallas, negative_slope, eps, interpret, res, g):
-    from .sage_fused import _ln_bwd_prologue, banded_sage_bwd_pallas
+    from .sage_fused import (
+        _ln_bwd_prologue,
+        banded_sage_ln_bwd_pallas,
+    )
 
     x, wl, wr, bias, gamma, beta, xhat, rstd, layout = res
+    f32 = jnp.float32
+    if use_pallas:
+        # dy is derived IN-KERNEL from the raw g + xhat/rstd residuals
+        # (sage_fused._bwd_ln_kernel); only the few residual rows need dy
+        # on the XLA side — computed pointwise after the gather, so the
+        # full-[N, H] prologue pass never materializes
+        rows = layout.r_dst
+        dy_r, _, _ = _ln_bwd_prologue(
+            g[rows], xhat[rows], rstd[rows], gamma, beta, negative_slope)
+        kt = layout.group_rows
+        t_r = jax.ops.segment_sum(
+            dy_r * layout.r_w_rev[:, None], layout.r_row_rev,
+            num_segments=layout.m_rev * kt, indices_are_sorted=True,
+        ).reshape(layout.m_rev, kt, g.shape[1])
+        dx, dwl, dwr, dstats = banded_sage_ln_bwd_pallas(
+            g.astype(x.dtype), xhat, rstd, wl, wr, gamma, beta,
+            layout.banded_rev, x, negative_slope=negative_slope,
+            resid=(t_r.astype(x.dtype), layout.rg_rev), interpret=interpret)
+        db = None if bias is None else dstats[2].astype(bias.dtype)
+        return (dx.astype(x.dtype), dwl.astype(wl.dtype),
+                dwr.astype(wr.dtype), db, dstats[0].astype(gamma.dtype),
+                dstats[1].astype(beta.dtype), None)
     dy, dgamma, dbeta = _ln_bwd_prologue(g, xhat, rstd, gamma, beta,
                                          negative_slope)
     gq = dy.astype(x.dtype)
-    f32 = jnp.float32
     t_r = residual_rev_compact(gq, layout)
-    if use_pallas:
-        dx, dwl, dwr = banded_sage_bwd_pallas(
-            gq, wl, wr, layout.banded_rev, x=x,
-            resid=(t_r.astype(gq.dtype), layout.rg_rev),
-            interpret=interpret)
-        dx = dx.astype(x.dtype)
-        dwl, dwr = dwl.astype(wl.dtype), dwr.astype(wr.dtype)
-    else:
-        t = spmm_banded_xla(gq, layout.banded_rev)
-        t = _expand_compact(t, t_r, layout.rg_rev)
-        dx = (
-            jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
-            + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
-        ).astype(x.dtype)
-        dwl = jnp.dot(x.T, t.astype(x.dtype),
-                      preferred_element_type=f32).astype(wl.dtype)
-        dwr = jnp.dot(x.T, gq.astype(x.dtype),
-                      preferred_element_type=f32).astype(wr.dtype)
+    t = spmm_banded_xla(gq, layout.banded_rev)
+    t = _expand_compact(t, t_r, layout.rg_rev)
+    dx = (
+        jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
+        + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
+    ).astype(x.dtype)
+    dwl = jnp.dot(x.T, t.astype(x.dtype),
+                  preferred_element_type=f32).astype(wl.dtype)
+    dwr = jnp.dot(x.T, gq.astype(x.dtype),
+                  preferred_element_type=f32).astype(wr.dtype)
     db = None if bias is None else dy.sum(axis=0).astype(bias.dtype)
     return dx, dwl, dwr, db, dgamma, dbeta, None
 

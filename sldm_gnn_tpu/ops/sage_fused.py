@@ -600,6 +600,272 @@ def _fused_vjp_bwd(use_pallas, negative_slope, interpret, res, g):
 banded_sage_apply.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
+def _bwd_ln_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
+                   has_resid, slope, has_ln_act):
+    """Fully-fused LN backward: streams the RAW upstream gradient g and the
+    forward's xhat/rstd residuals as windows and derives dL/dy_pre
+    IN-KERNEL — the XLA prologue pass (read g + xhat, write dy) and its
+    [N, H] dy materialization disappear. Per window:
+
+        z   = γ·xhat + β                  (act' sign — z is never stored)
+        g̃   = g·act'(z)
+        gz  = g̃·γ
+        dyᵤ = gz − mean(gz) − xhat·mean(gz·xhat)     (dy WITHOUT rstd)
+
+    rstd folds into the aggregation the same way the 1/deg col-scale
+    does (A @ (r ⊙ dy) == (A ⊙ rᵀ) @ dy), streaming as [wsz, T]
+    lane-aligned windows; the own-row terms (Wrᵀ, dWr, db) read rstd in
+    sublane form from a [N, 1] blocked operand — no lane↔sublane
+    relayouts anywhere. dγ/dβ/db accumulate in-kernel over OWN rows
+    (each node owned by exactly one block → exact row sums)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    rest = list(rest)
+    rg_ref = rest.pop(0) if has_resid else None
+    a_ref = rest.pop(0)
+    wlt_ref = rest.pop(0)
+    wrt_ref = rest.pop(0)
+    gamma_ref = rest.pop(0)
+    beta_ref = rest.pop(0)
+    tr_hbm = rest.pop(0) if has_resid else None
+    scale_hbm = rest.pop(0)
+    rstdw_hbm = rest.pop(0)   # [nb, T] lane-aligned rstd rows
+    g_hbm = rest.pop(0)       # RAW dL/dout
+    xh_hbm = rest.pop(0)      # forward xhat residual
+    rstdb_ref = rest.pop(0)   # [K*T, 1] blocked rstd (own rows, sublane)
+    x_ref = rest.pop(0)       # [K*T, D] blocked x (own rows)
+    dx_ref, dwl_ref, dwr_ref, dstats_ref = rest[:4]
+    gw, xhw, sw, rw, dyw, sems = rest[4:10]
+    if has_resid:
+        rsw, rsem = rest[10], rest[11]
+
+    g = pl.program_id(0)
+    num = pl.num_programs(0)
+
+    def win(slot, g_, hbm, dst, sem_i, rows):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(woff_ref[g_] * rows, wsz * rows), :]
+            if rows > 1 else hbm.at[pl.ds(woff_ref[g_], wsz), :],
+            dst.at[slot], sems.at[sem_i + slot])
+
+    def start_all(slot, g_):
+        win(slot, g_, g_hbm, gw, 0, tile).start()
+        win(slot, g_, xh_hbm, xhw, 2, tile).start()
+        win(slot, g_, rstdw_hbm, rw, 4, 1).start()
+        if has_scale:
+            win(slot, g_, scale_hbm, sw, 6, 1).start()
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        start_all(0, 0)
+        dwl_ref[...] = jnp.zeros_like(dwl_ref)
+        dwr_ref[...] = jnp.zeros_like(dwr_ref)
+        dstats_ref[...] = jnp.zeros_like(dstats_ref)
+
+    @pl.when(g + 1 < num)
+    def _():
+        start_all(jax.lax.rem(g + 1, 2), g + 1)
+
+    win(slot, g, g_hbm, gw, 0, tile).wait()
+    win(slot, g, xh_hbm, xhw, 2, tile).wait()
+    win(slot, g, rstdw_hbm, rw, 4, 1).wait()
+    if has_scale:
+        win(slot, g, scale_hbm, sw, 6, 1).wait()
+    if has_resid:
+        rgv = rg_ref[g]
+
+        @pl.when(rgv > 0)
+        def _():
+            cp = pltpu.make_async_copy(tr_hbm.at[rgv], rsw.at[0], rsem)
+            cp.start()
+            cp.wait()
+
+    gamma = gamma_ref[0].astype(f32)
+    beta = beta_ref[0].astype(f32)
+
+    def dy_unscaled(G, XH):
+        z = XH * gamma + beta
+        Gt = jnp.where(z > 0, G, slope * G) if has_ln_act else G
+        gz = Gt * gamma
+        m1 = jnp.mean(gz, axis=1, keepdims=True)
+        m2 = jnp.mean(gz * XH, axis=1, keepdims=True)
+        return gz - m1 - XH * m2, Gt
+
+    dyw[...], _ = dy_unscaled(gw[slot].astype(f32), xhw[slot].astype(f32))
+
+    wlt = wlt_ref[:].astype(jnp.bfloat16)
+    wrt = wrt_ref[:].astype(jnp.bfloat16)
+    tdot = (((0,), (0,)), ((), ()))
+    h = gw.shape[-1]
+    d = x_ref.shape[-1]
+    for kk in range(K):
+        offk = off_ref[g * K + kk]
+        acc = jnp.zeros((tile, h), f32)
+        for s in range(s_span):
+            rows = dyw[pl.ds((offk + s) * tile, tile), :]
+            a_s = a_ref[kk, s].astype(f32)
+            # fold rstd (and 1/deg when present) into A's COLUMNS — the
+            # algebraic twin of scaling the dy rows, relayout-free
+            cs = rw[slot, pl.ds(offk + s, 1), :]
+            if has_scale:
+                cs = cs * sw[slot, pl.ds(offk + s, 1), :]
+            a_s = (a_s * cs).astype(jnp.bfloat16)
+            acc += jnp.dot(a_s, rows.astype(jnp.bfloat16),
+                           preferred_element_type=f32)
+        if has_resid:
+            r_tile = rsw[0, kk * tile:(kk + 1) * tile, :].astype(f32)
+            acc += jnp.where(rgv > 0, r_tile, 0.0)
+        own = (g * K + kk) - woff_ref[g]
+        # own-row terms: recompute g̃ for the tile (cheap VPU) and scale
+        # dyᵤ by the blocked sublane rstd
+        Go = gw[slot, pl.ds(own * tile, tile), :].astype(f32)
+        XHo = xhw[slot, pl.ds(own * tile, tile), :].astype(f32)
+        _, Gto = dy_unscaled(Go, XHo)
+        rso = rstdb_ref[kk * tile:(kk + 1) * tile]  # [T, 1] f32
+        dyo = dyw[pl.ds(own * tile, tile), :] * rso
+        dx = jnp.dot(acc.astype(jnp.bfloat16), wlt, preferred_element_type=f32)
+        dx += jnp.dot(dyo.astype(jnp.bfloat16), wrt, preferred_element_type=f32)
+        dx_ref[kk * tile:(kk + 1) * tile] = dx.astype(dx_ref.dtype)
+        xo = x_ref[kk * tile:(kk + 1) * tile].astype(jnp.bfloat16)
+        dwl_ref[...] += jax.lax.dot_general(
+            xo, acc.astype(jnp.bfloat16), dimension_numbers=tdot,
+            preferred_element_type=f32)
+        dwr_ref[...] += jax.lax.dot_general(
+            xo, dyo.astype(jnp.bfloat16), dimension_numbers=tdot,
+            preferred_element_type=f32)
+        dstats_ref[...] += jnp.concatenate([
+            jnp.sum(Gto * XHo, axis=0, keepdims=True),   # dgamma
+            jnp.sum(Gto, axis=0, keepdims=True),         # dbeta
+            jnp.sum(dyo, axis=0, keepdims=True),         # db (bias pre-LN)
+            jnp.zeros((1, h), f32),
+        ], axis=0)
+
+
+def banded_sage_ln_bwd_pallas(
+    g: jax.Array,
+    xhat: jax.Array,
+    rstd: jax.Array,
+    wl: jax.Array,
+    wr: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    blocks_rev: BandedBlocks,
+    x: jax.Array,
+    *,
+    negative_slope: float | None,
+    out_dtype=None,
+    interpret: bool = False,
+    resid=None,
+):
+    """One-kernel LN-layer backward (see :func:`_bwd_ln_kernel`): consumes
+    the RAW ``g = dL/dout`` plus the forward's ``xhat``/``rstd [N, 1]``
+    residuals and returns ``(dx, dwl, dwr, dstats)`` with
+    ``dstats = [dgamma; dbeta; db; 0] [4, H]`` — no XLA prologue pass, no
+    dy materialization, t never leaves VMEM.
+
+    ``resid=(t_c, rg)``: compact reverse residual of the COMPLETE dy
+    (computed by the caller for the few overflow rows)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, h = g.shape
+    d = wl.shape[0]
+    assert wl.shape == (d, h) and wr.shape == (d, h)
+    assert not blocks_rev.wide, "LN bwd kernel uses the narrow layout"
+    assert blocks_rev.row_scale is None, "pass the REVERSE layout (col_scale form)"
+    assert xhat.shape == (n_pad, h) and rstd.shape == (n_pad, 1), (xhat.shape, rstd.shape)
+    assert x.shape == (n_pad, d), (x.shape, n_pad, d)
+    tile, K, wsz = blocks_rev.tile, blocks_rev.k, blocks_rev.wsz
+    nb = blocks_rev.num_dst_blocks
+    s_span = blocks_rev.s_span
+    assert n_pad == nb * tile, (n_pad, nb, tile)
+    steps = nb // K
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+    has_scale = blocks_rev.col_scale is not None
+    has_resid = resid is not None
+    scale = (blocks_rev.col_scale.reshape(nb, tile) if has_scale
+             else jnp.ones((1, tile), jnp.float32))
+    rstd_rows = rstd.reshape(nb, tile)  # lane-aligned window form
+
+    specs = [
+        pl.BlockSpec((K, s_span, tile, tile), lambda gg, *_: (gg, 0, 0, 0)),
+        pl.BlockSpec((h, d), lambda gg, *_: (0, 0)),   # Wlᵀ
+        pl.BlockSpec((h, d), lambda gg, *_: (0, 0)),   # Wrᵀ
+        pl.BlockSpec((1, h), lambda gg, *_: (0, 0)),   # gamma
+        pl.BlockSpec((1, h), lambda gg, *_: (0, 0)),   # beta
+    ]
+    args = [blocks_rev.a, wl.T, wr.T, gamma.reshape(1, h), beta.reshape(1, h)]
+    prefetch = [blocks_rev.woff, blocks_rev.off]
+    scratch = [
+        pltpu.VMEM((2, wsz * tile, h), g.dtype),       # g windows
+        pltpu.VMEM((2, wsz * tile, h), xhat.dtype),    # xhat windows
+        pltpu.VMEM((2, wsz, tile), jnp.float32),       # 1/deg windows
+        pltpu.VMEM((2, wsz, tile), jnp.float32),       # rstd windows
+        pltpu.VMEM((wsz * tile, h), jnp.float32),      # dyᵤ (this step)
+        pltpu.SemaphoreType.DMA((8,)),
+    ]
+    if has_resid:
+        t_c, rg = resid
+        assert t_c.shape[1] == K * tile and t_c.shape[2] == h, t_c.shape
+        specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(t_c)
+        prefetch.append(rg)
+        scratch += [pltpu.VMEM((1, K * tile, h), t_c.dtype),
+                    pltpu.SemaphoreType.DMA(())]
+    specs += [
+        pl.BlockSpec(memory_space=pl.ANY),                      # 1/deg rows
+        pl.BlockSpec(memory_space=pl.ANY),                      # rstd rows
+        pl.BlockSpec(memory_space=pl.ANY),                      # g
+        pl.BlockSpec(memory_space=pl.ANY),                      # xhat
+        pl.BlockSpec((K * tile, 1), lambda gg, *_: (gg, 0)),    # rstd blocked
+        pl.BlockSpec((K * tile, d), lambda gg, *_: (gg, 0)),    # x blocked
+    ]
+    args += [scale, rstd_rows, g, xhat, rstd, x]
+
+    out_specs = (
+        pl.BlockSpec((K * tile, d), lambda gg, *_: (gg, 0)),    # dx
+        pl.BlockSpec((d, h), lambda gg, *_: (0, 0)),            # dWl
+        pl.BlockSpec((d, h), lambda gg, *_: (0, 0)),            # dWr
+        pl.BlockSpec((4, h), lambda gg, *_: (0, 0)),            # dstats
+    )
+    vma = _operand_vma(g, xhat, wl, wr, blocks_rev.a)
+    out_shape = (
+        jax.ShapeDtypeStruct((n_pad, d), out_dtype, vma=vma),
+        jax.ShapeDtypeStruct((d, h), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct((d, h), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct((4, h), jnp.float32, vma=vma),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(prefetch),
+        grid=(steps,),
+        in_specs=specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    slope = 0.0 if negative_slope is None else float(negative_slope)
+    return pl.pallas_call(
+        partial(_bwd_ln_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,
+                has_scale=has_scale, has_resid=has_resid, slope=slope,
+                has_ln_act=negative_slope is not None),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * tile * h * (s_span * tile + 2 * d)
+            + 4 * nb * tile * d * h,
+            bytes_accessed=blocks_rev.a.size * blocks_rev.a.dtype.itemsize
+            + steps * wsz * tile * (g.dtype.itemsize + xhat.dtype.itemsize) * h
+            + n_pad * d * (x.dtype.itemsize + jnp.dtype(out_dtype).itemsize),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*prefetch, *args)
+
+
 # ------------------------------------------- LayerNorm-fused layer (VJP)
 
 
@@ -682,28 +948,32 @@ def _ln_vjp_fwd(x, wl, wr, bias, gamma, beta, blocks_fwd, blocks_rev,
 
 def _ln_vjp_bwd(use_pallas, negative_slope, eps, interpret, res, g):
     x, wl, wr, bias, gamma, beta, xhat, rstd, blocks_rev = res
+    f32 = jnp.float32
+    if use_pallas and not blocks_rev.wide:
+        # one-kernel backward: dy derived in-kernel from the raw g and the
+        # xhat/rstd residuals; dgamma/dbeta/db accumulate in-kernel too
+        dx, dwl, dwr, dstats = banded_sage_ln_bwd_pallas(
+            g.astype(x.dtype), xhat, rstd, wl, wr, gamma, beta, blocks_rev,
+            x, negative_slope=negative_slope, interpret=interpret)
+        db = None if bias is None else dstats[2].astype(bias.dtype)
+        return (dx.astype(x.dtype), dwl.astype(wl.dtype),
+                dwr.astype(wr.dtype), db, dstats[0].astype(gamma.dtype),
+                dstats[1].astype(beta.dtype), None, None)
     dy, dgamma, dbeta = _ln_bwd_prologue(g, xhat, rstd, gamma, beta,
                                          negative_slope)
     gq = dy.astype(x.dtype)
-    f32 = jnp.float32
-    if use_pallas and not blocks_rev.wide:
-        dx, dwl, dwr = banded_sage_bwd_pallas(gq, wl, wr, blocks_rev,
-                                              x=x, interpret=interpret)
-        dx = dx.astype(x.dtype)
-        dwl, dwr = dwl.astype(wl.dtype), dwr.astype(wr.dtype)
+    if use_pallas:
+        t = spmm_banded_pallas(gq, blocks_rev, interpret=interpret)
     else:
-        if use_pallas:
-            t = spmm_banded_pallas(gq, blocks_rev, interpret=interpret)
-        else:
-            t = spmm_banded_xla(gq, blocks_rev)
-        dx = (
-            jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
-            + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
-        ).astype(x.dtype)
-        dwl = jnp.dot(x.T, t.astype(x.dtype),
-                      preferred_element_type=f32).astype(wl.dtype)
-        dwr = jnp.dot(x.T, gq.astype(x.dtype),
-                      preferred_element_type=f32).astype(wr.dtype)
+        t = spmm_banded_xla(gq, blocks_rev)
+    dx = (
+        jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
+        + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
+    ).astype(x.dtype)
+    dwl = jnp.dot(x.T, t.astype(x.dtype),
+                  preferred_element_type=f32).astype(wl.dtype)
+    dwr = jnp.dot(x.T, gq.astype(x.dtype),
+                  preferred_element_type=f32).astype(wr.dtype)
     db = None if bias is None else dy.sum(axis=0).astype(bias.dtype)
     return dx, dwl, dwr, db, dgamma, dbeta, None, None
 

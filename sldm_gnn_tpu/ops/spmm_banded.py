@@ -100,6 +100,34 @@ def widen_banded(blocks: BandedBlocks) -> BandedBlocks:
     )
 
 
+def int4_count_safe(blocks: BandedBlocks) -> bool:
+    """Host-side gate for :func:`counts_to_int4`: every count tile value
+    fits int4 ([-8, 7]). True for any simple (unique-edge) graph — counts
+    are 0/1 there; multi-edges can exceed it (e.g. the synthetic
+    generator's boundary clipping)."""
+    a = np.asarray(blocks.a)
+    return a.dtype == np.int8 and int(a.max(initial=0)) <= 7
+
+
+def counts_to_int4(blocks: BandedBlocks) -> BandedBlocks:
+    """int8 count tiles -> int4 (packed 2/byte): halves the dominant
+    A-tile HBM stream with EXACT math (integer counts, bf16 conversion in
+    the kernel is value-identical for |v| <= 7). Measured +3.9% on the
+    fused headline step (2.409 -> 2.319 ms, BASELINE.md).
+
+    Call IN-TRACE (inside the jitted step, before the timing/training
+    loop): S4 device arrays cannot cross a jit boundary through the axon
+    relay (its device_put recurses), and an in-loop convert would re-read
+    the int8 tiles every iteration. Gate with :func:`int4_count_safe` on
+    the host first — values outside [-8, 7] would wrap silently."""
+    return BandedBlocks(
+        a=blocks.a.astype(jnp.int4), bo=blocks.bo, woff=blocks.woff,
+        off=blocks.off, row_scale=blocks.row_scale,
+        col_scale=blocks.col_scale, tile=blocks.tile, wsz=blocks.wsz,
+        k=blocks.k, wide=blocks.wide,
+    )
+
+
 def build_banded_blocks(
     src: np.ndarray,
     dst: np.ndarray,

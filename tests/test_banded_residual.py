@@ -292,3 +292,42 @@ def test_ln_fused_with_residual(rng, slope):
         g, w_ = np.asarray(g), np.asarray(w_)
         scale = np.abs(w_).max() + 1e-9
         assert np.abs(g - w_).max() / scale < 6e-2, name
+
+
+def test_count_cap_spills_multiplicity(rng):
+    """count_cap=7: duplicated (src, dst) pairs beyond the cap move to the
+    residual; banded tiles become int4-safe and the aggregation stays
+    EXACT (vs the uncapped layout and the edge-list reference)."""
+    from sldm_gnn_tpu.graph.csr import mean_weights
+    from sldm_gnn_tpu.ops.spmm_banded import counts_to_int4, int4_count_safe
+
+    n, tile, k, d = 1500, 64, 4, 8
+    src, dst = _near_banded_graph(rng, n=n, n_outliers=10)
+    # inject heavy multi-edges: one pair repeated 12x, another 9x
+    src = np.concatenate([src, np.full(12, 100), np.full(9, 700)])
+    dst = np.concatenate([dst, np.full(12, 103), np.full(9, 698)])
+    cap, n_pad = prepare_banded_residual_mean_aggregate(
+        src, dst, n, tile=tile, k=k, span=4, count_cap=7)
+    unc, _ = prepare_banded_residual_mean_aggregate(
+        src, dst, n, tile=tile, k=k, span=4)
+    assert int(np.asarray(unc.banded_fwd.a).max()) > 7  # the artifact exists
+    assert int4_count_safe(cap.banded_fwd) and int4_count_safe(cap.banded_rev)
+    assert len(cap.r_src) > len(unc.r_src)  # excess copies spilled
+
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    w = jnp.asarray(mean_weights(dst, n_pad))
+    want = np.asarray(spmm_xla(x, jnp.asarray(src), jnp.asarray(dst), w, n_pad))
+    got = np.asarray(spmm_banded_residual_apply(
+        x, jax.tree.map(jnp.asarray, cap), False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # in-trace int4 view of the capped banded halves: same integer math
+    # (ulp-level differences only — XLA reassociates the f32 sums around
+    # the convert; the Pallas kernel path measured bit-exact on chip)
+    lj = jax.tree.map(jnp.asarray, cap)
+    import dataclasses
+    got4 = np.asarray(jax.jit(lambda x: spmm_banded_residual_apply(
+        x, dataclasses.replace(
+            lj, banded_fwd=counts_to_int4(lj.banded_fwd),
+            banded_rev=counts_to_int4(lj.banded_rev)), False))(x))
+    np.testing.assert_allclose(got4, got, rtol=1e-6, atol=1e-6)
