@@ -483,12 +483,22 @@ def main():
         from sldm_gnn_tpu.ops.spmm_banded import counts_to_int4, int4_count_safe
 
         if spmm_backend == "banded":
-            if a_int4 == "1" or (int4_count_safe(banded_fwd)
-                                 and int4_count_safe(banded_rev)):
-                prep = lambda bf, br: (counts_to_int4(bf), counts_to_int4(br))
+            pair = (banded_fwd, banded_rev)
         else:
-            if a_int4 == "1" or (int4_count_safe(rlayout.banded_fwd)
-                                 and int4_count_safe(rlayout.banded_rev)):
+            pair = (rlayout.banded_fwd, rlayout.banded_rev)
+        safe = int4_count_safe(pair[0]) and int4_count_safe(pair[1])
+        if a_int4 == "1" and not safe:
+            # forcing past the safety gate would wrap counts >7 silently —
+            # fail loudly instead of producing plausible-but-wrong math
+            raise SystemExit(
+                "BENCH_A_INT4=1 but count tiles exceed the int4 range "
+                "[-8, 7]; the converted A would wrap. Use the "
+                "banded_residual backend (count_cap=7 spills excess "
+                "multiplicity) or BENCH_A_INT4=0.")
+        if safe:
+            if spmm_backend == "banded":
+                prep = lambda bf, br: (counts_to_int4(bf), counts_to_int4(br))
+            else:
                 import dataclasses
 
                 prep = lambda bf, br: (dataclasses.replace(

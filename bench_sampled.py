@@ -75,10 +75,10 @@ def main():
         edges = 0
         done = 0
         loss = None
-        for levels, masks, y, _ in it:
+        for levels, masks, y, _, n_edges in it:
             key, sub = jax.random.split(key)
             state, loss = train_step(state, x, levels, masks, y, sub)
-            edges += sum(int(m.sum()) for m in probe.masks[1:])
+            edges += n_edges  # THIS batch's host-counted valid tree edges
             done += 1
             if done >= n_steps:
                 break

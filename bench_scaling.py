@@ -27,7 +27,8 @@ Modes (SCALE_MODE):
 Prints one JSON line per mesh size.
 
 Env knobs: SCALE_NODES, SCALE_DEG, SCALE_DIM, SCALE_POINTS (comma list),
-SCALE_ITERS, SCALE_MODE, SCALE_HALO_BACKEND, SCALE_HIDDEN, SCALE_CLASSES.
+SCALE_ITERS, SCALE_MODE, SCALE_HALO_BACKEND, SCALE_HIDDEN, SCALE_CLASSES,
+SCALE_FUSED (halo_model only: fused-kernel plan + fused_ln model).
 """
 
 import json
@@ -118,15 +119,25 @@ def main():
         }
 
         if mode == "halo_model":
+            # SCALE_FUSED=1: the fused-kernel halo plan (parallel/halo_fused.py)
+            # — boundary partial riding the fused banded kernels' resid
+            # operand; fused_ln folds conv+LN+act into one kernel each way
+            fused = bool(int(os.environ.get("SCALE_FUSED", 0)))
             try:
-                plan = plan_halo_blocked(src, dst, n, ep, backend=halo_backend,
-                                         banded_k=8)
+                if fused:
+                    from sldm_gnn_tpu.parallel.halo_fused import plan_halo_fused
+
+                    plan = plan_halo_fused(src, dst, n, ep, banded_k=8)
+                else:
+                    plan = plan_halo_blocked(src, dst, n, ep, backend=halo_backend,
+                                             banded_k=8)
             except ValueError as err:
                 print(json.dumps({"devices": ep, "error": str(err)}))
                 continue
             model = HaloSageClassifier(
                 hidden_dims=hidden, num_classes=ncls, dims=HaloDims.of(plan),
-                dropout=0.25, negative_slope=0.1, use_pallas=use_pallas)
+                dropout=0.25, negative_slope=0.1, use_pallas=use_pallas,
+                fused_ln=fused)
             fns = build_halo_step_fns(model, make_optimizer(1e-3, 1e-5), mesh, plan)
             x_stack = jax.device_put(
                 shard_node_array(
@@ -246,6 +257,8 @@ def main():
                     "scaling_efficiency": round(eff, 3),
                     "backend": jax.default_backend(),
                     "halo_backend": halo_backend if mode.startswith("halo") else None,
+                    "fused": bool(int(os.environ.get("SCALE_FUSED", 0)))
+                    if mode == "halo_model" else None,
                 }
             ),
             flush=True,

@@ -247,8 +247,36 @@ def train_combination(
               help="Data-parallel SPMD training over N devices (shard_map "
                    "over a 'dp' mesh with AD-inserted gradient psums); "
                    "0/1 = single device.")
+@click.option("--sampled", is_flag=True, default=False,
+              help="Config-3 mode: neighbor-sampled mini-batch node "
+                   "classification on ONE large graph (the PyG "
+                   "NeighborLoader replacement, train/sampled_loop.py). "
+                   "INPUTDIR must contain graph.npz with arrays src, dst, "
+                   "x [N, D], y [N]; the sweep grid is bypassed.")
+@click.option("--fanouts", default="25,10", show_default=True,
+              help="Per-layer neighbor fanouts for --sampled (outermost "
+                   "first, BASELINE config 3 default).")
+@click.option("--sampled-batch-size", type=int, default=1024, show_default=True,
+              help="Seed batch size for --sampled.")
+@click.option("--sampled-hidden", default="96,96", show_default=True,
+              help="Hidden dims for --sampled (matches the fanout depth).")
+@click.option("--sampled-lr", type=float, default=1e-3, show_default=True,
+              help="Learning rate for --sampled.")
+@click.option("--sampled-wd", type=float, default=5e-5, show_default=True,
+              help="Weight decay for --sampled.")
 @click.option("-y", "--yes", is_flag=True, default=False, help="Skip the confirmation prompt.")
-def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep, checkpoints, dp, yes):
+def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
+         checkpoints, dp, sampled, fanouts, sampled_batch_size, sampled_hidden,
+         sampled_lr, sampled_wd, yes):
+    if sampled:
+        return _run_sampled(
+            inputdir, outdir,
+            fanouts=tuple(int(f) for f in fanouts.split(",")),
+            batch_size=sampled_batch_size,
+            hidden_dims=tuple(int(h) for h in sampled_hidden.split(",")),
+            epochs=epochs_override or 5,
+            lr=sampled_lr, weight_decay=sampled_wd,
+        )
     psc = ParamSweepContext(GRUSAGE_PARAMS_DICT)
     click.echo(f"TOT_COMBINATIONS={len(psc)}")
     if not yes and not click.confirm("Train all combinations?", default=True):
@@ -298,6 +326,58 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
 
             click.echo(f"Combination {i + 1} FAILED: {e}")
             click.echo(traceback.format_exc())
+
+
+def _run_sampled(inputdir: Path, outdir: Path, *, fanouts, batch_size,
+                 hidden_dims, epochs, lr: float = 1e-3,
+                 weight_decay: float = 5e-5):
+    """Config-3 driver: fanout-sampled mini-batch training on one large
+    node-classification graph (replaces the reference's PyG NeighborLoader
+    native sampler, /root/reference/install_dependencies.sh:10)."""
+    import json as _json
+    import pickle
+
+    import jax
+
+    from ..train.sampled_loop import train_sampled_classifier
+
+    gpath = inputdir.resolve() / "graph.npz"
+    if not gpath.exists():
+        raise click.ClickException(f"--sampled expects {gpath} (src, dst, x, y)")
+    data = np.load(gpath)
+    for key in ("src", "dst", "x", "y"):
+        if key not in data:
+            raise click.ClickException(f"graph.npz missing array {key!r}")
+    src, dst, x, y = data["src"], data["dst"], data["x"], data["y"]
+    if len(hidden_dims) != len(fanouts):
+        raise click.ClickException(
+            f"--sampled-hidden depth {len(hidden_dims)} must match "
+            f"--fanouts depth {len(fanouts)}")
+    click.echo(
+        f"Sampled training: N={len(x)} E={len(src)} fanouts={list(fanouts)} "
+        f"batch={batch_size} epochs={epochs}")
+    state, res = train_sampled_classifier(
+        src, dst, len(x), x, y, hidden_dims=hidden_dims, fanouts=fanouts,
+        batch_size=batch_size, epochs=epochs, lr=lr,
+        weight_decay=weight_decay)
+    outdir.mkdir(parents=True, exist_ok=True)
+    with open(outdir / "SAMPLED_state.pkl", "wb") as fh:
+        pickle.dump({
+            "params": jax.device_get(state.params),
+            "fanouts": list(fanouts), "hidden_dims": list(hidden_dims),
+            "num_classes": int(np.asarray(y).max()) + 1,
+        }, fh)
+    metrics = {
+        "train_loss": res.train_loss.tolist(),
+        "val_acc": res.val_acc.tolist(),
+        "seeds_per_s": res.seeds_per_s,
+        "sampled_edges_per_s": res.sampled_edges_per_s,
+    }
+    (outdir / "sampled_metrics.json").write_text(_json.dumps(metrics, indent=1))
+    click.echo(
+        f"val acc {res.val_acc[-1]:.4f}; {res.seeds_per_s:.1f} seeds/s "
+        f"({res.sampled_edges_per_s:.3g} sampled edges/s) -> {outdir}")
+    return state, res
 
 
 def _run_vmap_sweep(combos, *, inputdir, outdir, lbnum, cut, include_map, mu_sigma,

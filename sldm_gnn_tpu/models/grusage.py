@@ -66,6 +66,16 @@ class GruSageConfig:
     # SPMD: mesh axis name over which the map graph's edges are partitioned
     # (None = map encoder runs fully local/replicated)
     map_edge_axis: str | None = None
+    # SPMD: mesh axis over which the map SEGMENTS are sharded — the fully-
+    # sharded map branch for maps that do not fit replicated (SURVEY.md §7
+    # hard part 5): the encoder aggregates via halo exchange and returns
+    # only local [S/P, H] rows; the KNN attention merges per-shard top-k
+    # candidates (ops/knn.knn_topk_sharded) — the [S, D] table, [S, 2]
+    # centroids, and [V, S] distances never materialize on a device.
+    # ``map_data`` must then be a ShardedMapData (shard_map_data_segments)
+    # and the model must run inside shard_map (parallel/data_parallel.py).
+    # Mutually exclusive with map_edge_axis.
+    map_segment_axis: str | None = None
     # message passing family for the vehicle graph: 'sage' (mean aggregation,
     # reference parity) or 'attention' (edge dot-product attention)
     sage_type: str = "sage"
@@ -116,6 +126,11 @@ class GruSage(nn.Module):
         )
         self.fc1s = MLPStack(c.fc1dims, dropout=c.dropout, negative_slope=c.negative_slope, dtype=dt)
         if c.map_included:
+            if c.map_edge_axis is not None and c.map_segment_axis is not None:
+                raise ValueError(
+                    "map_edge_axis and map_segment_axis are mutually "
+                    "exclusive (edge-sharded replicated encoder vs fully "
+                    "segment-sharded map branch)")
             self.map_encoder = MapEncoder(
                 num_lane_types=c.num_lane_types,
                 lane_embed_dim=c.mapenc_lane_embdim,
@@ -123,8 +138,12 @@ class GruSage(nn.Module):
                 dropout=c.dropout,
                 negative_slope=c.negative_slope,
                 edge_axis=c.map_edge_axis,
+                segment_axis=c.map_segment_axis,
             )
-            self.map_attention = MapSpatialAttention(k_neighbors=c.map_attention_topk)
+            self.map_attention = MapSpatialAttention(
+                k_neighbors=c.map_attention_topk,
+                segment_axis=c.map_segment_axis,
+            )
         if c.sage_type == "attention":
             from .attention import AttentionBlock
 
@@ -178,7 +197,13 @@ class GruSage(nn.Module):
             if map_embeddings is None:
                 assert map_data is not None, "map_included model needs map_data or baked embeddings"
                 map_embeddings = self.map_encoder(map_data, train=train)
-                map_centroids = map_data.centroids
+                if c.map_segment_axis is not None:
+                    # segment-sharded branch: local embedding rows + local
+                    # centroids; the attention's k-way merge produces the
+                    # replicated [V, D] context
+                    map_centroids = map_data.centroids[0]
+                else:
+                    map_centroids = map_data.centroids
             elif map_centroids is None:
                 raise ValueError(
                     "baked map_embeddings require map_centroids (snapshots "

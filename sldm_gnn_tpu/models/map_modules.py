@@ -21,6 +21,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.knn import knn_topk, knn_topk_sharded
 from .blocks import SageBlock
@@ -70,6 +71,108 @@ class MapData:
         return jnp.ones(self.edge_src.shape[0], dtype=bool)
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ShardedMapData:
+    """Segment-sharded map tensors + halo-exchange plan, stacked over a
+    leading ep axis (built once by :func:`shard_map_data_segments`; every
+    leaf is sharded with spec ``P(axis)`` so a shard_map body sees its own
+    ``[1, ...]`` slice). The [S, D] embedding table, the [S, 2] centroids,
+    and the [V, S] distance matrix are NEVER materialized on any device —
+    the encoder aggregates with an O(boundary) halo all-to-all
+    (parallel/halo.py) and the attention merges per-shard top-k candidates
+    (ops/knn.knn_topk_sharded). SURVEY.md §7 hard part 5 (maps that do not
+    fit replicated)."""
+
+    feats: jax.Array           # [ep, s_local, F] z-scored local features
+    lane_type_cats: jax.Array  # [ep, s_local]
+    centroids: jax.Array       # [ep, s_local, 2] (padding rows pushed far)
+    send_idx: jax.Array        # [ep, ep, H] halo plan (parallel/halo.py)
+    src_local: jax.Array       # [ep, Em] edge sources (local + halo rows)
+    dst_local: jax.Array       # [ep, Em] edge destinations (local rows)
+    weight: jax.Array          # [ep, Em] 1/deg mean weights (0 on padding)
+
+    @property
+    def s_local(self) -> int:
+        return self.feats.shape[-2]
+
+
+def shard_map_data_segments(map_data: MapData, ep: int) -> ShardedMapData:
+    """Segment-shard a :class:`MapData` over ``ep`` contiguous ranges and
+    build the halo-exchange plan for its edges (host-side, once). Padding
+    segments (S -> ep*s_local) get far-away centroids so they never enter
+    any vehicle's top-k."""
+    from ..parallel.halo import plan_halo_partition
+
+    s = map_data.num_segments
+    mask = np.asarray(map_data.mask())
+    src = np.asarray(map_data.edge_src)[mask].astype(np.int64)
+    dst = np.asarray(map_data.edge_dst)[mask].astype(np.int64)
+    plan, s_local = plan_halo_partition(src, dst, s, ep, mean=True)
+    s_pad = ep * s_local
+
+    def pad_rows(a, fill=0.0):
+        a = np.asarray(a)
+        out = np.full((s_pad,) + a.shape[1:], fill, a.dtype)
+        out[:s] = a
+        return out.reshape((ep, s_local) + a.shape[1:])
+
+    return ShardedMapData(
+        feats=pad_rows(map_data.feats),
+        lane_type_cats=pad_rows(np.asarray(map_data.lane_type_cats), 0),
+        centroids=pad_rows(map_data.centroids, 1e9),
+        send_idx=np.asarray(plan.send_idx),
+        src_local=np.asarray(plan.src_local),
+        dst_local=np.asarray(plan.dst_local),
+        weight=np.asarray(plan.weight),
+    )
+
+
+class _HaloSageConv(nn.Module):
+    """SageConv (lin_l on the mean aggregate + lin_r skip) whose mean
+    aggregation is the halo-exchange path — same param names/shapes as
+    :class:`~sldm_gnn_tpu.models.blocks.SageConv`, so checkpoints move
+    between replicated and segment-sharded execution."""
+
+    out_dim: int
+    axis_name: str
+
+    @nn.compact
+    def __call__(self, x_local, smd: ShardedMapData):
+        from ..parallel.halo import HaloPlan, halo_aggregate
+
+        plan = HaloPlan(send_idx=smd.send_idx, src_local=smd.src_local,
+                        dst_local=smd.dst_local, weight=smd.weight)
+        agg = halo_aggregate(x_local, plan, smd.s_local,
+                             axis_name=self.axis_name)
+        out = nn.Dense(self.out_dim, use_bias=True, name="lin_l")(agg)
+        return out + nn.Dense(self.out_dim, use_bias=False, name="lin_r")(x_local)
+
+
+class _HaloSageStack(nn.Module):
+    """SageBlock twin over the segment-sharded map graph (conv{i} ->
+    LayerNorm(1e-5) -> act -> dropout; param tree equals SageBlock's)."""
+
+    hidden_dims: Sequence[int]
+    axis_name: str
+    dropout: float | None = None
+    negative_slope: float | None = None
+
+    @nn.compact
+    def __call__(self, x_local, smd: ShardedMapData, *, train: bool = False):
+        from .blocks import _activation
+
+        for i, h in enumerate(self.hidden_dims):
+            x_local = _HaloSageConv(h, axis_name=self.axis_name,
+                                    name=f"conv{i}")(x_local, smd)
+            x_local = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x_local)
+            x_local = _activation(x_local, self.negative_slope)
+            if self.dropout is not None:
+                x_local = nn.Dropout(rate=self.dropout,
+                                     deterministic=not train)(x_local)
+        return x_local
+
+
 class MapEncoder(nn.Module):
     num_lane_types: int
     lane_embed_dim: int = 2
@@ -77,13 +180,27 @@ class MapEncoder(nn.Module):
     dropout: float | None = None
     negative_slope: float | None = None
     edge_axis: str | None = None
+    # segment sharding (under shard_map): __call__ takes a ShardedMapData
+    # slice and returns the LOCAL [s_local, H] embedding rows — the full
+    # table never materializes. Mutually exclusive with edge_axis.
+    segment_axis: str | None = None
 
     @property
     def out_dim(self) -> int:
         return self.sage_hidden_dims[-1]
 
     @nn.compact
-    def __call__(self, map_data: MapData, *, train: bool = False):
+    def __call__(self, map_data, *, train: bool = False):
+        if self.segment_axis is not None:
+            smd: ShardedMapData = map_data
+            lane_emb = nn.Embed(self.num_lane_types, self.lane_embed_dim,
+                                name="lane_embedding")(smd.lane_type_cats[0])
+            x = jnp.concatenate([smd.feats[0], lane_emb], axis=1)
+            return _HaloSageStack(
+                self.sage_hidden_dims, axis_name=self.segment_axis,
+                dropout=self.dropout, negative_slope=self.negative_slope,
+                name="sage",
+            )(x, map_data, train=train)
         lane_emb = nn.Embed(self.num_lane_types, self.lane_embed_dim, name="lane_embedding")(
             map_data.lane_type_cats
         )

@@ -250,6 +250,12 @@ def prepare_banded_residual_mean_aggregate(
         if drop.any():
             keep[kept_idx[order[drop]]] = False
         frac = float((len(src) - keep.sum()) / e)
+        if frac > 4 * resid_frac:
+            raise ValueError(
+                f"residual fraction {frac:.4f} after count_cap={count_cap} "
+                f"multiplicity spill exceeds {4 * resid_frac:.4f}: graph has "
+                "too much edge multiplicity for the near-banded tier — use "
+                "the dense/hybrid backends")
 
     s_in, d_in = src[keep], dst[keep]
     fwd = build_banded_counts(s_in, d_in, num_nodes, tile=tile, k=k, max_span=span)
@@ -395,7 +401,9 @@ def _vjp_bwd(use_pallas, negative_slope, interpret, res, g):
     gq = g.astype(x.dtype)
     f32 = jnp.float32
     t_r = residual_rev_compact(gq, layout)  # compact Rᵀ g̃
-    if use_pallas:
+    # same gate as sage_fused._vjp_bwd: a widened reverse layout can't feed
+    # the narrow-slot fused kernel — fall through to the XLA branch
+    if use_pallas and not layout.banded_rev.wide:
         # dx AND the dW matmuls in one fused reverse pass; the compact
         # residual is injected into the aggregate before the in-kernel
         # dx/dWl matmuls, so every output carries the full Âᵀ g̃ — and t
@@ -478,7 +486,7 @@ def _ln_vjp_bwd(use_pallas, negative_slope, eps, interpret, res, g):
 
     x, wl, wr, bias, gamma, beta, xhat, rstd, layout = res
     f32 = jnp.float32
-    if use_pallas:
+    if use_pallas and not layout.banded_rev.wide:
         # dy is derived IN-KERNEL from the raw g + xhat/rstd residuals
         # (sage_fused._bwd_ln_kernel); only the few residual rows need dy
         # on the XLA side — computed pointwise after the gather, so the

@@ -27,3 +27,16 @@ from .halo import (  # noqa: F401
     make_halo_sage_step,
     make_halo_pallas_sage_step,
 )
+from .halo_fused import (  # noqa: F401
+    CompactBoundary,
+    HaloFusedPlan,
+    plan_halo_fused,
+    halo_fused_sage,
+    halo_fused_sage_ln,
+)
+from .halo_model import (  # noqa: F401
+    HaloDims,
+    HaloSageClassifier,
+    build_halo_step_fns,
+    train_halo_classifier,
+)

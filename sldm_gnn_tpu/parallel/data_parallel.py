@@ -83,7 +83,19 @@ def make_dp_train_step(
     """
     ep = mesh.shape.get("ep", 1)
     edge_sharded = model.cfg.map_included and model.cfg.map_edge_axis is not None
-    if edge_sharded:
+    segment_sharded = model.cfg.map_included and model.cfg.map_segment_axis is not None
+    if segment_sharded:
+        # fully-sharded map branch: every ShardedMapData leaf is stacked
+        # over ep (segments, centroids, halo plan) — the encoder and
+        # attention only ever touch their local [S/P, ...] slice
+        from ..models.map_modules import ShardedMapData, shard_map_data_segments
+
+        assert map_data is not None
+        if not isinstance(map_data, ShardedMapData):
+            map_data = shard_map_data_segments(map_data, ep)
+        map_shards = jax.tree.map(jnp.asarray, map_data)
+        md_specs = jax.tree.map(lambda _: P("ep"), map_shards)
+    elif edge_sharded:
         assert map_data is not None
         map_shards = jax.tree.map(jnp.asarray, shard_map_data(map_data, ep))
         md_specs = MapData(

@@ -369,6 +369,95 @@ def _pad_chunks(blocked, w_target: int):
     )
 
 
+def plan_banded_interior(
+    split: HaloPlanSplit,
+    dst: np.ndarray,
+    n_local: int,
+    n_pad_local: int,
+    *,
+    mean: bool = True,
+    tile: int,
+    banded_k: int,
+    banded_max_span: int,
+):
+    """Stacked per-shard banded layouts for the INTERIOR edges of a halo
+    split (the per-shard node space inherits the global graph's bandedness
+    under contiguous node-range sharding). Returns
+    ``(int_fwd, int_rev, n_pad_local)`` — stacked
+    :class:`~sldm_gnn_tpu.ops.spmm_banded.BandedBlocks` with FULL-degree
+    row/col scales (interior + boundary edges sum to the exact mean).
+    Raises ValueError when a shard's interior span exceeds
+    ``banded_max_span``."""
+    from ..ops.spmm_banded import BandedBlocks, build_banded_counts
+
+    ep = split.ep
+    nbl = n_pad_local // tile
+    nbl = ((nbl + banded_k - 1) // banded_k) * banded_k
+    n_pad_local = nbl * tile
+    deg = np.bincount(np.asarray(dst, np.int64), minlength=ep * n_local)
+    inv = ((1.0 / np.maximum(deg, 1)) if mean else np.ones(ep * n_local)).astype(np.float32)
+
+    # the common (s_span, wsz) the stacked per-shard layouts must share
+    # are pure functions of per-block source-block bounds — one cheap
+    # scatter-min/max pre-pass over each shard/direction, then every
+    # O(E) adjacency fill runs exactly once with the forced floors
+    edges = []
+    for p in range(ep):
+        mi = np.asarray(split.int_w[p]) > 0
+        isrc = np.asarray(split.int_src[p])[mi].astype(np.int64)
+        idst = np.asarray(split.int_dst[p])[mi].astype(np.int64)
+        edges.append((isrc, idst))
+
+    def span_bounds(s, d_):
+        bo = np.arange(nbl, dtype=np.int64)
+        hi = bo.copy()
+        if len(s):
+            np.minimum.at(bo, d_ // tile, s // tile)
+            np.maximum.at(hi, d_ // tile, s // tile)
+        return bo, hi
+
+    bounds = [span_bounds(*pair) for p in range(ep)
+              for pair in (edges[p], edges[p][::-1])]
+    s_common = max(int((hi - bo + 1).max()) for bo, hi in bounds)
+    if s_common > banded_max_span:
+        raise ValueError(
+            f"source span {s_common} tiles exceeds max_span="
+            f"{banded_max_span}: shard interiors are not banded")
+    w_common = 0
+    for bo, _ in bounds:
+        base = np.minimum(bo, max(nbl - s_common, 0)).reshape(-1, banded_k)
+        spread = int((base.max(axis=1) - base.min(axis=1)).max()) if len(base) else 0
+        w_common = max(w_common, spread + s_common)
+
+    built = [
+        tuple(
+            build_banded_counts(s, d_, n_pad_local, tile=tile, k=banded_k,
+                                max_span=banded_max_span,
+                                s_span_min=s_common, wsz_min=w_common)
+            for s, d_ in (pair, pair[::-1])
+        )
+        for pair in edges
+    ]
+    assert len({b.s_span for t in built for b in t}) == 1
+    assert len({b.wsz for t in built for b in t}) == 1
+
+    def stack_banded(blocks_list, *, row: bool):
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *blocks_list)
+        scale = np.zeros((ep, n_pad_local, 1), np.float32)
+        for p in range(ep):
+            scale[p, :n_local, 0] = inv[p * n_local : (p + 1) * n_local]
+        return BandedBlocks(
+            a=stacked.a, bo=stacked.bo, woff=stacked.woff, off=stacked.off,
+            row_scale=scale if row else None,
+            col_scale=None if row else scale,
+            tile=tile, wsz=blocks_list[0].wsz, k=banded_k,
+        )
+
+    return (stack_banded([pair[0] for pair in built], row=True),
+            stack_banded([pair[1] for pair in built], row=False),
+            n_pad_local)
+
+
 def plan_halo_blocked(
     src: np.ndarray,
     dst: np.ndarray,
@@ -409,69 +498,9 @@ def plan_halo_blocked(
     n_pad_bnd = pad_nodes(max(ep * h, n_local), tile)
 
     if backend == "banded":
-        from ..ops.spmm_banded import BandedBlocks, build_banded_counts
-
-        nbl = n_pad_local // tile
-        nbl = ((nbl + banded_k - 1) // banded_k) * banded_k
-        n_pad_local = nbl * tile
-        deg = np.bincount(np.asarray(dst, np.int64), minlength=ep * n_local)
-        inv = ((1.0 / np.maximum(deg, 1)) if mean else np.ones(ep * n_local)).astype(np.float32)
-
-        # the common (s_span, wsz) the stacked per-shard layouts must share
-        # are pure functions of per-block source-block bounds — one cheap
-        # scatter-min/max pre-pass over each shard/direction, then every
-        # O(E) adjacency fill runs exactly once with the forced floors
-        edges = []
-        for p in range(ep):
-            mi = np.asarray(split.int_w[p]) > 0
-            isrc = np.asarray(split.int_src[p])[mi].astype(np.int64)
-            idst = np.asarray(split.int_dst[p])[mi].astype(np.int64)
-            edges.append((isrc, idst))
-
-        def span_bounds(s, d_):
-            bo = np.arange(nbl, dtype=np.int64)
-            hi = bo.copy()
-            if len(s):
-                np.minimum.at(bo, d_ // tile, s // tile)
-                np.maximum.at(hi, d_ // tile, s // tile)
-            return bo, hi
-
-        bounds = [span_bounds(*pair) for p in range(ep)
-                  for pair in (edges[p], edges[p][::-1])]
-        s_common = max(int((hi - bo + 1).max()) for bo, hi in bounds)
-        if s_common > banded_max_span:
-            raise ValueError(
-                f"source span {s_common} tiles exceeds max_span="
-                f"{banded_max_span}: shard interiors are not banded")
-        w_common = 0
-        for bo, _ in bounds:
-            base = np.minimum(bo, max(nbl - s_common, 0)).reshape(-1, banded_k)
-            spread = int((base.max(axis=1) - base.min(axis=1)).max()) if len(base) else 0
-            w_common = max(w_common, spread + s_common)
-
-        built = [
-            tuple(
-                build_banded_counts(s, d_, n_pad_local, tile=tile, k=banded_k,
-                                    max_span=banded_max_span,
-                                    s_span_min=s_common, wsz_min=w_common)
-                for s, d_ in (pair, pair[::-1])
-            )
-            for pair in edges
-        ]
-        assert len({b.s_span for t in built for b in t}) == 1
-        assert len({b.wsz for t in built for b in t}) == 1
-
-        def stack_banded(blocks_list, *, row: bool):
-            stacked = jax.tree.map(lambda *xs: np.stack(xs), *blocks_list)
-            scale = np.zeros((ep, n_pad_local, 1), np.float32)
-            for p in range(ep):
-                scale[p, :n_local, 0] = inv[p * n_local : (p + 1) * n_local]
-            return BandedBlocks(
-                a=stacked.a, bo=stacked.bo, woff=stacked.woff, off=stacked.off,
-                row_scale=scale if row else None,
-                col_scale=None if row else scale,
-                tile=tile, wsz=blocks_list[0].wsz, k=banded_k,
-            )
+        int_fwd, int_rev, n_pad_local = plan_banded_interior(
+            split, dst, n_local, n_pad_local, mean=mean, tile=tile,
+            banded_k=banded_k, banded_max_span=banded_max_span)
 
         bnd = []
         for p in range(ep):
@@ -487,8 +516,8 @@ def plan_halo_blocked(
 
         return HaloBlockedPlan(
             send_idx=np.asarray(plan.send_idx),
-            int_fwd=stack_banded([pair[0] for pair in built], row=True),
-            int_rev=stack_banded([pair[1] for pair in built], row=False),
+            int_fwd=int_fwd,
+            int_rev=int_rev,
             bnd_fwd=_stack_blocked([pair[0] for pair in bnd], step_chunks),
             bnd_rev=_stack_blocked([pair[1] for pair in bnd], step_chunks),
             n_local=n_local,

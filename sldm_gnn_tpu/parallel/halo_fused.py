@@ -1,0 +1,360 @@
+"""Fused kernels inside the halo-sharded path (multi-chip × sage_fused).
+
+Round 2's single-chip wins — in-kernel dW (−11% step) and one-kernel
+LayerNorm fwd/bwd fusion (1.38×) — lived only in the single-device
+classifier; the multi-chip layer (parallel/halo_model.py) ran unfused
+aggregation + XLA Dense/LayerNorm and re-paid the epilogue/LN HBM traffic
+the fused kernels eliminate. This module closes that gap:
+
+  * the INTERIOR aggregation runs the fused banded kernels
+    (ops/sage_fused.py) exactly as on one chip;
+  * the BOUNDARY partial — each shard's few halo-sourced edges — is
+    computed compactly on XLA (gather + sorted segment-sum from the
+    received halo table into per-group slots) and injected into the fused
+    forward kernel pre-epilogue through its gated-DMA ``resid`` operand —
+    the same machinery ops/banded_residual.py uses for overflow edges, so
+    the full aggregate is epilogue-/LN-normalized in ONE kernel;
+  * the backward's boundary transpose ``t_bnd = Rᵀ·dy`` (halo-row space)
+    is a small XLA segment-sum feeding ``dhalo = t_bnd @ Wlᵀ`` (which AD
+    routes back through the all-to-all transpose) and the boundary dW
+    completion ``dWl += haloᵀ t_bnd``; the interior dx/dW/LN-stats all
+    come out of the fused reverse kernel.
+
+Layer math matches /root/reference/src/models/blocks/sageblock.py:4-20
+(SAGEConv mean-agg → LayerNorm(1e-5) → (Leaky)ReLU), with the mean split
+exactly across interior+boundary via FULL-degree weights (the banded
+layouts' row/col scales and the boundary ``w`` both carry 1/deg of the
+GLOBAL graph, so the two partials sum to the reference mean).
+
+Ordering note: unlike the unfused path (whose interior kernel overlaps
+the all-to-all), the fused kernel consumes the boundary partial as an
+operand, so it waits on the collective. The halo exchange moves only
+O(boundary) rows; the LN fusion saves ~1.3 ms/step at the headline scale
+— the trade wins whenever the boundary is small relative to the shard.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.banded_residual import _expand_compact, _residual_maps
+from ..ops.sage_fused import (
+    _act,
+    _ln_bwd_prologue,
+    _ln_fwd_xla,
+    banded_sage_bwd_pallas,
+    banded_sage_fwd_pallas,
+    banded_sage_ln_bwd_pallas,
+)
+from ..ops.spmm_banded import BandedBlocks, spmm_banded_xla
+from .halo import HaloPlanSplit, plan_banded_interior, plan_halo_partition, split_halo_plan
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CompactBoundary:
+    """Per-shard boundary edges in the two orders the fused path needs
+    (stacked over a leading ep axis; padding edges carry w=0 and sit
+    FIRST so both segment-sums run with indices_are_sorted=True).
+
+    Forward order (sorted by compact residual row): edge e contributes
+    ``w[e] * halo[src_f[e]]`` to compact row ``row_f[e]`` (rows live in
+    ``[m * K*T)``; slot 0 = dummy zeros, masked in-kernel). ``rg [steps]``
+    maps each banded grid group to its compact slot (0 = none).
+
+    Reverse order (sorted by halo row): ``t_bnd[src_r[e]] += w[e] *
+    dy[dst_r[e]]`` — the boundary transpose in received-halo-row space.
+    """
+
+    src_f: jax.Array   # [ep, Eb] halo-table gather rows (fwd order)
+    row_f: jax.Array   # [ep, Eb] compact residual rows (sorted)
+    w_f: jax.Array     # [ep, Eb] 1/deg(dst) weights (0 on padding)
+    dst_r: jax.Array   # [ep, Eb] local dst gather rows (rev order)
+    src_r: jax.Array   # [ep, Eb] halo-row segment ids (sorted)
+    w_r: jax.Array     # [ep, Eb] weights (rev order)
+    rg: jax.Array      # [ep, steps] group -> slot map
+    m: int = field(metadata=dict(static=True))        # compact slots (common max)
+    kt: int = field(metadata=dict(static=True))       # K * tile rows per slot
+    h_rows: int = field(metadata=dict(static=True))   # halo table rows (ep * H)
+
+
+@dataclass(frozen=True)
+class HaloFusedPlan:
+    """Halo exchange + fused-kernel layouts: banded interior (stacked
+    :class:`BandedBlocks`, fwd/rev) + :class:`CompactBoundary`."""
+
+    send_idx: np.ndarray
+    int_fwd: BandedBlocks
+    int_rev: BandedBlocks
+    bnd: CompactBoundary
+    n_local: int
+    n_pad_local: int
+
+
+def _compact_boundary(
+    split: HaloPlanSplit, n_pad_local: int, tile: int, k: int
+) -> CompactBoundary:
+    """Build the stacked compact-boundary arrays from a halo split."""
+    ep = split.ep
+    h_max = split.send_idx.shape[2]
+    steps = n_pad_local // (k * tile)
+    kt = k * tile
+
+    per = []
+    for p in range(ep):
+        mb = np.asarray(split.hal_w[p]) > 0
+        bsrc = np.asarray(split.hal_src[p])[mb].astype(np.int64)  # halo rows
+        bdst = np.asarray(split.hal_dst[p])[mb].astype(np.int64)  # local rows
+        bw = np.asarray(split.hal_w[p])[mb].astype(np.float32)
+        rows, rg, order_f, m = _residual_maps(bdst, k, tile, steps)
+        order_r = np.argsort(bsrc, kind="stable")
+        per.append((bsrc, bdst, bw, rows, rg, order_f, order_r, m))
+
+    eb = max(max((len(t[0]) for t in per), default=1), 1)
+    m_common = max(t[7] for t in per)
+
+    def padded(vals, order, fill=0, dtype=np.int32):
+        out = np.full(eb, fill, dtype)
+        out[eb - len(vals):] = np.asarray(vals)[order]
+        return out
+
+    src_f = np.stack([padded(t[0], t[5]) for t in per])
+    row_f = np.stack([padded(t[3], t[5]) for t in per])
+    w_f = np.stack([padded(t[2], t[5], 0.0, np.float32) for t in per])
+    dst_r = np.stack([padded(t[1], t[6]) for t in per])
+    src_r = np.stack([padded(t[0], t[6]) for t in per])
+    w_r = np.stack([padded(t[2], t[6], 0.0, np.float32) for t in per])
+    rg = np.stack([t[4] for t in per])
+
+    return CompactBoundary(
+        src_f=src_f, row_f=row_f, w_f=w_f, dst_r=dst_r, src_r=src_r, w_r=w_r,
+        rg=rg, m=m_common, kt=kt, h_rows=ep * h_max,
+    )
+
+
+def plan_halo_fused(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    ep: int,
+    *,
+    mean: bool = True,
+    tile: int | None = None,
+    banded_k: int = 4,
+    banded_max_span: int = 16,
+) -> HaloFusedPlan:
+    """Build the fused-kernel halo plan from a global edge list (same
+    partitioning as :func:`~sldm_gnn_tpu.parallel.halo.plan_halo_blocked`
+    ``backend='banded'``; the boundary becomes the compact residual operand
+    instead of one-hot layouts)."""
+    from ..graph.csr import TILE, pad_nodes
+
+    tile = tile or TILE
+    plan, n_local = plan_halo_partition(src, dst, num_nodes, ep, mean=mean)
+    split = split_halo_plan(plan, n_local)
+    n_pad_local = pad_nodes(n_local, tile)
+    int_fwd, int_rev, n_pad_local = plan_banded_interior(
+        split, dst, n_local, n_pad_local, mean=mean, tile=tile,
+        banded_k=banded_k, banded_max_span=banded_max_span)
+    bnd = _compact_boundary(split, n_pad_local, tile, banded_k)
+    return HaloFusedPlan(
+        send_idx=np.asarray(plan.send_idx),
+        int_fwd=int_fwd, int_rev=int_rev, bnd=bnd,
+        n_local=n_local, n_pad_local=n_pad_local,
+    )
+
+
+# ------------------------------------------------------------ apply paths
+
+
+def boundary_fwd_compact(halo_flat: jax.Array, bnd: CompactBoundary) -> jax.Array:
+    """Compact boundary partial: [m, K*T, D] f32 (slot 0 = zeros)."""
+    msgs = halo_flat[bnd.src_f].astype(jnp.float32) * bnd.w_f[:, None]
+    r = jax.ops.segment_sum(msgs, bnd.row_f, num_segments=bnd.m * bnd.kt,
+                            indices_are_sorted=True)
+    return r.reshape(bnd.m, bnd.kt, halo_flat.shape[1])
+
+
+def boundary_rev(dy: jax.Array, bnd: CompactBoundary) -> jax.Array:
+    """Boundary transpose ``t_bnd = Rᵀ dy``: [h_rows, H] f32."""
+    msgs = dy[bnd.dst_r].astype(jnp.float32) * bnd.w_r[:, None]
+    return jax.ops.segment_sum(msgs, bnd.src_r, num_segments=bnd.h_rows,
+                               indices_are_sorted=True)
+
+
+def _fwd_impl(x, halo, wl, wr, bias, int_fwd, int_rev, bnd,
+              use_pallas, slope, interpret):
+    r = boundary_fwd_compact(halo, bnd)
+    if use_pallas and not int_fwd.wide:
+        return banded_sage_fwd_pallas(
+            x, wl, wr, bias, int_fwd, resid=(r.astype(x.dtype), bnd.rg),
+            negative_slope=slope, interpret=interpret)
+    agg = spmm_banded_xla(x, int_fwd)
+    agg = _expand_compact(agg, r, bnd.rg)
+    y = agg @ wl + x @ wr
+    if bias is not None:
+        y = y + bias
+    return _act(y, slope).astype(x.dtype)
+
+
+def _psum(v, axis_name):
+    """Cross-shard reduction of a replicated-parameter cotangent. Inside
+    shard_map the custom VJP is opaque to the vma rewrite, so the param
+    grads must come out explicitly replicated (psum'd) — AD cannot insert
+    the collective transpose for us here."""
+    if v is None or axis_name is None:
+        return v
+    return jax.lax.psum(v, axis_name)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def halo_fused_sage(x, halo, wl, wr, bias, int_fwd, int_rev, bnd,
+                    use_pallas: bool, negative_slope: float | None = None,
+                    interpret: bool = False, axis_name: str | None = None):
+    """act((B_int x + R halo) Wl + x Wr + bias) with the boundary partial
+    folded into the fused banded kernel pre-epilogue. ``x`` is the padded
+    local shard [n_pad_local, D]; ``halo`` the received halo table
+    [h_rows, D]. Differentiable in (x, halo, wl, wr, bias); pass
+    ``axis_name`` when calling inside shard_map so the parameter
+    cotangents come out psum-replicated."""
+    return _fwd_impl(x, halo, wl, wr, bias, int_fwd, int_rev, bnd,
+                     use_pallas, negative_slope, interpret)
+
+
+def _vjp_fwd(x, halo, wl, wr, bias, int_fwd, int_rev, bnd,
+             use_pallas, negative_slope, interpret, axis_name):
+    y = _fwd_impl(x, halo, wl, wr, bias, int_fwd, int_rev, bnd,
+                  use_pallas, negative_slope, interpret)
+    return y, (x, halo, wl, wr, bias, int_rev, bnd, y)
+
+
+def _vjp_bwd(use_pallas, negative_slope, interpret, axis_name, res, g):
+    x, halo, wl, wr, bias, int_rev, bnd, y = res
+    if negative_slope is not None:
+        g = jnp.where(y > 0, g, jnp.asarray(negative_slope, g.dtype) * g)
+    gq = g.astype(x.dtype)
+    f32 = jnp.float32
+    t_bnd = boundary_rev(gq, bnd)  # [h_rows, H] f32
+    if use_pallas and not int_rev.wide:
+        dx, dwl, dwr = banded_sage_bwd_pallas(gq, wl, wr, int_rev, x=x,
+                                              interpret=interpret)
+        dx = dx.astype(x.dtype)
+    else:
+        t = spmm_banded_xla(gq, int_rev)
+        dx = (
+            jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
+            + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
+        ).astype(x.dtype)
+        dwl = jnp.dot(x.T, t.astype(x.dtype), preferred_element_type=f32)
+        dwr = jnp.dot(x.T, gq.astype(x.dtype), preferred_element_type=f32)
+    dwl = dwl + jnp.dot(halo.T, t_bnd.astype(halo.dtype),
+                        preferred_element_type=f32)
+    dhalo = jnp.dot(t_bnd.astype(halo.dtype), wl.T.astype(halo.dtype),
+                    preferred_element_type=f32).astype(halo.dtype)
+    db = None if bias is None else g.sum(axis=0).astype(bias.dtype)
+    return (dx, dhalo,
+            _psum(dwl.astype(wl.dtype), axis_name),
+            _psum(dwr.astype(wr.dtype), axis_name),
+            _psum(db, axis_name),
+            None, None, None)
+
+
+halo_fused_sage.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ------------------------------------------- LayerNorm-fused layer (VJP)
+
+
+def _ln_fwd_impl(x, halo, wl, wr, bias, gamma, beta, int_fwd, int_rev, bnd,
+                 use_pallas, slope, eps, interpret):
+    r = boundary_fwd_compact(halo, bnd)
+    if use_pallas and not int_fwd.wide:
+        return banded_sage_fwd_pallas(
+            x, wl, wr, bias, int_fwd, resid=(r.astype(x.dtype), bnd.rg),
+            negative_slope=slope, ln=(gamma, beta), eps=eps,
+            interpret=interpret)
+    agg = spmm_banded_xla(x, int_fwd)
+    agg = _expand_compact(agg, r, bnd.rg)
+    y = agg @ wl + x @ wr
+    if bias is not None:
+        y = y + bias
+    z, xhat, rstd = _ln_fwd_xla(y, gamma, beta, eps)
+    return _act(z, slope).astype(x.dtype), xhat.astype(x.dtype), rstd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def halo_fused_sage_ln(x, halo, wl, wr, bias, gamma, beta,
+                       int_fwd, int_rev, bnd,
+                       use_pallas: bool, negative_slope: float | None = None,
+                       eps: float = 1e-5, interpret: bool = False,
+                       axis_name: str | None = None):
+    """act(LN((B_int x + R halo) Wl + x Wr + bias)) — the whole-sublayer
+    fusion (ops/sage_fused.py banded_sage_ln_apply) with the boundary
+    partial riding the resid operand; the multi-chip twin of the
+    single-chip fused_ln path."""
+    out, _, _ = _ln_fwd_impl(x, halo, wl, wr, bias, gamma, beta,
+                             int_fwd, int_rev, bnd, use_pallas,
+                             negative_slope, eps, interpret)
+    return out
+
+
+def _ln_vjp_fwd(x, halo, wl, wr, bias, gamma, beta, int_fwd, int_rev, bnd,
+                use_pallas, negative_slope, eps, interpret, axis_name):
+    out, xhat, rstd = _ln_fwd_impl(
+        x, halo, wl, wr, bias, gamma, beta, int_fwd, int_rev, bnd,
+        use_pallas, negative_slope, eps, interpret)
+    return out, (x, halo, wl, wr, bias, gamma, beta, xhat, rstd,
+                 int_rev, bnd)
+
+
+def _ln_vjp_bwd(use_pallas, negative_slope, eps, interpret, axis_name, res, g):
+    x, halo, wl, wr, bias, gamma, beta, xhat, rstd, int_rev, bnd = res
+    f32 = jnp.float32
+    if use_pallas and not int_rev.wide:
+        # dy is derived IN-KERNEL for the interior; the boundary transpose
+        # needs dy only at boundary dst rows — computed pointwise after the
+        # gather, so no full-[N, H] prologue pass materializes
+        dy_e, _, _ = _ln_bwd_prologue(
+            g[bnd.dst_r], xhat[bnd.dst_r], rstd[bnd.dst_r], gamma, beta,
+            negative_slope)
+        t_bnd = jax.ops.segment_sum(
+            dy_e * bnd.w_r[:, None], bnd.src_r, num_segments=bnd.h_rows,
+            indices_are_sorted=True)
+        dx, dwl, dwr, dstats = banded_sage_ln_bwd_pallas(
+            g.astype(x.dtype), xhat, rstd, wl, wr, gamma, beta, int_rev, x,
+            negative_slope=negative_slope, interpret=interpret)
+        dgamma, dbeta = dstats[0], dstats[1]
+        db = None if bias is None else dstats[2].astype(bias.dtype)
+        dx = dx.astype(x.dtype)
+    else:
+        dy, dgamma, dbeta = _ln_bwd_prologue(g, xhat, rstd, gamma, beta,
+                                             negative_slope)
+        gq = dy.astype(x.dtype)
+        t_bnd = boundary_rev(gq, bnd)
+        t = spmm_banded_xla(gq, int_rev)
+        dx = (
+            jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
+            + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
+        ).astype(x.dtype)
+        dwl = jnp.dot(x.T, t.astype(x.dtype), preferred_element_type=f32)
+        dwr = jnp.dot(x.T, gq.astype(x.dtype), preferred_element_type=f32)
+        db = None if bias is None else dy.sum(axis=0).astype(bias.dtype)
+    dwl = dwl + jnp.dot(halo.T, t_bnd.astype(halo.dtype),
+                        preferred_element_type=f32)
+    dhalo = jnp.dot(t_bnd.astype(halo.dtype), wl.T.astype(halo.dtype),
+                    preferred_element_type=f32).astype(halo.dtype)
+    return (dx, dhalo,
+            _psum(dwl.astype(wl.dtype), axis_name),
+            _psum(dwr.astype(wr.dtype), axis_name),
+            _psum(db, axis_name),
+            _psum(dgamma.astype(gamma.dtype), axis_name),
+            _psum(dbeta.astype(beta.dtype), axis_name),
+            None, None, None)
+
+
+halo_fused_sage_ln.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)

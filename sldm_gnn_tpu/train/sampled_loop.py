@@ -103,7 +103,10 @@ def sampled_batches(
     mode: str = "uniform",
 ):
     """Generator of device-ready sampled batches over ``seeds_order``
-    (wrap-padded to keep shapes static) — the Prefetcher's producer."""
+    (wrap-padded to keep shapes static) — the Prefetcher's producer.
+    Yields ``(levels, masks, y, n_real, n_edges)``; ``n_edges`` is THIS
+    batch's valid sampled-tree edge count, summed on host from the numpy
+    masks so throughput accounting never forces a device transfer."""
     n = len(seeds_order)
     order = rng.permutation(seeds_order) if shuffle else seeds_order
     for s in range(0, n, batch_size):
@@ -112,7 +115,8 @@ def sampled_batches(
         if n_real < batch_size:  # wrap-pad: shapes stay static
             chunk = np.concatenate([chunk, np.resize(order, batch_size - n_real)])
         batch = sampler.sample(chunk, tuple(fanouts), rng=rng, mode=mode)
-        yield (*_tree_arrays(batch, labels), n_real)
+        n_edges = int(sum(int(m.sum()) for m in batch.masks[1:]))
+        yield (*_tree_arrays(batch, labels), n_real, n_edges)
 
 
 def train_sampled_classifier(
@@ -166,20 +170,18 @@ def train_sampled_classifier(
     tr_loss = np.zeros(epochs, np.float32)
     val_acc = np.zeros(epochs, np.float32)
     steps_timed = 0
-    edges_per_batch = 0
+    edges_total = 0
     t_train = 0.0
     for epoch in range(epochs):
         losses = []
         t0 = time.perf_counter()
-        for levels, masks, y, _ in Prefetcher(
+        for levels, masks, y, _, n_edges in Prefetcher(
             sampled_batches(sampler, train_seeds, batch_size, fanouts, labels,
                             rng=rng), prefetch_depth):
             key, sub = jax.random.split(key)
             state, loss = train_step(state, x, levels, masks, y, sub)
             losses.append(loss)
-            # valid tree edges this batch (host-side mask sums are cheap
-            # relative to sampling itself)
-            edges_per_batch = sum(int(np.asarray(m).sum()) for m in masks[1:])
+            edges_total += n_edges
             steps_timed += 1
         jax.block_until_ready(losses[-1])
         t_train += time.perf_counter() - t0
@@ -188,7 +190,7 @@ def train_sampled_classifier(
         if val_seeds is not None and len(val_seeds):
             correct = 0
             total = 0
-            for levels, masks, y, n_real in Prefetcher(
+            for levels, masks, y, n_real, _ in Prefetcher(
                 sampled_batches(sampler, val_seeds, batch_size, fanouts,
                                 labels, rng=rng, shuffle=False, mode="first"),
                 prefetch_depth):
@@ -200,4 +202,4 @@ def train_sampled_classifier(
     seeds_per_s = steps_timed * batch_size / max(t_train, 1e-9)
     return state, SampledTrainResult(
         train_loss=tr_loss, val_acc=val_acc, seeds_per_s=seeds_per_s,
-        sampled_edges_per_s=seeds_per_s / batch_size * edges_per_batch)
+        sampled_edges_per_s=edges_total / max(t_train, 1e-9))

@@ -57,6 +57,7 @@ def test_build_outputs(built):
         assert list(gdir.glob("pack_*.npz"))
 
 
+@pytest.mark.slow
 def test_train_and_eval_cli(trained, built, workspace):
     from sldm_gnn_tpu.cli.test import main as test_main
 
@@ -203,6 +204,7 @@ def test_streaming_server_consumer_error_propagates(trained, tmp_path):
     assert "e" in err, "run() must re-raise the consumer error"
 
 
+@pytest.mark.slow
 def test_train_cli_with_checkpoints_resume(built, workspace):
     """--checkpoints writes per-epoch orbax state; retrying the same config
     dir (crash recovery) restores from the latest step."""
@@ -313,3 +315,45 @@ def test_train_cli_dp(built, workspace):
     assert snaps, f"no snapshot produced; output:\n{r.output}"
     snap = load_snapshot(snaps[0])
     assert snap["params"]
+
+
+def test_train_cli_sampled(tmp_path):
+    """--sampled: the config-3 neighbor-sampled path end to end from the
+    CLI — graph.npz in, trained state + throughput metrics out, learnable
+    community structure actually learned."""
+    import pickle
+
+    from sldm_gnn_tpu.cli.train import main as train_main
+
+    rng = np.random.default_rng(3)
+    n, deg, n_com = 120, 6, 3
+    com = np.arange(n) % n_com
+    src, dst = [], []
+    for i in range(n):
+        peers = np.nonzero(com == com[i])[0]
+        for p in rng.choice(peers, deg):
+            src.append(p)
+            dst.append(i)
+    x = rng.standard_normal((n, 8)).astype(np.float32) * 0.2
+    x += com[:, None] * 1.5
+    indir = tmp_path / "in"
+    indir.mkdir()
+    np.savez(indir / "graph.npz", src=np.array(src), dst=np.array(dst),
+             x=x, y=com.astype(np.int64))
+
+    outdir = tmp_path / "out"
+    r = CliRunner().invoke(
+        train_main,
+        [str(indir), str(outdir), "-l", "1", "--sampled", "--fanouts", "4,4",
+         "--sampled-batch-size", "32", "--sampled-hidden", "16,16",
+         "--sampled-lr", "1e-2", "--sampled-wd", "0.0",
+         "--epochs", "25", "-y"],
+    )
+    assert r.exit_code == 0, r.output
+    metrics = json.loads((outdir / "sampled_metrics.json").read_text())
+    assert metrics["val_acc"][-1] >= 0.9, metrics["val_acc"]
+    assert metrics["seeds_per_s"] > 0 and metrics["sampled_edges_per_s"] > 0
+    with open(outdir / "SAMPLED_state.pkl", "rb") as fh:
+        state = pickle.load(fh)
+    assert state["fanouts"] == [4, 4] and state["num_classes"] == 3
+    assert state["params"]

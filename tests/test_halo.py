@@ -107,6 +107,7 @@ def test_plan_no_cross_shard_edges_zero_halo():
     assert (np.asarray(plan.src_local)[np.asarray(valid)] < n_local).all()
 
 
+@pytest.mark.slow
 def test_overlapped_split_matches_unsplit(rng):
     """Interior/boundary-split aggregation (overlappable all-to-all) is
     exactly the unsplit halo aggregation, forward and backward."""

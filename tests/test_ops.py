@@ -1,6 +1,7 @@
 """Kernel unit tests: segment ops, GRU scan vs torch GRU, KNN vs torch.topk."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -109,6 +110,7 @@ def test_gru_matches_torch_two_layers(rng):
     np.testing.assert_allclose(np.asarray(h_j), h_t[-1].numpy(), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gru_pad_to_matches_unpadded(rng):
     """MXU-aligned hidden padding (pad_to) is exact modulo reduction order,
     including through the backward pass, for 1- and 2-layer stacks."""

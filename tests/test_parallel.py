@@ -38,7 +38,8 @@ def _graphs(rng, n, F, L):
     return gs
 
 
-@pytest.mark.parametrize("with_map", [False, True])
+@pytest.mark.parametrize(
+    "with_map", [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_dp_step_matches_single_device(rng, with_map):
     # The map variant runs in float64: in fp32, (Leaky)ReLU branch flips from
     # psum reorder noise produce discretely different tiny grads, which Adam's
@@ -201,6 +202,7 @@ def test_prefetch_to_device_sharded(rng):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.slow
 def test_dp_group_prefetch_loader(rng):
     """dp_batch_groups + prefetch_to_device: a flat batch stream becomes
     mesh-sharded stacked groups (remainder padded with masked-out batches);

@@ -211,6 +211,7 @@ def test_ln_fused_vjp_matches_autodiff(rng, slope):
                                    rtol=2e-3, atol=2e-3, err_msg=name)
 
 
+@pytest.mark.slow
 def test_ln_fused_kernel_full_pipeline(rng):
     """Interpreted kernels end-to-end: LN-fused forward + fuse_dw reverse
     through the custom VJP, against plain-AD composition."""

@@ -46,11 +46,14 @@ def test_sampled_batches_static_shapes(rng):
         sampler, seeds, 16, (3, 2), y, rng=np.random.default_rng(0),
         shuffle=False))
     assert len(batches) == 4  # ceil(50/16): last batch wrap-padded
-    for levels, masks, yy, n_real in batches:
+    for levels, masks, yy, n_real, n_edges in batches:
         assert levels[0].shape == (16,)
         assert levels[1].shape == (48,)
         assert levels[2].shape == (96,)
         assert yy.shape == (16,)
+        # n_edges is THIS batch's valid tree-edge count from the host masks
+        assert n_edges == sum(int(np.asarray(m).sum()) for m in masks[1:])
+        assert 0 < n_edges <= 48 + 96
     assert batches[-1][3] == 50 - 3 * 16  # real seed count of the tail
     # every real seed appears exactly once across batches
     all_seeds = np.concatenate(

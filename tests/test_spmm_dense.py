@@ -98,6 +98,7 @@ def test_flop_advantage_on_local_graph():
     assert dense_flops * 3 < onehot_flops
 
 
+@pytest.mark.slow
 def test_step_blocks_matches_single(rng):
     """K dst blocks per grid step == K=1, including the VJP."""
     n, e, d, tile = 200, 1600, 32, 16

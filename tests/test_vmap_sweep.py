@@ -58,6 +58,7 @@ def _graphs(rng, n, F, L):
     return gs
 
 
+@pytest.mark.slow
 def test_vmapped_sweep_trains_and_differentiates_combos(rng):
     F, L = 5, 2
     gs = _graphs(rng, 8, F, L)
@@ -89,6 +90,7 @@ def test_vmapped_sweep_trains_and_differentiates_combos(rng):
     assert max(jax.tree.leaves(diffs)) > 1e-3
 
 
+@pytest.mark.slow
 def test_vmapped_combo_matches_sequential_step(rng):
     """One vmapped step for combo k == one optax-chain step with the same
     hyperparams, params and batch (dropout disabled)."""
