@@ -324,7 +324,25 @@ def main():
                 blocked_rev = jax.tree.map(jnp.asarray, banded_rev)
                 _vlog(f"banded layout: A {banded_fwd.a.nbytes/1e9:.2f}+{banded_rev.a.nbytes/1e9:.2f} GB, "
                       f"s_span {banded_fwd.s_span}/{banded_rev.s_span}, wsz {banded_fwd.wsz}/{banded_rev.wsz}")
-    if spmm_backend in ("banded", "banded_residual"):
+    if spmm_backend == "gather":
+        # low-degree tier (ops/spmm_gather.py): sparse in-band codes + VMEM
+        # row gathers — A traffic ∝ E, not N×bandwidth; the play for the
+        # reference's own deg≈3 lane-map shape (BENCH_GRAPH=map)
+        from sldm_gnn_tpu.ops.spmm_gather import (
+            prepare_gather_residual_mean_aggregate,
+            spmm_gather_residual_apply,
+        )
+
+        glayout, n_pad = prepare_gather_residual_mean_aggregate(
+            src, dst, n, tile=dense_tile, k=banded_k,
+            r=int(os.environ["BENCH_GATHER_R"]) if os.environ.get("BENCH_GATHER_R") else None)
+        blocked_fwd = jax.tree.map(jnp.asarray, glayout)
+        blocked_rev = None
+        _vlog(f"gather layout: R {glayout.gather_fwd.r}, "
+              f"wsz {glayout.gather_fwd.wsz}/{glayout.gather_rev.wsz}, "
+              f"codes {glayout.gather_fwd.codes.nbytes/1e6:.1f} MB/dir, "
+              f"resid {glayout.resid_frac:.5f} ({len(glayout.r_src)} edges)")
+    if spmm_backend in ("banded", "banded_residual", "gather"):
         pass  # layouts built above
     elif spmm_backend == "hybrid":
         # density-split backend (ops/spmm_hybrid.py): dense tiles for block
@@ -436,7 +454,11 @@ def main():
         return jnp.sum(h.astype(jnp.float32))
 
     def loss_pallas(params, x, bf, br):
-        if spmm_backend == "banded_residual":
+        if spmm_backend == "gather":
+            from sldm_gnn_tpu.ops.spmm_gather import spmm_gather_residual_apply
+
+            agg = lambda h: spmm_gather_residual_apply(h, bf, use_pallas)
+        elif spmm_backend == "banded_residual":
             agg = lambda h: spmm_banded_residual_apply(h, bf, use_pallas)
         elif spmm_backend == "banded":
             agg = lambda h: spmm_banded_apply(h, bf, br, use_pallas)

@@ -228,3 +228,70 @@ def reorder_for_banding(
     raise ValueError(
         f"no reordering reached span<={max_span} tiles (best {best_span}); "
         "graph is not bandable — use the dense/hybrid backends")
+
+
+def _hilbert_keys(coords: np.ndarray, lo: np.ndarray, span: np.ndarray,
+                  bits: int) -> np.ndarray:
+    """Hilbert index per point for KNOWN bounds (the chunked building block
+    behind :class:`StreamingHilbert`; same math as :func:`hilbert_order`)."""
+    side = (1 << bits) - 1
+    xy = ((np.asarray(coords, np.float64) - lo) / span * side).astype(np.uint64)
+    x, y = xy[:, 0].copy(), xy[:, 1].copy()
+    d = np.zeros_like(x)
+    s = np.uint64(1) << np.uint64(bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - np.uint64(1) - x, x)
+        y_f = np.where(flip, s - np.uint64(1) - y, y)
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= np.uint64(1)
+    return d
+
+
+class StreamingHilbert:
+    """Hilbert ordering from a STREAM of per-node coordinates — the
+    reorder story for file-order config-5 inputs (the real builders emit
+    nodes in file order, /root/reference/src/gbuilder.py:392-424; RCM
+    needs the whole graph in memory, Hilbert needs only one O(N) key
+    array).
+
+    Two passes over the coordinate stream::
+
+        sh = StreamingHilbert(num_nodes)
+        for ids, xy in coord_chunks:   # pass 1: bounds
+            sh.observe_bounds(xy)
+        for ids, xy in coord_chunks:   # pass 2: keys
+            sh.add_keys(ids, xy)
+        perm = sh.order()              # perm[new] = old
+
+    Peak memory: the uint64 key array (8 B/node) + one chunk.
+    """
+
+    def __init__(self, num_nodes: int, bits: int = 16):
+        self.num_nodes = int(num_nodes)
+        self.bits = bits
+        self._lo = np.full(2, np.inf)
+        self._hi = np.full(2, -np.inf)
+        self._keys = None
+
+    def observe_bounds(self, coords: np.ndarray) -> None:
+        c = np.asarray(coords, np.float64)
+        self._lo = np.minimum(self._lo, c.min(axis=0))
+        self._hi = np.maximum(self._hi, c.max(axis=0))
+
+    def add_keys(self, node_ids: np.ndarray, coords: np.ndarray) -> None:
+        if self._keys is None:
+            self._keys = np.zeros(self.num_nodes, np.uint64)
+        span = np.maximum(self._hi - self._lo, 1e-12)
+        self._keys[np.asarray(node_ids, np.int64)] = _hilbert_keys(
+            coords, self._lo, span, self.bits)
+
+    def order(self) -> np.ndarray:
+        """perm[new_id] = old_id (hilbert_order convention)."""
+        if self._keys is None:
+            raise ValueError("no coordinates streamed")
+        return np.argsort(self._keys, kind="stable").astype(np.int64)

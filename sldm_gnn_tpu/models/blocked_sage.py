@@ -42,6 +42,7 @@ from ..ops.banded_residual import (
     spmm_banded_residual_apply,
 )
 from ..ops.sage_fused import _act, _ln_fwd_xla, banded_sage_apply, banded_sage_ln_apply
+from ..ops.spmm_gather import GatherResidualLayout, spmm_gather_residual_apply
 from .blocks import _activation
 
 
@@ -150,7 +151,11 @@ class BlockedSageConv(nn.Module):
         return out + nn.Dense(self.out_dim, use_bias=False, name="lin_r")(x)
 
     def _aggregate(self, x, blocked_fwd, blocked_rev, num_nodes: int):
-        if isinstance(blocked_fwd, BandedResidualLayout):
+        if isinstance(blocked_fwd, GatherResidualLayout):
+            # low-degree tier (ops/spmm_gather.py): sparse in-band codes +
+            # VMEM row gathers — A traffic ∝ edges, not N×bandwidth
+            agg = spmm_gather_residual_apply(x, blocked_fwd, self.use_pallas)
+        elif isinstance(blocked_fwd, BandedResidualLayout):
             agg = spmm_banded_residual_apply(x, blocked_fwd, self.use_pallas)
         elif isinstance(blocked_fwd, BandedBlocks):
             # banded backend (ops/spmm_banded.py): windowed x DMA shared by

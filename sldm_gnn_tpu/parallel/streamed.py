@@ -61,9 +61,24 @@ class StreamedHaloPlanner:
         edge_chunk: int | None = None,
         step_chunks: int = 1,
         mean: bool = True,
+        node_order: np.ndarray | None = None,
     ):
+        """``node_order``: permutation with ``perm[new_id] = old_id``
+        (graph/reorder.py convention — e.g. ``StreamingHilbert.order()``).
+        When given, every consumed edge is relabeled into the new id space
+        BEFORE routing/spilling, so file-order inputs (whose raw order is
+        not banded) stream straight through: one O(N) relabel array
+        replaces the former hard failure at pass 2's span check."""
         self.num_nodes = int(num_nodes)
         self.ep = int(ep)
+        self._relabel = None
+        if node_order is not None:
+            perm = np.asarray(node_order, np.int64)
+            if len(perm) != num_nodes:
+                raise ValueError(
+                    f"node_order length {len(perm)} != num_nodes {num_nodes}")
+            self._relabel = np.empty(num_nodes, np.int64)
+            self._relabel[perm] = np.arange(num_nodes)
         self.n_local = (num_nodes + ep - 1) // ep
         self.tile = tile
         self.banded_k = banded_k
@@ -87,6 +102,9 @@ class StreamedHaloPlanner:
         dst = np.asarray(dst_chunk, np.int64)
         if src.max(initial=-1) >= self.num_nodes or dst.max(initial=-1) >= self.num_nodes:
             raise ValueError("edge endpoint out of range")
+        if self._relabel is not None:
+            src = self._relabel[src]
+            dst = self._relabel[dst]
         np.add.at(self._deg, dst, 1)
         owner = dst // self.n_local
         order = np.argsort(owner, kind="stable")

@@ -119,3 +119,64 @@ def test_streamed_plan_drives_mesh_step(rng, tmp_path):
         grads_sharded, grads_ref)
     np.testing.assert_allclose(np.asarray(dx_sharded).reshape(n_pad, d),
                                np.asarray(dx_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_streaming_hilbert_matches_batch(rng):
+    """Two-pass streaming Hilbert == the in-memory hilbert_order."""
+    from sldm_gnn_tpu.graph.reorder import StreamingHilbert, hilbert_order
+
+    n = 5000
+    coords = rng.standard_normal((n, 2)) * 100
+    sh = StreamingHilbert(n)
+    for s in range(0, n, 700):
+        sh.observe_bounds(coords[s:s + 700])
+    for s in range(0, n, 700):
+        sh.add_keys(np.arange(s, min(s + 700, n)), coords[s:s + 700])
+    np.testing.assert_array_equal(sh.order(), hilbert_order(coords))
+
+
+def test_streamed_plan_file_order_input(rng, tmp_path):
+    """File-order (shuffled-id) input streams through via node_order: the
+    planner relabels on consume and produces the same plan as the in-memory
+    build on the pre-relabeled edges; without node_order the same stream
+    raises at the span check."""
+    from sldm_gnn_tpu.graph.reorder import StreamingHilbert, relabel_edges
+
+    n, ep = 4096, 4
+    # spatially-banded graph whose IDS arrive in file (random) order:
+    # build on a line, then scramble ids
+    src0, dst0 = _banded_graph(rng)
+    scramble = rng.permutation(n)  # file_id = scramble[spatial_id]
+    src = scramble[src0]
+    dst = scramble[dst0]
+    coords = np.zeros((n, 2))
+    coords[scramble, 0] = np.arange(n, dtype=np.float64)  # x = spatial pos
+    coords[:, 1] = 0.0
+
+    # streamed reorder: two coordinate passes
+    sh = StreamingHilbert(n)
+    for s in range(0, n, 900):
+        sh.observe_bounds(coords[s:s + 900])
+    for s in range(0, n, 900):
+        sh.add_keys(np.arange(s, min(s + 900, n)), coords[s:s + 900])
+    perm = sh.order()
+
+    man = _stream_build(src, dst, n, ep, tmp_path / "plan", tile=64,
+                        banded_k=4, node_order=perm)
+    got = load_streamed_halo_plan(tmp_path / "plan")
+
+    rs, rd = relabel_edges(src, dst, perm)
+    want = plan_halo_blocked(rs, rd, n, ep, backend="banded", tile=64,
+                             banded_k=4)
+    # stacked layout: a is [ep, nb, s_span, T, T]
+    assert man["s_common"] == want.int_fwd.a.shape[2]
+    for field in ("send_idx", "int_fwd", "int_rev", "bnd_fwd", "bnd_rev"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            getattr(got, field), getattr(want, field))
+
+    # the same stream WITHOUT the reorder is not banded -> loud failure
+    # (shard interiors of a scrambled-id graph span every block)
+    with pytest.raises(ValueError):
+        _stream_build(src, dst, n, ep, tmp_path / "plan2", tile=64,
+                      banded_k=4, banded_max_span=8)
