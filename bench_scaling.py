@@ -51,13 +51,19 @@ def _time_inloop(step_fn, carry, iters, *extra):
     def run(carry, *extra):
         return jax.lax.fori_loop(0, iters, lambda _, c: step_fn(c, *extra), carry)
 
+    def fetch_scalar(tree):
+        # device-side slice FIRST, then float(): fetching np.asarray(leaf)
+        # pulls the whole array over the remote tunnel (tens of MB — at
+        # ~14 MB/s that once charged ~40 ms/iter to a 50-iter window)
+        leaf = jax.tree.leaves(tree)[0]
+        return float(leaf.ravel()[0])
+
     warm = run(carry, *extra)
     jax.tree.map(lambda a: a.block_until_ready(), warm)
-    probe = jax.tree.leaves(warm)[0]
-    float(np.asarray(probe).ravel()[0])  # warm the value-fetch path
+    fetch_scalar(warm)  # warm the value-fetch path
     t0 = time.perf_counter()
     out = run(warm, *extra)
-    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    fetch_scalar(out)
     return (time.perf_counter() - t0) / iters
 
 

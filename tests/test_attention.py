@@ -67,6 +67,7 @@ def test_attention_conv_matches_dense_attention(rng):
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grusage_attention_variant_trains(rng):
     from sldm_gnn_tpu.train.loop import train_model
 

@@ -187,6 +187,7 @@ def test_auto_selection_lands_on_residual_tier(rng):
     assert fwd.banded_fwd.s_span < 20  # span stayed tight
 
 
+@pytest.mark.slow
 def test_blocked_model_through_residual_layout(rng):
     """BlockedSageClassifier forward+grad over the residual layout, fused
     and unfused, against the pure-XLA edge-list aggregation."""
@@ -255,6 +256,7 @@ def _ln_ref(x, wl, wr, b, gamma, beta, lj, slope, eps=1e-5):
 
 
 @pytest.mark.parametrize("slope", [0.0, 0.1])
+@pytest.mark.slow
 def test_ln_fused_with_residual(rng, slope):
     """banded_residual_sage_ln_apply: XLA fallback at tight tolerance and
     interpreted-kernel fwd+bwd (LN-fused forward, fuse_dw reverse with

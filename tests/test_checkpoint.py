@@ -66,6 +66,7 @@ def test_checkpoint_save_restore_resume(tmp_path, rng):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_grad_norms(rng):
     model, fns, state, batch = _setup(rng)
 
@@ -200,6 +201,7 @@ def test_resume_carries_best_vacc_and_epochs(tmp_path, rng):
     assert all(v > max(saved) for v in saved3)  # only a strictly better acc fires
 
 
+@pytest.mark.slow
 def test_resume_restores_curve_prefix(tmp_path, rng):
     """Curves of an interrupted+resumed run equal an uninterrupted run's
     (VERDICT r1 weak #4: resumed runs used to report zero for completed

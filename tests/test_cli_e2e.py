@@ -357,3 +357,42 @@ def test_train_cli_sampled(tmp_path):
         state = pickle.load(fh)
     assert state["fanouts"] == [4, 4] and state["num_classes"] == 3
     assert state["params"]
+
+
+@pytest.mark.slow
+def test_train_halo_cli(tmp_path):
+    """Multi-chip halo training CLI end to end on the virtual mesh:
+    multi-label focal loss, micro-F1 metrics, best snapshot + curves
+    written, checkpoint resume continues without error."""
+    from sldm_gnn_tpu.cli.train_halo import main as halo_main
+
+    rng = np.random.default_rng(5)
+    n, deg, d, L = 96, 4, 8, 2
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-10, 11, n * deg), 0, n - 1)
+    x = rng.standard_normal((n, d)).astype(np.float32) * 0.3
+    y = np.stack([(x[:, 0] > 0), (x[:, 1] > 0)], axis=1).astype(np.float32)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    np.savez(indir / "graph.npz", src=src, dst=dst, x=x, y=y)
+
+    outdir = tmp_path / "out"
+    args = [str(indir), str(outdir), "--ep", "4", "--hidden", "12",
+            "--epochs", "15", "--lr", "3e-2", "--loss", "bce",
+            "--checkpoint-every", "5", "--banded-k", "2"]
+    r = CliRunner().invoke(halo_main, args)
+    assert r.exit_code == 0, r.output
+    curves = json.loads((outdir / "curves.json").read_text())
+    assert len(curves["micro_f1"]) == 15
+    assert curves["micro_f1"][-1] > 0.8, curves["micro_f1"]
+    assert (outdir / "HALO_best_state.pkl").is_file()
+    assert (outdir / "metrics.jsonl").is_file()
+
+    # resume with more epochs: continues from the checkpoint
+    args2 = [a if a != "15" else "18" for a in args] + ["--resume"]
+    r2 = CliRunner().invoke(halo_main, args2)
+    assert r2.exit_code == 0, r2.output
+    curves2 = json.loads((outdir / "curves.json").read_text())
+    assert len(curves2["micro_f1"]) == 18
+    np.testing.assert_allclose(curves2["loss"][:15], curves["loss"],
+                               rtol=1e-5)

@@ -45,6 +45,7 @@ def test_grads_match_xla(rng):
         )
 
 
+@pytest.mark.slow
 def test_grads_match_xla_two_layers(rng):
     B, T, D, H = 4, 6, 3, 8
     params = init_gru_params(jax.random.PRNGKey(2), D, H, 2)

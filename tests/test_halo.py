@@ -229,6 +229,7 @@ def test_halo_blocked_pallas_step_matches_reference(rng):
     )
 
 
+@pytest.mark.slow
 def test_halo_blocked_layouts_interpret_kernel(rng):
     """The per-shard blocked layouts drive the actual Pallas kernel
     (interpret mode) to the same sums as the XLA dispatch."""
@@ -348,6 +349,7 @@ def test_halo_banded_backend_matches_reference(rng):
     )
 
 
+@pytest.mark.slow
 def test_halo_banded_layouts_interpret_kernel(rng):
     """The stacked per-shard banded layouts drive the actual Pallas
     banded kernel (interpret mode) to the same sums as its XLA dispatch."""

@@ -80,6 +80,7 @@ def make_halo_setup(src, dst, n, hidden, ncls, ep=8, dropout=None):
     return plan, mesh, model
 
 
+@pytest.mark.slow
 def test_halo_classifier_matches_single_device():
     """Loss + grads + trained params parity: the halo-sharded model vs the
     single-device BlockedSageClassifier, identical initial params, 4 Adam

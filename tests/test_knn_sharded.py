@@ -95,6 +95,7 @@ def test_map_attention_sharded_matches_dense(rng):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_map_attention_sharded_grads(rng):
     """AD through the sharded attention (collective transposes) matches the
     dense gradient — the training-path requirement."""

@@ -197,6 +197,7 @@ def test_grusage_matches_torch(rng, map_included, pooling):
     np.testing.assert_allclose(logits[: len(gs)], golden, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_baked_map_embeddings_match_live(rng):
     """Inference with pre-baked map embeddings must equal the live map path
     (the reference's snapshot trick, grusage.py:144-149)."""
@@ -233,6 +234,7 @@ def test_baked_map_embeddings_match_live(rng):
     np.testing.assert_allclose(np.asarray(live), np.asarray(baked), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_bf16_compute_mode(rng):
     """compute_dtype='bfloat16' runs the dense/SAGE stacks in bf16 with f32
     params/logits, loosely matching the f32 model on identical weights."""

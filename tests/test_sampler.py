@@ -94,6 +94,7 @@ def test_sampled_equals_fullbatch_when_fanout_covers(rng):
     np.testing.assert_allclose(np.asarray(out_sampled), np.asarray(out_full), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sampled_sage_trains(rng):
     """Sampled mini-batch node classification learns a degree-correlated label."""
     import optax
