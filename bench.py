@@ -295,6 +295,11 @@ def main():
         try:
             rlayout, n_pad = prepare_banded_residual_mean_aggregate(
                 src, dst, n, tile=dense_tile, k=banded_k,
+                # BENCH_BANDED_SPAN forces the banded/residual split span
+                # (low-degree tuning: a tighter band + a few spilled edges
+                # can beat the cost model's pick on A-bound graphs)
+                span=int(os.environ["BENCH_BANDED_SPAN"])
+                if os.environ.get("BENCH_BANDED_SPAN") else None,
                 # cap counts at 7 (excess multiplicity spills to the
                 # residual, exact) so the int4 A-tile view applies —
                 # see BENCH_A_INT4 below

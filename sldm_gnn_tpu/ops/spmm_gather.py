@@ -1,5 +1,18 @@
 """Banded-GATHER SpMM — the low-degree tier for real map graphs.
 
+STATUS (round 3): the layout, XLA path, custom VJP, and interpret-mode
+Pallas kernel are exact and tested; the Pallas kernel does NOT compile on
+current Mosaic — ``tpu.dynamic_gather`` only shuffles within a single
+vreg along the gather dimension ("Multiple source vregs along gather
+dimension"), so a [wsz*T, D]-row gather is inexpressible (also hit:
+index/data bitwidth matching, no 1-D vector concat; see the lowering
+rule in jax/_src/pallas/mosaic/lowering.py:_gather_lowering_rule). Kept
+as an experimental tier: the traffic analysis below stands, and the
+kernel becomes viable the moment Mosaic grows cross-vreg gathers. The
+deg~3 production fix shipped this round is instead the measured-lever
+path on the banded tiers (int4 counts + per-block window optimization +
+tile sweep — BASELINE.md round-3 map rows).
+
 The banded count-tile kernel (ops/spmm_banded.py) streams ``N x W`` bytes
 of adjacency (N nodes, W band width in nodes) regardless of edge count —
 that is the right trade at deg>=16 (the headline graph), but the
@@ -46,18 +59,29 @@ from .spmm_banded import _window_meta, _window_prologue
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class GatherBlocks:
-    """Sparse in-band adjacency in gather form.
+    """Sparse in-band adjacency in gather form — shaped for Mosaic's
+    dynamic_gather (same-shape take_along_axis) and relayout-free sublane
+    broadcasts:
 
-    codes [NB, R, T] int32 — slot r of destination row t (in block b)
-                             holds a WINDOW-RELATIVE source row index
-                             (src_row - woff[group]*T); 0 on padding.
-    mult  [NB, R, T] f32   — edge multiplicity (0 = padding slot).
+    codes [NB, wsz*T, 1] int32 — per block, a WINDOW-shaped index column:
+                             row j*T + t (slot j, dst row t) holds the
+                             window-relative source row (src - woff*T) of
+                             slot j's edge into dst row t; rows >= R*T (and
+                             padding slots) hold 0. One full-window gather
+                             per block selects every slot's rows at once.
+    mult  [NB, R*T, 1] f32 — edge multiplicity per (slot, dst row)
+                             (0 = padding), sublane layout so the per-slot
+                             multiply broadcasts over lanes natively.
     bo    [NB] int32       — per-block window base (tiles), clamped like
                              the banded layout.
     woff  [steps] int32    — per-K-group x-window base (tiles).
     off   [steps*K] int32  — bo[b] - woff[group(b)] (own-rows offset for
                              fused epilogues; the gather itself uses codes).
     row_scale / col_scale  — [N_pad, 1] f32 mean scales (full degree).
+
+    When R > wsz (possible on tiny graphs where the window clamps to the
+    node count), codes holds ceil(R/wsz) window-shaped groups and the
+    kernel runs that many gathers per block.
     """
 
     codes: jax.Array
@@ -77,7 +101,7 @@ class GatherBlocks:
 
     @property
     def r(self) -> int:
-        return self.codes.shape[1]
+        return self.mult.shape[1] // self.tile
 
 
 @jax.tree_util.register_dataclass
@@ -124,12 +148,15 @@ def _build_gather_blocks(
     span: int,
     wsz_min: int = 0,
 ) -> GatherBlocks:
-    """Pack unique in-band (src, dst, mult) edges into the [NB, R, T] slot
-    arrays. Caller guarantees per-dst in-band unique-src count <= r and
-    src within [bo[db], bo[db]+span)."""
-    woff, off, wsz = _window_meta(bo, nb, k, span, wsz_min=wsz_min)
-    codes = np.zeros((nb, r, tile), np.int32)
-    multa = np.zeros((nb, r, tile), np.float32)
+    """Pack unique in-band (src, dst, mult) edges into the window-shaped
+    code column + sublane mult arrays. Caller guarantees per-dst in-band
+    unique-src count <= r and src within [bo[db], bo[db]+span)."""
+    # prefer R <= wsz (one gather/block); tiny graphs may clamp wsz below
+    # R, in which case codes holds ceil(R/wsz) window-shaped groups
+    woff, off, wsz = _window_meta(bo, nb, k, span, wsz_min=max(wsz_min, r))
+    n_g = -(-r // wsz)
+    codes = np.zeros((nb, n_g * wsz * tile, 1), np.int32)
+    multa = np.zeros((nb, r * tile, 1), np.float32)
     if len(src):
         order = np.lexsort((src, dst))
         s, d, m = src[order], dst[order], mult[order]
@@ -144,8 +171,8 @@ def _build_gather_blocks(
         rel = s - woff[group].astype(np.int64) * tile
         assert rel.min() >= 0 and rel.max() < wsz * tile, (
             rel.min(), rel.max(), wsz * tile)
-        codes[db, slot, row] = rel.astype(np.int32)
-        multa[db, slot, row] = m.astype(np.float32)
+        codes[db, slot * tile + row, 0] = rel.astype(np.int32)
+        multa[db, slot * tile + row, 0] = m.astype(np.float32)
     return GatherBlocks(codes=codes, mult=multa, bo=bo.astype(np.int32),
                         woff=woff, off=off, tile=tile, wsz=wsz, k=k)
 
@@ -353,16 +380,18 @@ def prepare_gather_residual_mean_aggregate(
 
 
 def spmm_gather_xla(x: jax.Array, blocks: GatherBlocks) -> jax.Array:
-    """Reference: out[b*T + t] = scale * sum_r mult[b,r,t] * x[abs_code]."""
-    nb, r, tile = blocks.codes.shape
-    k = blocks.k
+    """Reference: out[b*T + t] = scale * sum_r mult[b, r*T+t] * x[abs_code]."""
+    nb = blocks.num_dst_blocks
+    tile, k, r = blocks.tile, blocks.k, blocks.r
     if blocks.col_scale is not None:
         x = (x.astype(jnp.float32) * blocks.col_scale).astype(x.dtype)
     group = jnp.arange(nb) // k
     base = blocks.woff[group] * tile  # [NB]
-    rows = blocks.codes + base[:, None, None]  # [NB, R, T] absolute
+    codes = blocks.codes[:, : r * tile, 0].reshape(nb, r, tile)
+    rows = codes + base[:, None, None]  # [NB, R, T] absolute
     gathered = x[rows.reshape(-1)].reshape(nb, r, tile, x.shape[1])
-    out = jnp.sum(gathered.astype(jnp.float32) * blocks.mult[..., None], axis=1)
+    mult = blocks.mult.reshape(nb, r, tile)
+    out = jnp.sum(gathered.astype(jnp.float32) * mult[..., None], axis=1)
     out = out.reshape(nb * tile, x.shape[1])
     if blocks.row_scale is not None:
         out = out * blocks.row_scale
@@ -372,8 +401,17 @@ def spmm_gather_xla(x: jax.Array, blocks: GatherBlocks) -> jax.Array:
 # -------------------------------------------------------------- Pallas path
 
 
-def _gather_kernel(woff_ref, codes_ref, mult_ref, *rest, K, tile, wsz,
+def _gather_kernel(woff_ref, codes_ref, mult_ref, *rest, K, tile, wsz, r,
                    has_row):
+    """Mosaic's row gather (``tpu.dynamic_gather`` via take_along_axis)
+    only supports SAME-SHAPE selection — indices and output must match the
+    source's [wsz*T, D] shape. The host builder therefore packs each
+    block's R slot-code vectors into a window-shaped [wsz*T, 1] index
+    column (R <= wsz by construction); ONE full-window gather per block
+    selects every slot's rows, and the per-slot [T, D] pieces are static
+    slices multiplied by sublane mult columns — all relayout-free. The
+    wasted (wsz-R)*T gathered rows are VPU ops on VMEM-resident data —
+    noise next to the HBM streams this tier eliminates."""
     from jax.experimental import pallas as pl
 
     if has_row:
@@ -384,14 +422,21 @@ def _gather_kernel(woff_ref, codes_ref, mult_ref, *rest, K, tile, wsz,
 
     slot = _window_prologue(woff_ref, x_hbm, xw, sems, tile, wsz)
     d = out_ref.shape[1]
-    window = xw[slot]  # [wsz*T, D]
-    R = codes_ref.shape[1]
+    # Mosaic's dynamic_gather needs indices and data at the SAME bitwidth:
+    # widen the window to f32 (i32 indices) — a VPU convert on VMEM data
+    window = xw[slot].astype(jnp.float32)  # [wsz*T, D]
+    n_g = -(-r // wsz)
     for kk in range(K):
         acc = jnp.zeros((tile, d), jnp.float32)
-        for r in range(R):
-            rows = jnp.take(window, codes_ref[kk, r], axis=0,
-                            unique_indices=False, indices_are_sorted=False)
-            acc += rows.astype(jnp.float32) * mult_ref[kk, r][:, None]
+        for gi in range(n_g):
+            idx_b = jnp.broadcast_to(
+                codes_ref[kk, gi * wsz * tile:(gi + 1) * wsz * tile],
+                (wsz * tile, d))
+            g = jnp.take_along_axis(window, idx_b, axis=0,
+                                    mode="promise_in_bounds")
+            for j in range(gi * wsz, min(r, (gi + 1) * wsz)):
+                acc += (g[(j - gi * wsz) * tile:(j - gi * wsz + 1) * tile]
+                        * mult_ref[kk, j * tile:(j + 1) * tile])
         if has_row:
             acc = acc * rs_ref[kk * tile:(kk + 1) * tile]
         out_ref[kk * tile:(kk + 1) * tile] = acc.astype(out_ref.dtype)
@@ -406,17 +451,17 @@ def spmm_gather_pallas(x: jax.Array, blocks: GatherBlocks, *,
     from .spmm import _operand_vma
 
     n_pad, d = x.shape
-    nb, R, tile = blocks.codes.shape
-    assert tile == blocks.tile
-    K, wsz = blocks.k, blocks.wsz
+    nb = blocks.num_dst_blocks
+    tile, K, wsz, R = blocks.tile, blocks.k, blocks.wsz, blocks.r
     assert n_pad == nb * tile, (n_pad, nb, tile)
     steps = nb // K
     has_row = blocks.row_scale is not None
     assert blocks.col_scale is None, "pass the FORWARD layout (row_scale)"
 
     specs = [
-        pl.BlockSpec((K, R, tile), lambda g, *_: (g, 0, 0)),   # codes
-        pl.BlockSpec((K, R, tile), lambda g, *_: (g, 0, 0)),   # mult
+        pl.BlockSpec((K, blocks.codes.shape[1], 1),
+                     lambda g, *_: (g, 0, 0)),                    # codes
+        pl.BlockSpec((K, R * tile, 1), lambda g, *_: (g, 0, 0)),  # mult
     ]
     args = [blocks.codes, blocks.mult]
     if has_row:
@@ -436,7 +481,8 @@ def spmm_gather_pallas(x: jax.Array, blocks: GatherBlocks, *,
         ],
     )
     return pl.pallas_call(
-        partial(_gather_kernel, K=K, tile=tile, wsz=wsz, has_row=has_row),
+        partial(_gather_kernel, K=K, tile=tile, wsz=wsz, r=R,
+                has_row=has_row),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype,
                                        vma=_operand_vma(x, blocks.codes)),
@@ -455,8 +501,13 @@ def spmm_gather_pallas(x: jax.Array, blocks: GatherBlocks, *,
 # --------------------------------------------------- differentiable wrapper
 
 
+# Flip when Mosaic grows cross-vreg dynamic gathers (module docstring);
+# until then the TPU-compilable path for this layout is the XLA form.
+_PALLAS_GATHER_ENABLED = False
+
+
 def _gather_dispatch(x, blocks, use_pallas):
-    if use_pallas:
+    if use_pallas and _PALLAS_GATHER_ENABLED:
         return spmm_gather_pallas(x, blocks)
     return spmm_gather_xla(x, blocks)
 

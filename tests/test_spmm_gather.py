@@ -94,9 +94,11 @@ def test_slot_cap_and_window_invariants(rng):
     layout, n_pad = prepare_gather_residual_mean_aggregate(
         src, dst, 2000, tile=64, k=2)
     for blocks in (layout.gather_fwd, layout.gather_rev):
-        nb, r, tile = blocks.codes.shape
+        n_g = -(-blocks.r // blocks.wsz)
+        assert blocks.codes.shape == (
+            blocks.num_dst_blocks, n_g * blocks.wsz * blocks.tile, 1)
         assert (np.asarray(blocks.codes) >= 0).all()
-        assert (np.asarray(blocks.codes) < blocks.wsz * tile).all()
+        assert (np.asarray(blocks.codes) < blocks.wsz * blocks.tile).all()
         # padding slots carry zero mult
         assert (np.asarray(blocks.mult) >= 0).all()
     # residual + gather edges account for every input edge (by multiplicity)
