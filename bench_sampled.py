@@ -11,7 +11,9 @@ Prints exactly ONE JSON line:
   {"metric": "seeds/s (sampled mini-batch train, fanout [25,10])", ...}
 
 Env knobs: BENCH_NODES, BENCH_DEG, BENCH_DIM, BENCH_BATCH, BENCH_FANOUTS
-(comma list), BENCH_STEPS, BENCH_HIDDEN.
+(comma list), BENCH_STEPS, BENCH_HIDDEN, BENCH_SCAN (scan-batched mode:
+H pre-sampled trees per jitted call via lax.scan — amortizes the
+per-batch dispatch/RTT that dominates the dispatched number; 0 = off).
 """
 
 import json
@@ -30,7 +32,12 @@ from sldm_gnn_tpu.data.prefetch import Prefetcher
 from sldm_gnn_tpu.data.sampler import NeighborSampler
 from sldm_gnn_tpu.models.sampled_sage import SampledSage
 from sldm_gnn_tpu.train.loop import make_optimizer
-from sldm_gnn_tpu.train.sampled_loop import make_sampled_step_fns, sampled_batches
+from sldm_gnn_tpu.train.sampled_loop import (
+    make_sampled_scan_step,
+    make_sampled_step_fns,
+    sampled_batches,
+    stack_sampled_batches,
+)
 
 
 def main():
@@ -85,11 +92,51 @@ def main():
         float(loss)  # value fetch closes the timing window
         return edges
 
-    run(3)  # compile + warm
-    t0 = time.perf_counter()
-    edges = run(steps)
-    dt = time.perf_counter() - t0
-    seeds_s = steps * batch / dt
+    scan_h = int(os.environ.get("BENCH_SCAN", 0))
+    if scan_h:
+        # scan-batched mode: H pre-sampled trees per jitted call
+        scan_step = make_sampled_scan_step(
+            model, make_optimizer(1e-3, 5e-5), fanouts)
+
+        def sample_group(h):
+            bs = [sampler.sample(rng.integers(0, n, batch), fanouts, rng=rng)
+                  for _ in range(h)]
+            edges = sum(int(m.sum()) for b in bs for m in b.masks[1:])
+            return stack_sampled_batches(bs, labels), edges
+
+        def groups():
+            while True:
+                yield sample_group(scan_h)
+
+        def run_scan(n_groups):
+            nonlocal state, key
+            it = Prefetcher(groups(), depth=2)
+            edges = done = 0
+            losses = None
+            for (levels_h, masks_h, y_h), ge in it:
+                key, sub = jax.random.split(key)
+                state, losses = scan_step(state, x, levels_h, masks_h,
+                                          y_h, sub)
+                edges += ge
+                done += 1
+                if done >= n_groups:
+                    break
+            float(losses.ravel()[0])
+            return edges
+
+        n_groups = max(1, steps // scan_h)
+        run_scan(1)  # compile + warm
+        t0 = time.perf_counter()
+        edges = run_scan(n_groups)
+        dt = time.perf_counter() - t0
+        steps_done = n_groups * scan_h
+    else:
+        run(3)  # compile + warm
+        t0 = time.perf_counter()
+        edges = run(steps)
+        dt = time.perf_counter() - t0
+        steps_done = steps
+    seeds_s = steps_done * batch / dt
     print(json.dumps({
         "metric": "seeds/s (sampled mini-batch train, fanout "
                   f"{list(fanouts)})",
@@ -101,8 +148,8 @@ def main():
         "host_sampling_seeds_per_s": round(host_seeds_s, 1),
         "overlap_efficiency": round(seeds_s / host_seeds_s, 3),
         "nodes": n, "deg": deg, "feat_dim": d, "batch": batch,
-        "hidden": hidden, "steps": steps,
-        "step_ms": round(dt / steps * 1e3, 3),
+        "hidden": hidden, "steps": steps_done, "scan": scan_h or None,
+        "step_ms": round(dt / steps_done * 1e3, 3),
     }))
 
 

@@ -264,10 +264,13 @@ def train_combination(
               help="Learning rate for --sampled.")
 @click.option("--sampled-wd", type=float, default=5e-5, show_default=True,
               help="Weight decay for --sampled.")
+@click.option("--sampled-scan", type=int, default=0, show_default=True,
+              help="Scan-batch H pre-sampled trees per jitted call "
+                   "(lax.scan) — amortizes per-batch dispatch; 0 = off.")
 @click.option("-y", "--yes", is_flag=True, default=False, help="Skip the confirmation prompt.")
 def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
          checkpoints, dp, sampled, fanouts, sampled_batch_size, sampled_hidden,
-         sampled_lr, sampled_wd, yes):
+         sampled_lr, sampled_wd, sampled_scan, yes):
     if sampled:
         return _run_sampled(
             inputdir, outdir,
@@ -276,6 +279,7 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
             hidden_dims=tuple(int(h) for h in sampled_hidden.split(",")),
             epochs=epochs_override or 5,
             lr=sampled_lr, weight_decay=sampled_wd,
+            scan_batches=sampled_scan,
         )
     psc = ParamSweepContext(GRUSAGE_PARAMS_DICT)
     click.echo(f"TOT_COMBINATIONS={len(psc)}")
@@ -330,7 +334,7 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
 
 def _run_sampled(inputdir: Path, outdir: Path, *, fanouts, batch_size,
                  hidden_dims, epochs, lr: float = 1e-3,
-                 weight_decay: float = 5e-5):
+                 weight_decay: float = 5e-5, scan_batches: int = 0):
     """Config-3 driver: fanout-sampled mini-batch training on one large
     node-classification graph (replaces the reference's PyG NeighborLoader
     native sampler, /root/reference/install_dependencies.sh:10)."""
@@ -359,7 +363,7 @@ def _run_sampled(inputdir: Path, outdir: Path, *, fanouts, batch_size,
     state, res = train_sampled_classifier(
         src, dst, len(x), x, y, hidden_dims=hidden_dims, fanouts=fanouts,
         batch_size=batch_size, epochs=epochs, lr=lr,
-        weight_decay=weight_decay)
+        weight_decay=weight_decay, scan_batches=scan_batches)
     outdir.mkdir(parents=True, exist_ok=True)
     with open(outdir / "SAMPLED_state.pkl", "wb") as fh:
         pickle.dump({

@@ -91,6 +91,62 @@ def make_sampled_step_fns(
     return train_step, eval_step, init
 
 
+def make_sampled_scan_step(
+    model: SampledSage,
+    optimizer: optax.GradientTransformation,
+    fanouts: Sequence[int],
+):
+    """One jitted call = H sequential train steps over PRE-SAMPLED stacked
+    id trees (``lax.scan`` over the leading H axis) — amortizes per-batch
+    dispatch across H steps. On a remote-relay TPU each dispatched step
+    pays a launch+transfer RTT that dominates the 33 ms/step config-3
+    measurement (BASELINE.md round 3); on local hardware it still cuts
+    launch overhead and lets sampling run further ahead.
+
+    Returns ``scan_step(state, x, levels_h, masks_h, y_h, rng) ->
+    (state, losses[H])`` where each levels_h[l] is [H, B·prod(f..)]."""
+    fanouts = tuple(fanouts)
+
+    def gather(x, levels):
+        return [x[l] for l in levels]
+
+    def loss_fn(params, x, levels, masks, y, rng):
+        logits = model.apply(
+            {"params": params}, gather(x, levels), masks, fanouts,
+            train=True, rngs={"dropout": rng})
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    @jax.jit
+    def scan_step(state, x, levels_h, masks_h, y_h, rng):
+        def one(carry, batch):
+            st, key = carry
+            levels, masks, y = batch
+            key, sub = jax.random.split(key)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                st.params, x, tuple(levels), tuple(masks), y, sub)
+            return (st.apply_gradients(grads=grads), key), loss
+
+        (state, _), losses = jax.lax.scan(
+            one, (state, rng), (tuple(levels_h), tuple(masks_h), y_h))
+        return state, losses
+
+    return scan_step
+
+
+def stack_sampled_batches(batches, labels: np.ndarray):
+    """Stack H host-sampled batches into scan operands:
+    ``(levels_h, masks_h, y_h)`` with a leading H axis per level."""
+    levels_h = tuple(
+        jnp.asarray(np.stack([np.asarray(b.levels[l]) for b in batches]))
+        for l in range(len(batches[0].levels)))
+    masks_h = tuple(
+        jnp.asarray(np.stack([np.asarray(b.masks[l]) for b in batches]))
+        for l in range(len(batches[0].masks)))
+    y_h = jnp.asarray(np.stack([labels[b.levels[0]] for b in batches]))
+    return levels_h, masks_h, y_h
+
+
 def sampled_batches(
     sampler: NeighborSampler,
     seeds_order: np.ndarray,
@@ -138,10 +194,13 @@ def train_sampled_classifier(
     val_seeds: np.ndarray | None = None,
     seed: int = 0,
     prefetch_depth: int = 2,
+    scan_batches: int = 0,
 ) -> tuple[train_state.TrainState, SampledTrainResult]:
     """Config-3 training loop: node classification on one large graph via
     fanout-sampled mini-batches. ``fanouts`` is outermost-first (layer 1
-    aggregates the deepest level), matching SampledSage's tree layout."""
+    aggregates the deepest level), matching SampledSage's tree layout.
+    ``scan_batches=H`` trains H pre-sampled batches per jitted call
+    (:func:`make_sampled_scan_step`) — same math, H× fewer dispatches."""
     import time
 
     labels = np.asarray(labels, np.int64)
@@ -172,17 +231,51 @@ def train_sampled_classifier(
     steps_timed = 0
     edges_total = 0
     t_train = 0.0
+    scan_step = None
+    if scan_batches and scan_batches > 1:
+        scan_step = make_sampled_scan_step(model, make_optimizer(lr, weight_decay),
+                                           fanouts)
+
     for epoch in range(epochs):
         losses = []
         t0 = time.perf_counter()
-        for levels, masks, y, _, n_edges in Prefetcher(
-            sampled_batches(sampler, train_seeds, batch_size, fanouts, labels,
-                            rng=rng), prefetch_depth):
-            key, sub = jax.random.split(key)
-            state, loss = train_step(state, x, levels, masks, y, sub)
-            losses.append(loss)
-            edges_total += n_edges
-            steps_timed += 1
+        if scan_step is not None:
+            # group H host-sampled batches per jitted call; the tail group
+            # wraps into the next epoch's order like the batch wrap-pad
+            pend = []
+            pend_edges = 0
+            for levels, masks, y, _, n_edges in Prefetcher(
+                sampled_batches(sampler, train_seeds, batch_size, fanouts,
+                                labels, rng=rng), prefetch_depth):
+                pend.append((levels, masks, y))
+                pend_edges += n_edges
+                if len(pend) == scan_batches:
+                    levels_h = tuple(jnp.stack([b[0][l] for b in pend])
+                                     for l in range(len(pend[0][0])))
+                    masks_h = tuple(jnp.stack([b[1][l] for b in pend])
+                                    for l in range(len(pend[0][1])))
+                    y_h = jnp.stack([b[2] for b in pend])
+                    key, sub = jax.random.split(key)
+                    state, ls = scan_step(state, x, levels_h, masks_h, y_h, sub)
+                    losses.append(jnp.mean(ls))
+                    edges_total += pend_edges
+                    steps_timed += scan_batches
+                    pend, pend_edges = [], 0
+            for levels, masks, y in pend:  # tail: single steps
+                key, sub = jax.random.split(key)
+                state, loss = train_step(state, x, levels, masks, y, sub)
+                losses.append(loss)
+                steps_timed += 1
+            edges_total += pend_edges
+        else:
+            for levels, masks, y, _, n_edges in Prefetcher(
+                sampled_batches(sampler, train_seeds, batch_size, fanouts, labels,
+                                rng=rng), prefetch_depth):
+                key, sub = jax.random.split(key)
+                state, loss = train_step(state, x, levels, masks, y, sub)
+                losses.append(loss)
+                edges_total += n_edges
+                steps_timed += 1
         jax.block_until_ready(losses[-1])
         t_train += time.perf_counter() - t0
         tr_loss[epoch] = float(jnp.mean(jnp.stack(losses)))

@@ -46,8 +46,8 @@ def _setup(n=96, deg=4, d=12, ncls=3, hidden=(16, 16), ep=8):
     return src, dst, x, y, mask, mesh, plan_u, plan_f
 
 
-@pytest.mark.parametrize(
-    "mode", ["fused_ln", pytest.param("fused", marks=pytest.mark.slow)])
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["fused_ln", "fused"])
 def test_halo_fused_step_matches_unfused(mode):
     """Same init params, 3 Adam steps: losses and trained params agree
     between the fused and unfused halo classifiers (both XLA fallback on

@@ -296,6 +296,7 @@ def test_halo_multilabel_bce_matches_single_device():
     assert float(m["tp"]) + float(m["fn"]) == float(y.sum())
 
 
+@pytest.mark.slow
 def test_halo_multilabel_trains_micro_f1():
     """End-to-end multi-label training on the sharded path: focal loss,
     held-out val split, micro-F1 climbs to reference-matching levels on a

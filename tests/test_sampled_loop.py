@@ -59,3 +59,65 @@ def test_sampled_batches_static_shapes(rng):
     all_seeds = np.concatenate(
         [np.asarray(b[0][0])[: b[3]] for b in batches])
     assert sorted(all_seeds.tolist()) == sorted(seeds.tolist())
+
+
+def test_scan_step_matches_sequential(rng):
+    """H scanned steps == H sequential train_step calls (same rng split
+    sequence): params equal leaf-for-leaf, losses equal."""
+    import jax
+    import jax.numpy as jnp
+
+    from sldm_gnn_tpu.models.sampled_sage import SampledSage
+    from sldm_gnn_tpu.train.loop import make_optimizer
+    from sldm_gnn_tpu.train.sampled_loop import (
+        make_sampled_scan_step,
+        make_sampled_step_fns,
+        stack_sampled_batches,
+    )
+
+    src, dst, x, y = _community_graph(rng, n=60)
+    sampler = NeighborSampler(src, dst, 60)
+    fanouts = (3, 2)
+    model = SampledSage(hidden_dims=(8, 8), out_dim=3)
+    opt = make_optimizer(1e-2, 0.0)
+    train_step, _, init = make_sampled_step_fns(model, opt, fanouts)
+    scan_step = make_sampled_scan_step(model, opt, fanouts)
+
+    srng = np.random.default_rng(3)
+    batches = [sampler.sample(srng.integers(0, 60, 16), fanouts, rng=srng)
+               for _ in range(4)]
+    xj = jnp.asarray(x)
+    levels0 = tuple(jnp.asarray(l) for l in batches[0].levels)
+    masks0 = tuple(jnp.asarray(m) for m in batches[0].masks)
+    state_a = init(jax.random.PRNGKey(0), xj, levels0, masks0)
+    state_b = state_a
+
+    # sequential arm: reproduce the scan's key-split sequence
+    key = jax.random.PRNGKey(7)
+    losses_seq = []
+    for b in batches:
+        key, sub = jax.random.split(key)
+        lv = tuple(jnp.asarray(l) for l in b.levels)
+        mk = tuple(jnp.asarray(m) for m in b.masks)
+        yb = jnp.asarray(y[b.levels[0]])
+        state_a, loss = train_step(state_a, xj, lv, mk, yb, sub)
+        losses_seq.append(float(loss))
+
+    levels_h, masks_h, y_h = stack_sampled_batches(batches, y)
+    state_b, losses = scan_step(state_b, xj, levels_h, masks_h, y_h,
+                                jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state_a.params)),
+                    jax.tree.leaves(jax.device_get(state_b.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_train_sampled_classifier_scan_batches(rng):
+    """scan_batches=H trains to the same quality as the per-step path."""
+    src, dst, x, y = _community_graph(rng)
+    state, res = train_sampled_classifier(
+        src, dst, len(x), x, y,
+        hidden_dims=(16, 16), fanouts=(4, 4), batch_size=32, epochs=25,
+        lr=1e-2, weight_decay=0.0, seed=0, scan_batches=3)
+    assert res.val_acc[-1] >= 0.9, res.val_acc
+    assert res.sampled_edges_per_s > 0

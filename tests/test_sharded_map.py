@@ -55,6 +55,7 @@ def _cfg(F, L, segment_axis):
     )
 
 
+@pytest.mark.slow
 def test_segment_sharded_logits_match_replicated(rng):
     """Same params, same batch: logits from the fully-sharded map branch
     (dp=4 × ep=2 mesh) equal the replicated single-device model's."""
