@@ -379,6 +379,7 @@ def plan_banded_interior(
     tile: int,
     banded_k: int,
     banded_max_span: int,
+    keep_masks=None,
 ):
     """Stacked per-shard banded layouts for the INTERIOR edges of a halo
     split (the per-shard node space inherits the global graph's bandedness
@@ -387,7 +388,10 @@ def plan_banded_interior(
     :class:`~sldm_gnn_tpu.ops.spmm_banded.BandedBlocks` with FULL-degree
     row/col scales (interior + boundary edges sum to the exact mean).
     Raises ValueError when a shard's interior span exceeds
-    ``banded_max_span``."""
+    ``banded_max_span``. ``keep_masks``: optional per-shard boolean masks
+    over each shard's VALID interior edges (post int_w>0 filter) — edges
+    masked out are excluded from the banded layouts (the fused planner
+    spills them into its compact residual)."""
     from ..ops.spmm_banded import BandedBlocks, build_banded_counts
 
     ep = split.ep
@@ -406,6 +410,9 @@ def plan_banded_interior(
         mi = np.asarray(split.int_w[p]) > 0
         isrc = np.asarray(split.int_src[p])[mi].astype(np.int64)
         idst = np.asarray(split.int_dst[p])[mi].astype(np.int64)
+        if keep_masks is not None:
+            isrc = isrc[keep_masks[p]]
+            idst = idst[keep_masks[p]]
         edges.append((isrc, idst))
 
     def span_bounds(s, d_):

@@ -58,17 +58,24 @@ from .halo import HaloPlanSplit, plan_banded_interior, plan_halo_partition, spli
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class CompactBoundary:
-    """Per-shard boundary edges in the two orders the fused path needs
+    """Per-shard residual edges in the orders the fused path needs
     (stacked over a leading ep axis; padding edges carry w=0 and sit
-    FIRST so both segment-sums run with indices_are_sorted=True).
+    FIRST so every segment-sum runs with indices_are_sorted=True).
 
-    Forward order (sorted by compact residual row): edge e contributes
-    ``w[e] * halo[src_f[e]]`` to compact row ``row_f[e]`` (rows live in
-    ``[m * K*T)``; slot 0 = dummy zeros, masked in-kernel). ``rg [steps]``
-    maps each banded grid group to its compact slot (0 = none).
+    TWO edge populations share the forward compact-slot space (rows in
+    ``[m * K*T)``, slot 0 = dummy zeros masked in-kernel; ``rg [steps]``
+    maps each banded grid group to its slot):
 
-    Reverse order (sorted by halo row): ``t_bnd[src_r[e]] += w[e] *
-    dy[dst_r[e]]`` — the boundary transpose in received-halo-row space.
+    * BOUNDARY edges (src on another shard): contribute
+      ``w_f[e] * halo[src_f[e]]`` to row ``row_f[e]``; their transpose
+      lives in received-halo-row space — ``t_bnd[src_r[e]] += w_r[e] *
+      dy[dst_r[e]]`` (rev order sorted by halo row).
+    * INTERIOR-OVERFLOW edges (both ends local, outside the banded span
+      window — real orderings always have a few): contribute
+      ``i_w_f[e] * x[i_src_f[e]]`` to row ``i_row_f[e]``. Their transpose
+      targets LOCAL rows, so it rides the REVERSE kernel's resid operand:
+      compact rows ``i_row_rev`` (own slot map ``rg_rev``/``m_rev``) fed
+      by ``i_w_r[e] * dy[i_dst_r[e]]``.
     """
 
     src_f: jax.Array   # [ep, Eb] halo-table gather rows (fwd order)
@@ -77,8 +84,16 @@ class CompactBoundary:
     dst_r: jax.Array   # [ep, Eb] local dst gather rows (rev order)
     src_r: jax.Array   # [ep, Eb] halo-row segment ids (sorted)
     w_r: jax.Array     # [ep, Eb] weights (rev order)
-    rg: jax.Array      # [ep, steps] group -> slot map
-    m: int = field(metadata=dict(static=True))        # compact slots (common max)
+    rg: jax.Array      # [ep, steps] group -> fwd slot map
+    i_src_f: jax.Array   # [ep, Ei] x gather rows (fwd order)
+    i_row_f: jax.Array   # [ep, Ei] fwd compact rows (sorted)
+    i_w_f: jax.Array     # [ep, Ei] weights (0 on padding)
+    i_dst_r: jax.Array   # [ep, Ei] g/dy gather rows (rev order)
+    i_row_rev: jax.Array  # [ep, Ei] rev compact rows (sorted)
+    i_w_r: jax.Array     # [ep, Ei] weights (rev order)
+    rg_rev: jax.Array    # [ep, steps] group -> rev slot map
+    m: int = field(metadata=dict(static=True))        # fwd compact slots
+    m_rev: int = field(metadata=dict(static=True))    # rev compact slots
     kt: int = field(metadata=dict(static=True))       # K * tile rows per slot
     h_rows: int = field(metadata=dict(static=True))   # halo table rows (ep * H)
 
@@ -96,10 +111,24 @@ class HaloFusedPlan:
     n_pad_local: int
 
 
+def _pad_front(vals, order, size, fill=0, dtype=np.int32):
+    """Right-align ordered values in a fixed-size array (padding FIRST so
+    sorted segment-sum index sequences stay non-decreasing)."""
+    out = np.full(size, fill, dtype)
+    if len(vals):
+        out[size - len(vals):] = np.asarray(vals)[order]
+    return out
+
+
 def _compact_boundary(
-    split: HaloPlanSplit, n_pad_local: int, tile: int, k: int
+    split: HaloPlanSplit, n_pad_local: int, tile: int, k: int,
+    io_edges=None,
 ) -> CompactBoundary:
-    """Build the stacked compact-boundary arrays from a halo split."""
+    """Build the stacked compact-residual arrays from a halo split.
+    ``io_edges``: optional per-shard ``(src_local, dst_local, w)`` arrays
+    of interior-overflow edges (outside the banded span windows) — they
+    share the forward slot space with the boundary edges and get their
+    own reverse slot space."""
     ep = split.ep
     h_max = split.send_idx.shape[2]
     steps = n_pad_local // (k * tile)
@@ -111,29 +140,54 @@ def _compact_boundary(
         bsrc = np.asarray(split.hal_src[p])[mb].astype(np.int64)  # halo rows
         bdst = np.asarray(split.hal_dst[p])[mb].astype(np.int64)  # local rows
         bw = np.asarray(split.hal_w[p])[mb].astype(np.float32)
-        rows, rg, order_f, m = _residual_maps(bdst, k, tile, steps)
-        order_r = np.argsort(bsrc, kind="stable")
-        per.append((bsrc, bdst, bw, rows, rg, order_f, order_r, m))
+        if io_edges is not None:
+            io_s, io_d, io_w = (np.asarray(a) for a in io_edges[p])
+        else:
+            io_s = io_d = np.zeros(0, np.int64)
+            io_w = np.zeros(0, np.float32)
+        # forward: boundary + interior-overflow share the slot space
+        comb_dst = np.concatenate([bdst, io_d])
+        rows, rg, _, m = _residual_maps(comb_dst, k, tile, steps)
+        b_rows, i_rows = rows[: len(bdst)], rows[len(bdst):]
+        order_bf = np.argsort(b_rows, kind="stable")
+        order_if = np.argsort(i_rows, kind="stable")
+        order_br = np.argsort(bsrc, kind="stable")
+        # reverse: interior-overflow only (its transpose targets LOCAL rows)
+        i_rows_rev, rg_rev, order_ir, m_rev = _residual_maps(
+            io_s, k, tile, steps)
+        per.append(dict(
+            bsrc=bsrc, bdst=bdst, bw=bw, b_rows=b_rows,
+            io_s=io_s, io_d=io_d, io_w=io_w, i_rows=i_rows,
+            i_rows_rev=i_rows_rev, rg=rg, rg_rev=rg_rev, m=m, m_rev=m_rev,
+            order_bf=order_bf, order_if=order_if, order_br=order_br,
+            order_ir=order_ir))
 
-    eb = max(max((len(t[0]) for t in per), default=1), 1)
-    m_common = max(t[7] for t in per)
-
-    def padded(vals, order, fill=0, dtype=np.int32):
-        out = np.full(eb, fill, dtype)
-        out[eb - len(vals):] = np.asarray(vals)[order]
-        return out
-
-    src_f = np.stack([padded(t[0], t[5]) for t in per])
-    row_f = np.stack([padded(t[3], t[5]) for t in per])
-    w_f = np.stack([padded(t[2], t[5], 0.0, np.float32) for t in per])
-    dst_r = np.stack([padded(t[1], t[6]) for t in per])
-    src_r = np.stack([padded(t[0], t[6]) for t in per])
-    w_r = np.stack([padded(t[2], t[6], 0.0, np.float32) for t in per])
-    rg = np.stack([t[4] for t in per])
+    eb = max(max((len(t["bsrc"]) for t in per), default=1), 1)
+    ei = max(max((len(t["io_s"]) for t in per), default=1), 1)
+    m_common = max(t["m"] for t in per)
+    m_rev_common = max(t["m_rev"] for t in per)
 
     return CompactBoundary(
-        src_f=src_f, row_f=row_f, w_f=w_f, dst_r=dst_r, src_r=src_r, w_r=w_r,
-        rg=rg, m=m_common, kt=kt, h_rows=ep * h_max,
+        src_f=np.stack([_pad_front(t["bsrc"], t["order_bf"], eb) for t in per]),
+        row_f=np.stack([_pad_front(t["b_rows"], t["order_bf"], eb) for t in per]),
+        w_f=np.stack([_pad_front(t["bw"], t["order_bf"], eb, 0.0, np.float32)
+                      for t in per]),
+        dst_r=np.stack([_pad_front(t["bdst"], t["order_br"], eb) for t in per]),
+        src_r=np.stack([_pad_front(t["bsrc"], t["order_br"], eb) for t in per]),
+        w_r=np.stack([_pad_front(t["bw"], t["order_br"], eb, 0.0, np.float32)
+                      for t in per]),
+        rg=np.stack([t["rg"] for t in per]),
+        i_src_f=np.stack([_pad_front(t["io_s"], t["order_if"], ei) for t in per]),
+        i_row_f=np.stack([_pad_front(t["i_rows"], t["order_if"], ei) for t in per]),
+        i_w_f=np.stack([_pad_front(t["io_w"], t["order_if"], ei, 0.0, np.float32)
+                        for t in per]),
+        i_dst_r=np.stack([_pad_front(t["io_d"], t["order_ir"], ei) for t in per]),
+        i_row_rev=np.stack([_pad_front(t["i_rows_rev"], t["order_ir"], ei)
+                            for t in per]),
+        i_w_r=np.stack([_pad_front(t["io_w"], t["order_ir"], ei, 0.0, np.float32)
+                        for t in per]),
+        rg_rev=np.stack([t["rg_rev"] for t in per]),
+        m=m_common, m_rev=m_rev_common, kt=kt, h_rows=ep * h_max,
     )
 
 
@@ -147,21 +201,89 @@ def plan_halo_fused(
     tile: int | None = None,
     banded_k: int = 4,
     banded_max_span: int = 16,
+    span: int | None = None,
+    resid_frac: float = 0.01,
 ) -> HaloFusedPlan:
     """Build the fused-kernel halo plan from a global edge list (same
     partitioning as :func:`~sldm_gnn_tpu.parallel.halo.plan_halo_blocked`
     ``backend='banded'``; the boundary becomes the compact residual operand
-    instead of one-hot layouts)."""
+    instead of one-hot layouts).
+
+    Interior edges outside the per-block span windows — real orderings
+    (Hilbert/RCM on real maps) always leave a few — spill into the SAME
+    compact residual instead of widening every shard's banded span (or
+    failing outright like the unfused planner): ``span=None`` picks the
+    tightest common span whose total overflow stays under ``resid_frac``
+    of the interior edges (sweeping per-edge-span percentiles like
+    ops/banded_residual.py), bounded by ``banded_max_span``."""
     from ..graph.csr import TILE, pad_nodes
+    from ..ops.banded_residual import split_banded_residual
 
     tile = tile or TILE
     plan, n_local = plan_halo_partition(src, dst, num_nodes, ep, mean=mean)
     split = split_halo_plan(plan, n_local)
     n_pad_local = pad_nodes(n_local, tile)
+    nbl = n_pad_local // tile
+    nbl = ((nbl + banded_k - 1) // banded_k) * banded_k
+
+    # per-shard valid interior edges
+    interiors = []
+    for p in range(ep):
+        mi = np.asarray(split.int_w[p]) > 0
+        interiors.append((
+            np.asarray(split.int_src[p])[mi].astype(np.int64),
+            np.asarray(split.int_dst[p])[mi].astype(np.int64),
+            np.asarray(split.int_w[p])[mi].astype(np.float32),
+        ))
+
+    e_int = max(sum(len(s) for s, _, _ in interiors), 1)
+    if span is None:
+        # candidate spans from the pooled per-edge span distribution
+        spans_all = []
+        for s, d_, _ in interiors:
+            if not len(s):
+                continue
+            bo = np.arange(nbl, dtype=np.int64)
+            hi = bo.copy()
+            np.minimum.at(bo, d_ // tile, s // tile)
+            np.maximum.at(hi, d_ // tile, s // tile)
+            spans_all.append((hi - bo + 1)[d_ // tile])
+        pooled = np.concatenate(spans_all) if spans_all else np.array([1])
+        cands = sorted(
+            {int(np.percentile(pooled, q)) for q in (50, 75, 90, 99)}
+            | {min(banded_max_span, int(pooled.max()))})
+        cands = [c for c in cands if c <= banded_max_span]
+        span = cands[-1]
+        for c in cands:
+            kept = sum(
+                int(split_banded_residual(s, d_, nbl, tile=tile, span=c).sum())
+                for s, d_, _ in interiors)
+            if (e_int - kept) / e_int <= resid_frac:
+                span = c
+                break
+    if span > banded_max_span:
+        raise ValueError(f"span {span} exceeds max_span={banded_max_span}")
+
+    keep_masks = [split_banded_residual(s, d_, nbl, tile=tile, span=span)
+                  for s, d_, _ in interiors]
+    overflow = float(sum(len(s) - k.sum()
+                         for (s, _, _), k in zip(interiors, keep_masks)))
+    if overflow / e_int > 4 * resid_frac:
+        raise ValueError(
+            f"interior overflow fraction {overflow / e_int:.4f} at "
+            f"span={span} exceeds {4 * resid_frac:.4f}: shard interiors "
+            "are not near-banded under this node order — reorder "
+            "(graph/reorder.py) or use plan_halo_blocked(backend='dense')")
+
     int_fwd, int_rev, n_pad_local = plan_banded_interior(
         split, dst, n_local, n_pad_local, mean=mean, tile=tile,
-        banded_k=banded_k, banded_max_span=banded_max_span)
-    bnd = _compact_boundary(split, n_pad_local, tile, banded_k)
+        banded_k=banded_k, banded_max_span=span, keep_masks=keep_masks)
+    io_edges = [
+        (s[~k], d_[~k], w[~k])
+        for (s, d_, w), k in zip(interiors, keep_masks)
+    ]
+    bnd = _compact_boundary(split, n_pad_local, tile, banded_k,
+                            io_edges=io_edges)
     return HaloFusedPlan(
         send_idx=np.asarray(plan.send_idx),
         int_fwd=int_fwd, int_rev=int_rev, bnd=bnd,
@@ -172,11 +294,18 @@ def plan_halo_fused(
 # ------------------------------------------------------------ apply paths
 
 
-def boundary_fwd_compact(halo_flat: jax.Array, bnd: CompactBoundary) -> jax.Array:
-    """Compact boundary partial: [m, K*T, D] f32 (slot 0 = zeros)."""
+def boundary_fwd_compact(x: jax.Array, halo_flat: jax.Array,
+                         bnd: CompactBoundary) -> jax.Array:
+    """Compact forward residual [m, K*T, D] f32 (slot 0 = zeros):
+    boundary edges gather from the halo table, interior-overflow edges
+    from the local x — both land in the shared slot space."""
     msgs = halo_flat[bnd.src_f].astype(jnp.float32) * bnd.w_f[:, None]
     r = jax.ops.segment_sum(msgs, bnd.row_f, num_segments=bnd.m * bnd.kt,
                             indices_are_sorted=True)
+    msgs_i = x[bnd.i_src_f].astype(jnp.float32) * bnd.i_w_f[:, None]
+    r = r + jax.ops.segment_sum(msgs_i, bnd.i_row_f,
+                                num_segments=bnd.m * bnd.kt,
+                                indices_are_sorted=True)
     return r.reshape(bnd.m, bnd.kt, halo_flat.shape[1])
 
 
@@ -187,9 +316,19 @@ def boundary_rev(dy: jax.Array, bnd: CompactBoundary) -> jax.Array:
                                indices_are_sorted=True)
 
 
+def interior_rev_compact(dy: jax.Array, bnd: CompactBoundary) -> jax.Array:
+    """Interior-overflow transpose, compact: [m_rev, K*T, H] f32 — rides
+    the reverse kernel's resid operand (targets LOCAL rows)."""
+    msgs = dy[bnd.i_dst_r].astype(jnp.float32) * bnd.i_w_r[:, None]
+    t = jax.ops.segment_sum(msgs, bnd.i_row_rev,
+                            num_segments=bnd.m_rev * bnd.kt,
+                            indices_are_sorted=True)
+    return t.reshape(bnd.m_rev, bnd.kt, dy.shape[1])
+
+
 def _fwd_impl(x, halo, wl, wr, bias, int_fwd, int_rev, bnd,
               use_pallas, slope, interpret):
-    r = boundary_fwd_compact(halo, bnd)
+    r = boundary_fwd_compact(x, halo, bnd)
     if use_pallas and not int_fwd.wide:
         return banded_sage_fwd_pallas(
             x, wl, wr, bias, int_fwd, resid=(r.astype(x.dtype), bnd.rg),
@@ -240,12 +379,17 @@ def _vjp_bwd(use_pallas, negative_slope, interpret, axis_name, res, g):
     gq = g.astype(x.dtype)
     f32 = jnp.float32
     t_bnd = boundary_rev(gq, bnd)  # [h_rows, H] f32
+    t_i = interior_rev_compact(gq, bnd)  # interior-overflow transpose
     if use_pallas and not int_rev.wide:
-        dx, dwl, dwr = banded_sage_bwd_pallas(gq, wl, wr, int_rev, x=x,
-                                              interpret=interpret)
+        dx, dwl, dwr = banded_sage_bwd_pallas(
+            gq, wl, wr, int_rev, x=x,
+            resid=(t_i.astype(gq.dtype), bnd.rg_rev), interpret=interpret)
         dx = dx.astype(x.dtype)
     else:
+        from ..ops.banded_residual import _expand_compact
+
         t = spmm_banded_xla(gq, int_rev)
+        t = _expand_compact(t, t_i, bnd.rg_rev)
         dx = (
             jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
             + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)
@@ -272,7 +416,7 @@ halo_fused_sage.defvjp(_vjp_fwd, _vjp_bwd)
 
 def _ln_fwd_impl(x, halo, wl, wr, bias, gamma, beta, int_fwd, int_rev, bnd,
                  use_pallas, slope, eps, interpret):
-    r = boundary_fwd_compact(halo, bnd)
+    r = boundary_fwd_compact(x, halo, bnd)
     if use_pallas and not int_fwd.wide:
         return banded_sage_fwd_pallas(
             x, wl, wr, bias, int_fwd, resid=(r.astype(x.dtype), bnd.rg),
@@ -317,26 +461,38 @@ def _ln_vjp_bwd(use_pallas, negative_slope, eps, interpret, axis_name, res, g):
     f32 = jnp.float32
     if use_pallas and not int_rev.wide:
         # dy is derived IN-KERNEL for the interior; the boundary transpose
-        # needs dy only at boundary dst rows — computed pointwise after the
-        # gather, so no full-[N, H] prologue pass materializes
+        # and the interior-overflow compact need dy only at their dst rows
+        # — computed pointwise after the gathers, so no full-[N, H]
+        # prologue pass materializes
         dy_e, _, _ = _ln_bwd_prologue(
             g[bnd.dst_r], xhat[bnd.dst_r], rstd[bnd.dst_r], gamma, beta,
             negative_slope)
         t_bnd = jax.ops.segment_sum(
             dy_e * bnd.w_r[:, None], bnd.src_r, num_segments=bnd.h_rows,
             indices_are_sorted=True)
+        dy_i, _, _ = _ln_bwd_prologue(
+            g[bnd.i_dst_r], xhat[bnd.i_dst_r], rstd[bnd.i_dst_r], gamma,
+            beta, negative_slope)
+        t_i = jax.ops.segment_sum(
+            dy_i * bnd.i_w_r[:, None], bnd.i_row_rev,
+            num_segments=bnd.m_rev * bnd.kt, indices_are_sorted=True,
+        ).reshape(bnd.m_rev, bnd.kt, g.shape[1])
         dx, dwl, dwr, dstats = banded_sage_ln_bwd_pallas(
             g.astype(x.dtype), xhat, rstd, wl, wr, gamma, beta, int_rev, x,
-            negative_slope=negative_slope, interpret=interpret)
+            negative_slope=negative_slope,
+            resid=(t_i.astype(x.dtype), bnd.rg_rev), interpret=interpret)
         dgamma, dbeta = dstats[0], dstats[1]
         db = None if bias is None else dstats[2].astype(bias.dtype)
         dx = dx.astype(x.dtype)
     else:
+        from ..ops.banded_residual import _expand_compact
+
         dy, dgamma, dbeta = _ln_bwd_prologue(g, xhat, rstd, gamma, beta,
                                              negative_slope)
         gq = dy.astype(x.dtype)
         t_bnd = boundary_rev(gq, bnd)
         t = spmm_banded_xla(gq, int_rev)
+        t = _expand_compact(t, interior_rev_compact(gq, bnd), bnd.rg_rev)
         dx = (
             jnp.dot(t, wl.T.astype(t.dtype), preferred_element_type=f32)
             + jnp.dot(gq, wr.T.astype(gq.dtype), preferred_element_type=f32)

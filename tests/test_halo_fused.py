@@ -206,9 +206,74 @@ def test_boundary_partial_completes_mean(rng):
     unstack = lambda t: jax.tree.map(lambda a: jnp.asarray(a[p]), t)
     int_fwd, bnd = unstack(plan.int_fwd), unstack(plan.bnd)
     agg = spmm_banded_xla(jnp.asarray(xp), int_fwd)
-    r = boundary_fwd_compact(halo, bnd)
+    r = boundary_fwd_compact(jnp.asarray(xp), halo, bnd)
     agg = _expand_compact(agg, r, bnd.rg)
     lo = p * plan.n_local
     hi = min(n, (p + 1) * plan.n_local)
     np.testing.assert_allclose(np.asarray(agg)[: hi - lo], want[lo:hi],
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["fused_ln", "fused"])
+def test_interior_overflow_rides_residual(mode):
+    """A graph with long-range interior outliers + a tight span: the fused
+    plan spills them into the compact residual (i_* arrays engaged) and
+    the step equals the loose-span plan (resid empty) — same math, both
+    XLA fallback, so tolerances are tight. The unfused banded planner
+    refuses this graph at the tight span."""
+    n, deg, d, ncls = 96, 4, 12, 3
+    hidden = (16,)
+    rng = np.random.default_rng(2)
+    src, dst = local_graph(n, deg, reach=3, seed=2)
+    # a handful of long-range INTERIOR edges (kept inside one shard's range)
+    out_dst = np.array([1, 2, 3, 49, 50], dtype=np.int64)
+    out_src = np.array([10, 11, 9, 58, 59], dtype=np.int64)
+    src = np.concatenate([src, out_src])
+    dst = np.concatenate([dst, out_dst])
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    y = rng.integers(0, ncls, n)
+    mask = np.ones(n, np.float32)
+
+    ep = 8
+    mesh = make_mesh(dp=1, ep=ep, devices=jax.devices()[:ep])
+    plan_tight = plan_halo_fused(src, dst, n, ep, tile=4, banded_k=2,
+                                 span=2, resid_frac=0.05)
+    assert (np.asarray(plan_tight.bnd.i_w_f) > 0).any(), "overflow not engaged"
+    plan_loose = plan_halo_fused(src, dst, n, ep, tile=4, banded_k=2,
+                                 span=3)
+    assert not (np.asarray(plan_loose.bnd.i_w_f) > 0).any()
+    # the unfused banded planner cannot take the tight span at all
+    with pytest.raises(ValueError):
+        plan_halo_blocked(src, dst, n, ep, tile=4, edge_chunk=16,
+                          backend="banded", banded_k=2, banded_max_span=2)
+
+    kw = dict(hidden_dims=hidden, num_classes=ncls, negative_slope=0.1,
+              use_pallas=False, fused_ln=mode == "fused_ln",
+              fused=mode == "fused")
+    model_t = HaloSageClassifier(dims=HaloDims.of(plan_tight), **kw)
+    model_l = HaloSageClassifier(dims=HaloDims.of(plan_loose), **kw)
+    opt = make_optimizer(1e-2, 0.0)
+    fns_t = build_halo_step_fns(model_t, opt, mesh, plan_tight)
+    fns_l = build_halo_step_fns(model_l, opt, mesh, plan_loose)
+    x_stack = jax.device_put(shard_node_array(x, ep, plan_tight.n_local),
+                             fns_t.node_sharding)
+    y_stack = jax.device_put(
+        shard_node_array(y.astype(np.int32), ep, plan_tight.n_local),
+        fns_t.node_sharding)
+    m_stack = jax.device_put(shard_node_array(mask, ep, plan_tight.n_local),
+                             fns_t.node_sharding)
+    state_t = fns_t.init(jax.random.PRNGKey(0), x_stack)
+    state_l = TrainState(
+        params=jax.device_put(state_t.params, fns_l.repl_sharding),
+        opt_state=jax.device_put(state_t.opt_state, fns_l.repl_sharding),
+        step=state_t.step)
+    for _ in range(3):
+        state_t, mt = fns_t.train_step(state_t, x_stack, y_stack, m_stack,
+                                       jax.random.PRNGKey(9))
+        state_l, ml = fns_l.train_step(state_l, x_stack, y_stack, m_stack,
+                                       jax.random.PRNGKey(9))
+        np.testing.assert_allclose(float(mt["loss"]), float(ml["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state_t.params)),
+                    jax.tree.leaves(jax.device_get(state_l.params))):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
