@@ -40,3 +40,8 @@ from .halo_model import (  # noqa: F401
     build_halo_step_fns,
     train_halo_classifier,
 )
+from .streamed import (  # noqa: F401
+    StreamedHaloPlanner,
+    load_streamed_halo_fused_plan,
+    load_streamed_halo_plan,
+)

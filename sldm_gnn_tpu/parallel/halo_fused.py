@@ -120,52 +120,41 @@ def _pad_front(vals, order, size, fill=0, dtype=np.int32):
     return out
 
 
-def _compact_boundary(
-    split: HaloPlanSplit, n_pad_local: int, tile: int, k: int,
-    io_edges=None,
-) -> CompactBoundary:
-    """Build the stacked compact-residual arrays from a halo split.
-    ``io_edges``: optional per-shard ``(src_local, dst_local, w)`` arrays
-    of interior-overflow edges (outside the banded span windows) — they
-    share the forward slot space with the boundary edges and get their
-    own reverse slot space."""
-    ep = split.ep
-    h_max = split.send_idx.shape[2]
-    steps = n_pad_local // (k * tile)
-    kt = k * tile
+def _compact_shard(bsrc, bdst, bw, io, steps: int, k: int, tile: int) -> dict:
+    """Per-shard compact-residual maps (the body shared by the in-memory
+    planner and the streamed loader). ``io = (src, dst, w)`` interior
+    overflow (possibly empty)."""
+    io_s, io_d, io_w = (np.asarray(a) for a in io)
+    bsrc = np.asarray(bsrc, np.int64)
+    bdst = np.asarray(bdst, np.int64)
+    bw = np.asarray(bw, np.float32)
+    # forward: boundary + interior-overflow share the slot space
+    comb_dst = np.concatenate([bdst, io_d.astype(np.int64)])
+    rows, rg, _, m = _residual_maps(comb_dst, k, tile, steps)
+    b_rows, i_rows = rows[: len(bdst)], rows[len(bdst):]
+    # reverse: interior-overflow only (its transpose targets LOCAL rows)
+    i_rows_rev, rg_rev, _, m_rev = _residual_maps(
+        io_s.astype(np.int64), k, tile, steps)
+    return dict(
+        bsrc=bsrc, bdst=bdst, bw=bw, b_rows=b_rows,
+        io_s=io_s, io_d=io_d, io_w=io_w.astype(np.float32), i_rows=i_rows,
+        i_rows_rev=i_rows_rev, rg=rg, rg_rev=rg_rev, m=m, m_rev=m_rev,
+        order_bf=np.argsort(b_rows, kind="stable"),
+        order_if=np.argsort(i_rows, kind="stable"),
+        order_br=np.argsort(bsrc, kind="stable"),
+        order_ir=np.argsort(i_rows_rev, kind="stable"))
 
-    per = []
-    for p in range(ep):
-        mb = np.asarray(split.hal_w[p]) > 0
-        bsrc = np.asarray(split.hal_src[p])[mb].astype(np.int64)  # halo rows
-        bdst = np.asarray(split.hal_dst[p])[mb].astype(np.int64)  # local rows
-        bw = np.asarray(split.hal_w[p])[mb].astype(np.float32)
-        if io_edges is not None:
-            io_s, io_d, io_w = (np.asarray(a) for a in io_edges[p])
-        else:
-            io_s = io_d = np.zeros(0, np.int64)
-            io_w = np.zeros(0, np.float32)
-        # forward: boundary + interior-overflow share the slot space
-        comb_dst = np.concatenate([bdst, io_d])
-        rows, rg, _, m = _residual_maps(comb_dst, k, tile, steps)
-        b_rows, i_rows = rows[: len(bdst)], rows[len(bdst):]
-        order_bf = np.argsort(b_rows, kind="stable")
-        order_if = np.argsort(i_rows, kind="stable")
-        order_br = np.argsort(bsrc, kind="stable")
-        # reverse: interior-overflow only (its transpose targets LOCAL rows)
-        i_rows_rev, rg_rev, order_ir, m_rev = _residual_maps(
-            io_s, k, tile, steps)
-        per.append(dict(
-            bsrc=bsrc, bdst=bdst, bw=bw, b_rows=b_rows,
-            io_s=io_s, io_d=io_d, io_w=io_w, i_rows=i_rows,
-            i_rows_rev=i_rows_rev, rg=rg, rg_rev=rg_rev, m=m, m_rev=m_rev,
-            order_bf=order_bf, order_if=order_if, order_br=order_br,
-            order_ir=order_ir))
 
-    eb = max(max((len(t["bsrc"]) for t in per), default=1), 1)
-    ei = max(max((len(t["io_s"]) for t in per), default=1), 1)
-    m_common = max(t["m"] for t in per)
-    m_rev_common = max(t["m_rev"] for t in per)
+def _stack_compact(per, kt: int, h_rows: int, *, m_min: int = 1,
+                   m_rev_min: int = 1, eb_min: int = 1,
+                   ei_min: int = 1) -> CompactBoundary:
+    """Stack per-shard compact maps (leading dim = len(per)); the floors
+    let a multi-host subset load force GLOBAL maxima so every worker
+    compiles the same program."""
+    eb = max(max((len(t["bsrc"]) for t in per), default=1), 1, eb_min)
+    ei = max(max((len(t["io_s"]) for t in per), default=1), 1, ei_min)
+    m_common = max(max(t["m"] for t in per), m_min)
+    m_rev_common = max(max(t["m_rev"] for t in per), m_rev_min)
 
     return CompactBoundary(
         src_f=np.stack([_pad_front(t["bsrc"], t["order_bf"], eb) for t in per]),
@@ -187,8 +176,33 @@ def _compact_boundary(
         i_w_r=np.stack([_pad_front(t["io_w"], t["order_ir"], ei, 0.0, np.float32)
                         for t in per]),
         rg_rev=np.stack([t["rg_rev"] for t in per]),
-        m=m_common, m_rev=m_rev_common, kt=kt, h_rows=ep * h_max,
+        m=m_common, m_rev=m_rev_common, kt=kt, h_rows=h_rows,
     )
+
+
+def _compact_boundary(
+    split: HaloPlanSplit, n_pad_local: int, tile: int, k: int,
+    io_edges=None,
+) -> CompactBoundary:
+    """Build the stacked compact-residual arrays from a halo split.
+    ``io_edges``: optional per-shard ``(src_local, dst_local, w)`` arrays
+    of interior-overflow edges (outside the banded span windows)."""
+    ep = split.ep
+    h_max = split.send_idx.shape[2]
+    steps = n_pad_local // (k * tile)
+    kt = k * tile
+
+    per = []
+    for p in range(ep):
+        mb = np.asarray(split.hal_w[p]) > 0
+        io = (io_edges[p] if io_edges is not None
+              else (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.float32)))
+        per.append(_compact_shard(
+            np.asarray(split.hal_src[p])[mb],
+            np.asarray(split.hal_dst[p])[mb],
+            np.asarray(split.hal_w[p])[mb], io, steps, k, tile))
+    return _stack_compact(per, kt, ep * h_max)
 
 
 def plan_halo_fused(

@@ -291,3 +291,128 @@ def load_streamed_halo_plan(out_dir: str | Path, shards=None):
         n_pad_bnd=man["n_pad_bnd"],
         k_per_step=man["step_chunks"],
     )
+
+
+def load_streamed_halo_fused_plan(out_dir: str | Path, shards=None, *,
+                                  span: int | None = None,
+                                  resid_frac: float = 0.01):
+    """Assemble a :class:`~sldm_gnn_tpu.parallel.halo_fused.HaloFusedPlan`
+    from a streamed build — config-5 inputs feeding the FUSED multi-chip
+    path. ``span=None`` uses the manifest's s_common (no interior
+    overflow); a tighter ``span`` spills out-of-window interior edges into
+    the fused kernels' compact residual (parallel/halo_fused.py).
+
+    Pass A scans ALL shards (one at a time, O(one shard) memory) for the
+    GLOBAL floors — common (s_span, wsz), compact-slot maxima, padded edge
+    counts — so a ``shards=...`` subset load on one worker compiles the
+    SAME program as every other worker. Pass B builds only the requested
+    shards' layouts."""
+    from ..ops.banded_residual import split_banded_residual
+    from ..ops.spmm_banded import BandedBlocks, build_banded_counts
+    from .halo_fused import (
+        HaloFusedPlan,
+        _compact_shard,
+        _stack_compact,
+    )
+
+    out = Path(out_dir)
+    man = json.loads((out / "manifest.json").read_text())
+    ep, n_local = man["ep"], man["n_local"]
+    tile, k = man["tile"], man["banded_k"]
+    n_pad_local = man["n_pad_local"]
+    h_max = man["h_max"]
+    nbl = n_pad_local // tile
+    steps = nbl // k
+    kt = k * tile
+    span = man["s_common"] if span is None else int(span)
+    inv = np.load(out / "inv_deg.npy")
+    send_idx = np.load(out / "send_idx.npy")
+
+    # ---- pass A: global floors over ALL shards
+    w_floor = span
+    m_max = m_rev_max = 1
+    eb_max = ei_max = 1
+    overflow_tot = 0
+    e_tot = 0
+    for p in range(ep):
+        z = np.load(out / f"shard_p{p}.npz")
+        isrc = z["isrc"].astype(np.int64)
+        idst = z["idst"].astype(np.int64)
+        keep = split_banded_residual(isrc, idst, nbl, tile=tile, span=span)
+        overflow_tot += len(isrc) - int(keep.sum())
+        e_tot += len(isrc)
+        io_d = idst[~keep]
+        io_s = isrc[~keep]
+        for s, d_ in ((isrc[keep], idst[keep]), (idst[keep], isrc[keep])):
+            bo = np.arange(nbl, dtype=np.int64)
+            if len(s):
+                np.minimum.at(bo, d_ // tile, s // tile)
+            base = np.minimum(bo, max(nbl - span, 0)).reshape(-1, k)
+            spread = int((base.max(axis=1) - base.min(axis=1)).max()) if len(base) else 0
+            w_floor = max(w_floor, spread + span)
+        bdst = z["bdst"].astype(np.int64)
+        m_max = max(m_max, len(np.unique(
+            np.concatenate([bdst, io_d]) // kt)) + 1)
+        m_rev_max = max(m_rev_max, len(np.unique(io_s // kt)) + 1)
+        eb_max = max(eb_max, len(bdst))
+        ei_max = max(ei_max, len(io_s))
+        del z
+    if e_tot and overflow_tot / e_tot > 4 * resid_frac:
+        raise ValueError(
+            f"interior overflow fraction {overflow_tot / e_tot:.4f} at "
+            f"span={span} exceeds {4 * resid_frac:.4f}: loosen span or "
+            "reorder the input stream (StreamingHilbert)")
+
+    # ---- pass B: requested shards' layouts
+    shards = list(range(ep)) if shards is None else list(shards)
+    fwd_list, rev_list, per = [], [], []
+    for p in shards:
+        z = np.load(out / f"shard_p{p}.npz")
+        isrc = z["isrc"].astype(np.int64)
+        idst = z["idst"].astype(np.int64)
+        iw = z["iw"].astype(np.float32)
+        keep = split_banded_residual(isrc, idst, nbl, tile=tile, span=span)
+        s_k, d_k = isrc[keep], idst[keep]
+        fwd_list.append(build_banded_counts(
+            s_k, d_k, n_pad_local, tile=tile, k=k, max_span=span,
+            s_span_min=span, wsz_min=w_floor))
+        rev_list.append(build_banded_counts(
+            d_k, s_k, n_pad_local, tile=tile, k=k, max_span=span,
+            s_span_min=span, wsz_min=w_floor))
+        # boundary edges remapped into the [ep*h_max] halo-row table
+        bsrc_g, bdst, bw, bq = (z["bsrc_g"], z["bdst"].astype(np.int64),
+                                z["bw"].astype(np.float32), z["bq"])
+        hal_src = np.zeros(len(bsrc_g), np.int64)
+        for q in np.unique(bq):
+            ids = z[f"need_{int(q)}"]
+            m = bq == q
+            hal_src[m] = int(q) * h_max + np.searchsorted(ids, bsrc_g[m])
+        per.append(_compact_shard(
+            hal_src, bdst, bw, (isrc[~keep], idst[~keep], iw[~keep]),
+            steps, k, tile))
+        del z
+
+    import jax
+
+    def stack_banded(blocks, *, row: bool):
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+        scale = np.zeros((len(shards), n_pad_local, 1), np.float32)
+        for i, p in enumerate(shards):
+            scale[i, :n_local, 0] = inv[p * n_local: (p + 1) * n_local]
+        return BandedBlocks(
+            a=stacked.a, bo=stacked.bo, woff=stacked.woff, off=stacked.off,
+            row_scale=scale if row else None,
+            col_scale=None if row else scale,
+            tile=tile, wsz=blocks[0].wsz, k=k,
+        )
+
+    return HaloFusedPlan(
+        send_idx=send_idx,
+        int_fwd=stack_banded(fwd_list, row=True),
+        int_rev=stack_banded(rev_list, row=False),
+        bnd=_stack_compact(per, kt, ep * h_max, m_min=m_max,
+                           m_rev_min=m_rev_max, eb_min=eb_max,
+                           ei_min=ei_max),
+        n_local=n_local,
+        n_pad_local=n_pad_local,
+    )

@@ -180,3 +180,71 @@ def test_streamed_plan_file_order_input(rng, tmp_path):
     with pytest.raises(ValueError):
         _stream_build(src, dst, n, ep, tmp_path / "plan2", tile=64,
                       banded_k=4, banded_max_span=8)
+
+
+def test_streamed_fused_plan_matches_in_memory(rng, tmp_path):
+    """Streamed build -> load_streamed_halo_fused_plan: a train step over
+    the loaded FUSED plan equals the in-memory plan_halo_fused step
+    (same span, same params). A tight span engages the interior-overflow
+    residual on both sides."""
+    import jax.numpy as jnp
+
+    from sldm_gnn_tpu.parallel.halo_fused import plan_halo_fused
+    from sldm_gnn_tpu.parallel.halo_model import (
+        HaloDims, HaloSageClassifier, build_halo_step_fns, shard_node_array)
+    from sldm_gnn_tpu.parallel.mesh import make_mesh
+    from sldm_gnn_tpu.parallel.streamed import load_streamed_halo_fused_plan
+    from sldm_gnn_tpu.train.loop import TrainState, make_optimizer
+
+    n, ep = 4096, 4
+    src, dst = _banded_graph(rng, deg=4, reach=40)
+    # a few long-range interior outliers
+    src = np.concatenate([src, np.array([200, 300, 2248])])
+    dst = np.concatenate([dst, np.array([10, 80, 2060])])
+
+    _stream_build(src, dst, n, ep, tmp_path / "plan", tile=64, banded_k=2)
+    got = load_streamed_halo_fused_plan(tmp_path / "plan", span=2,
+                                        resid_frac=0.05)
+    assert (np.asarray(got.bnd.i_w_f) > 0).any(), "overflow not engaged"
+    want = plan_halo_fused(src, dst, n, ep, tile=64, banded_k=2, span=2,
+                           resid_frac=0.05)
+    np.testing.assert_array_equal(np.asarray(got.int_fwd.a),
+                                  np.asarray(want.int_fwd.a))
+
+    mesh = make_mesh(dp=1, ep=ep, devices=jax.devices()[:ep])
+    rngd = np.random.default_rng(3)
+    x = rngd.standard_normal((n, 8)).astype(np.float32)
+    y = rngd.integers(0, 3, n)
+    mask = np.ones(n, np.float32)
+
+    losses = []
+    for plan in (got, want):
+        model = HaloSageClassifier(hidden_dims=(8,), num_classes=3,
+                                   dims=HaloDims.of(plan),
+                                   negative_slope=0.1, use_pallas=False,
+                                   fused_ln=True)
+        fns = build_halo_step_fns(model, make_optimizer(1e-2, 0.0), mesh, plan)
+        x_stack = jax.device_put(shard_node_array(x, ep, plan.n_local),
+                                 fns.node_sharding)
+        y_stack = jax.device_put(
+            shard_node_array(y.astype(np.int32), ep, plan.n_local),
+            fns.node_sharding)
+        m_stack = jax.device_put(shard_node_array(mask, ep, plan.n_local),
+                                 fns.node_sharding)
+        state = fns.init(jax.random.PRNGKey(0), x_stack)
+        _, m = fns.train_step(state, x_stack, y_stack, m_stack,
+                              jax.random.PRNGKey(1))
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+    # subset load: same statics as the full load (multi-host program parity)
+    sub = load_streamed_halo_fused_plan(tmp_path / "plan", shards=[1, 3],
+                                        span=2, resid_frac=0.05)
+    assert np.asarray(sub.int_fwd.a).shape[0] == 2
+    assert (sub.bnd.m, sub.bnd.m_rev, sub.bnd.kt) == \
+        (got.bnd.m, got.bnd.m_rev, got.bnd.kt)
+    assert sub.bnd.src_f.shape[1] == got.bnd.src_f.shape[1]
+    assert sub.bnd.i_src_f.shape[1] == got.bnd.i_src_f.shape[1]
+    assert sub.int_fwd.wsz == got.int_fwd.wsz
+    np.testing.assert_array_equal(np.asarray(sub.int_fwd.a),
+                                  np.asarray(got.int_fwd.a)[[1, 3]])
