@@ -92,6 +92,51 @@ def main():
         float(loss)  # value fetch closes the timing window
         return edges
 
+    if int(os.environ.get("BENCH_DEVICE", 0)):
+        # fully device-side sampling (train/sampled_loop.device_sample_tree):
+        # CSR resident on device; only [B] seed ids cross the host boundary
+        from sldm_gnn_tpu.train.sampled_loop import (
+            csr_device_arrays, make_device_sampled_step_fns)
+
+        indptr, nbr, degj = csr_device_arrays(sampler)
+        dtrain, _, dinit = make_device_sampled_step_fns(
+            model, make_optimizer(1e-3, 5e-5), fanouts, indptr, nbr, degj)
+        dstate = dinit(jax.random.PRNGKey(0), x, batch)
+        labels_j = jnp.asarray(labels.astype(np.int32))
+        key_d = jax.random.PRNGKey(1)
+
+        def run_dev(n_steps):
+            nonlocal dstate, key_d
+            loss = None
+            for _ in range(n_steps):
+                seeds = jnp.asarray(
+                    rng.integers(0, n, batch).astype(np.int32))
+                key_d, sub = jax.random.split(key_d)
+                dstate, loss = dtrain(dstate, x, seeds, labels_j[seeds], sub)
+            float(loss.ravel()[0])
+
+        run_dev(3)
+        t0 = time.perf_counter()
+        run_dev(steps)
+        dt = time.perf_counter() - t0
+        # expected sampled-edge throughput: full fanout tree minus the
+        # (mask-invalid) zero-degree slots — estimate from mean validity
+        tree = batch * (fanouts[0] + fanouts[0] * fanouts[1])
+        print(json.dumps({
+            "metric": "seeds/s (DEVICE-sampled mini-batch train, fanout "
+                      f"{list(fanouts)})",
+            "value": round(steps * batch / dt, 1),
+            "unit": "seeds/s",
+            "vs_baseline": None,
+            "backend": jax.default_backend(),
+            "tree_edges_per_s_upper": round(steps * tree / dt, 1),
+            "host_sampling_seeds_per_s": round(host_seeds_s, 1),
+            "nodes": n, "deg": deg, "feat_dim": d, "batch": batch,
+            "hidden": hidden, "steps": steps,
+            "step_ms": round(dt / steps * 1e3, 3),
+        }))
+        return
+
     scan_h = int(os.environ.get("BENCH_SCAN", 0))
     if scan_h:
         # scan-batched mode: H pre-sampled trees per jitted call

