@@ -13,7 +13,9 @@ Prints exactly ONE JSON line:
 Env knobs: BENCH_NODES, BENCH_DEG, BENCH_DIM, BENCH_BATCH, BENCH_FANOUTS
 (comma list), BENCH_STEPS, BENCH_HIDDEN, BENCH_SCAN (scan-batched mode:
 H pre-sampled trees per jitted call via lax.scan — amortizes the
-per-batch dispatch/RTT that dominates the dispatched number; 0 = off).
+per-batch dispatch/RTT that dominates the dispatched number; 0 = off),
+BENCH_DEVICE=1 (fully device-side sampling: CSR on device, only seed ids
+cross the host boundary — the fastest mode, 4.7× measured).
 """
 
 import json
