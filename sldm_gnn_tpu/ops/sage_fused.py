@@ -47,13 +47,16 @@ from .spmm_banded import BandedBlocks, _window_prologue, spmm_banded_pallas, spm
 
 
 def _fused_kernel(woff_ref, *rest, s_span, K, tile, wsz,
-                  has_row, has_bias, slope, has_resid, has_ln, eps):
+                  has_row, has_bias, slope, has_resid, has_ln, eps,
+                  has_ypre=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rest = list(rest)
     off_ref = rest.pop(0)
     rg_ref = rest.pop(0) if has_resid else None
+    if has_ypre:
+        rest.pop(0)  # rg_b: consumed only by the ypre output's index map
     a_ref = rest.pop(0)
     rs_ref = rest.pop(0) if has_row else None
     wl_ref = rest.pop(0)
@@ -66,6 +69,7 @@ def _fused_kernel(woff_ref, *rest, s_span, K, tile, wsz,
     out_ref = rest.pop(0)
     xhat_ref = rest.pop(0) if has_ln else None
     rstd_ref = rest.pop(0) if has_ln else None
+    ypre_ref = rest.pop(0) if has_ypre else None
     xw, sems = rest[:2]
     if has_resid:
         rw, rsem = rest[2], rest[3]
@@ -113,6 +117,12 @@ def _fused_kernel(woff_ref, *rest, s_span, K, tile, wsz,
         out += jnp.dot(xo.astype(jnp.bfloat16), wr, preferred_element_type=jnp.float32)
         if has_bias:
             out += b_ref[0]
+        if has_ypre:
+            # pre-epilogue y for the group's boundary slot (overlap path):
+            # the block's VMEM buffer is flushed to HBM only when rg_b[g]
+            # changes between steps, so untouched runs cost ~nothing; slot
+            # 0 collects garbage from untouched groups and is never read
+            ypre_ref[0, kk * tile:(kk + 1) * tile] = out
         if has_ln:
             # LayerNorm over the feature lanes, f32 stats, in the output
             # write: the pre-activation never round-trips HBM. xhat + rstd
@@ -143,10 +153,19 @@ def banded_sage_fwd_pallas(
     resid=None,
     ln=None,
     eps: float = 1e-5,
+    ypre=None,
 ):
     """One fused SAGE layer over the banded layout (forward only; use
     :func:`banded_sage_apply` for training). ``negative_slope``: None = no
     activation, 0.0 = ReLU, else LeakyReLU.
+
+    ``ypre=(rg_b, m_b)``: emit an EXTRA compact output ``y_pre_c
+    [m_b, K*T, H] f32`` holding each mapped group's pre-LN/pre-activation
+    ``y`` (post-bias). Slot 0 is a dummy that collects garbage from
+    unmapped groups. This is the overlap path's handshake: the kernel
+    never touches collective-dependent operands, and a small XLA epilogue
+    completes the mapped rows after the all-to-all lands
+    (parallel/halo_fused.py halo_fused_sage_ov).
 
     ``resid=(r_c, rg)``: compact residual aggregate ``r_c [m, K*T, H_in]``
     (slot 0 = zeros) + per-group slot map ``rg [steps]`` — added to each
@@ -213,24 +232,39 @@ def banded_sage_fwd_pallas(
         prefetch.append(rg)
         scratch += [pltpu.VMEM((1, K * tile, d), r_c.dtype),
                     pltpu.SemaphoreType.DMA(())]
+    has_ypre = ypre is not None
+    if has_ypre:
+        rg_b, m_b = ypre
+        prefetch.append(rg_b)  # read ONLY by the ypre output's index map
     specs.append(pl.BlockSpec(memory_space=pl.ANY))  # x in HBM; windows DMA'd
     args.append(x)
 
     vma = _operand_vma(x, wl, wr, blocks.a, blocks.off)
     if has_ln:
-        out_specs = (
+        out_specs = [
             pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0)),   # out
             pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0)),   # xhat
             pl.BlockSpec((K * tile, 1), lambda g, *_: (g, 0)),   # rstd
-        )
-        out_shape = (
+        ]
+        out_shape = [
             jax.ShapeDtypeStruct((n_pad, h), out_dtype, vma=vma),
             jax.ShapeDtypeStruct((n_pad, h), x.dtype, vma=vma),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32, vma=vma),
-        )
+        ]
     else:
-        out_specs = pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0))
-        out_shape = jax.ShapeDtypeStruct((n_pad, h), out_dtype, vma=vma)
+        out_specs = [pl.BlockSpec((K * tile, h), lambda g, *_: (g, 0))]
+        out_shape = [jax.ShapeDtypeStruct((n_pad, h), out_dtype, vma=vma)]
+    if has_ypre:
+        # block index = the group's boundary slot (rg_b is the LAST
+        # prefetch operand); unmapped groups revisit dummy slot 0
+        out_specs.append(pl.BlockSpec(
+            (1, K * tile, h), lambda g, *pf: (pf[-1][g], 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((m_b, K * tile, h), jnp.float32, vma=vma))
+    if len(out_specs) == 1:
+        out_specs, out_shape = out_specs[0], out_shape[0]
+    else:
+        out_specs, out_shape = tuple(out_specs), tuple(out_shape)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),  # woff [steps], off [steps*K], rg?
         grid=(steps,),
@@ -242,7 +276,8 @@ def banded_sage_fwd_pallas(
     return pl.pallas_call(
         partial(_fused_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,
                 has_row=has_row, has_bias=has_bias, slope=slope,
-                has_resid=has_resid, has_ln=has_ln, eps=float(eps)),
+                has_resid=has_resid, has_ln=has_ln, eps=float(eps),
+                has_ypre=has_ypre),
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(

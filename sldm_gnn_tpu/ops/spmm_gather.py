@@ -508,6 +508,14 @@ _PALLAS_GATHER_ENABLED = False
 
 def _gather_dispatch(x, blocks, use_pallas):
     if use_pallas and _PALLAS_GATHER_ENABLED:
+        if blocks.col_scale is not None:
+            # reverse (col_scale) layout: the kernel only implements the
+            # row_scale form, so fold the scale into x and hand the kernel
+            # a scale-free view (algebraically identical: A(s⊙x) = (A⊙sᵀ)x)
+            import dataclasses
+
+            x = (x.astype(jnp.float32) * blocks.col_scale).astype(x.dtype)
+            blocks = dataclasses.replace(blocks, col_scale=None)
         return spmm_gather_pallas(x, blocks)
     return spmm_gather_xla(x, blocks)
 

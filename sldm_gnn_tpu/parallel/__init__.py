@@ -33,6 +33,8 @@ from .halo_fused import (  # noqa: F401
     plan_halo_fused,
     halo_fused_sage,
     halo_fused_sage_ln,
+    halo_fused_sage_ln_ov,
+    halo_fused_sage_ov,
 )
 from .halo_model import (  # noqa: F401
     HaloDims,

@@ -92,10 +92,25 @@ class CompactBoundary:
     i_row_rev: jax.Array  # [ep, Ei] rev compact rows (sorted)
     i_w_r: jax.Array     # [ep, Ei] weights (rev order)
     rg_rev: jax.Array    # [ep, steps] group -> rev slot map
+    # --- SEPARATED forward maps (overlap path): the fused kernel must not
+    # consume anything derived from the all-to-all, so boundary edges get
+    # their OWN slot space (patched post-collective by a small epilogue)
+    # and interior-overflow edges their own (kernel resid, x-only).
+    b_src_s: jax.Array   # [ep, Eb] halo-table gather rows (sep fwd order)
+    b_row_s: jax.Array   # [ep, Eb] boundary-only compact rows (sorted)
+    b_w_s: jax.Array     # [ep, Eb] weights (sep fwd order)
+    rg_b: jax.Array      # [ep, steps] group -> boundary slot map
+    slot_grp: jax.Array  # [ep, m_b] boundary slot -> grid group (steps = none)
+    io_src_s: jax.Array  # [ep, Ei] x gather rows (sep fwd order)
+    io_row_s: jax.Array  # [ep, Ei] io-only compact rows (sorted)
+    io_w_s: jax.Array    # [ep, Ei] weights (sep fwd order)
+    rg_io: jax.Array     # [ep, steps] group -> io slot map
     m: int = field(metadata=dict(static=True))        # fwd compact slots
     m_rev: int = field(metadata=dict(static=True))    # rev compact slots
     kt: int = field(metadata=dict(static=True))       # K * tile rows per slot
     h_rows: int = field(metadata=dict(static=True))   # halo table rows (ep * H)
+    m_b: int = field(default=1, metadata=dict(static=True))   # boundary slots
+    m_io: int = field(default=1, metadata=dict(static=True))  # io-only slots
 
 
 @dataclass(frozen=True)
@@ -135,19 +150,32 @@ def _compact_shard(bsrc, bdst, bw, io, steps: int, k: int, tile: int) -> dict:
     # reverse: interior-overflow only (its transpose targets LOCAL rows)
     i_rows_rev, rg_rev, _, m_rev = _residual_maps(
         io_s.astype(np.int64), k, tile, steps)
+    # separated fwd maps for the overlap path: boundary-only slots (with a
+    # slot->group inverse for the post-collective patch) + io-only slots
+    b_rows_sep, rg_b, _, m_b = _residual_maps(bdst, k, tile, steps)
+    slot_grp = np.full(m_b, steps, np.int32)
+    if len(bdst):
+        slot_grp[1:] = np.unique(bdst // (k * tile)).astype(np.int32)
+    io_rows_sep, rg_io, _, m_io = _residual_maps(
+        io_d.astype(np.int64), k, tile, steps)
     return dict(
         bsrc=bsrc, bdst=bdst, bw=bw, b_rows=b_rows,
         io_s=io_s, io_d=io_d, io_w=io_w.astype(np.float32), i_rows=i_rows,
         i_rows_rev=i_rows_rev, rg=rg, rg_rev=rg_rev, m=m, m_rev=m_rev,
+        b_rows_sep=b_rows_sep, rg_b=rg_b, m_b=m_b, slot_grp=slot_grp,
+        io_rows_sep=io_rows_sep, rg_io=rg_io, m_io=m_io,
         order_bf=np.argsort(b_rows, kind="stable"),
         order_if=np.argsort(i_rows, kind="stable"),
         order_br=np.argsort(bsrc, kind="stable"),
-        order_ir=np.argsort(i_rows_rev, kind="stable"))
+        order_ir=np.argsort(i_rows_rev, kind="stable"),
+        order_bs=np.argsort(b_rows_sep, kind="stable"),
+        order_is=np.argsort(io_rows_sep, kind="stable"))
 
 
 def _stack_compact(per, kt: int, h_rows: int, *, m_min: int = 1,
                    m_rev_min: int = 1, eb_min: int = 1,
-                   ei_min: int = 1) -> CompactBoundary:
+                   ei_min: int = 1, m_b_min: int = 1,
+                   m_io_min: int = 1) -> CompactBoundary:
     """Stack per-shard compact maps (leading dim = len(per)); the floors
     let a multi-host subset load force GLOBAL maxima so every worker
     compiles the same program."""
@@ -155,6 +183,14 @@ def _stack_compact(per, kt: int, h_rows: int, *, m_min: int = 1,
     ei = max(max((len(t["io_s"]) for t in per), default=1), 1, ei_min)
     m_common = max(max(t["m"] for t in per), m_min)
     m_rev_common = max(max(t["m_rev"] for t in per), m_rev_min)
+    m_b_common = max(max(t["m_b"] for t in per), m_b_min)
+    m_io_common = max(max(t["m_io"] for t in per), m_io_min)
+    steps = per[0]["rg"].shape[0]
+
+    def _pad_slots(sg):
+        out = np.full(m_b_common, steps, np.int32)
+        out[: len(sg)] = sg
+        return out
 
     return CompactBoundary(
         src_f=np.stack([_pad_front(t["bsrc"], t["order_bf"], eb) for t in per]),
@@ -176,7 +212,21 @@ def _stack_compact(per, kt: int, h_rows: int, *, m_min: int = 1,
         i_w_r=np.stack([_pad_front(t["io_w"], t["order_ir"], ei, 0.0, np.float32)
                         for t in per]),
         rg_rev=np.stack([t["rg_rev"] for t in per]),
+        b_src_s=np.stack([_pad_front(t["bsrc"], t["order_bs"], eb) for t in per]),
+        b_row_s=np.stack([_pad_front(t["b_rows_sep"], t["order_bs"], eb)
+                          for t in per]),
+        b_w_s=np.stack([_pad_front(t["bw"], t["order_bs"], eb, 0.0, np.float32)
+                        for t in per]),
+        rg_b=np.stack([t["rg_b"] for t in per]),
+        slot_grp=np.stack([_pad_slots(t["slot_grp"]) for t in per]),
+        io_src_s=np.stack([_pad_front(t["io_s"], t["order_is"], ei) for t in per]),
+        io_row_s=np.stack([_pad_front(t["io_rows_sep"], t["order_is"], ei)
+                           for t in per]),
+        io_w_s=np.stack([_pad_front(t["io_w"], t["order_is"], ei, 0.0, np.float32)
+                         for t in per]),
+        rg_io=np.stack([t["rg_io"] for t in per]),
         m=m_common, m_rev=m_rev_common, kt=kt, h_rows=h_rows,
+        m_b=m_b_common, m_io=m_io_common,
     )
 
 
@@ -321,6 +371,37 @@ def boundary_fwd_compact(x: jax.Array, halo_flat: jax.Array,
                                 num_segments=bnd.m * bnd.kt,
                                 indices_are_sorted=True)
     return r.reshape(bnd.m, bnd.kt, halo_flat.shape[1])
+
+
+def io_fwd_compact(x: jax.Array, bnd: CompactBoundary) -> jax.Array:
+    """Interior-overflow-ONLY compact forward residual [m_io, K*T, D] f32
+    (overlap path: depends on x alone, never on the collective)."""
+    msgs = x[bnd.io_src_s].astype(jnp.float32) * bnd.io_w_s[:, None]
+    r = jax.ops.segment_sum(msgs, bnd.io_row_s,
+                            num_segments=bnd.m_io * bnd.kt,
+                            indices_are_sorted=True)
+    return r.reshape(bnd.m_io, bnd.kt, x.shape[1])
+
+
+def boundary_fwd_sep(halo_flat: jax.Array, bnd: CompactBoundary) -> jax.Array:
+    """Boundary-ONLY compact forward partial [m_b, K*T, D] f32 in the
+    separated slot space (the overlap epilogue's collective-dependent
+    input; slot 0 stays exactly zero — padding edges carry w=0)."""
+    msgs = halo_flat[bnd.b_src_s].astype(jnp.float32) * bnd.b_w_s[:, None]
+    r = jax.ops.segment_sum(msgs, bnd.b_row_s,
+                            num_segments=bnd.m_b * bnd.kt,
+                            indices_are_sorted=True)
+    return r.reshape(bnd.m_b, bnd.kt, halo_flat.shape[1])
+
+
+def _patch_groups(full: jax.Array, slots: jax.Array, slot_grp: jax.Array,
+                  kt: int) -> jax.Array:
+    """Overwrite the rows of boundary-touched grid groups with their
+    recomputed values; sentinel slot ids (== steps) drop out of range."""
+    steps = full.shape[0] // kt
+    fr = full.reshape((steps, kt) + full.shape[1:])
+    fr = fr.at[slot_grp].set(slots.astype(full.dtype), mode="drop")
+    return fr.reshape(full.shape)
 
 
 def boundary_rev(dy: jax.Array, bnd: CompactBoundary) -> jax.Array:
@@ -528,3 +609,139 @@ def _ln_vjp_bwd(use_pallas, negative_slope, eps, interpret, axis_name, res, g):
 
 
 halo_fused_sage_ln.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)
+
+
+# ------------------------------------------------- OVERLAP variants (VJP)
+#
+# The fused layers above consume the boundary partial as a kernel operand,
+# so the interior kernel WAITS on the all-to-all (module docstring). These
+# variants restructure the forward so the collective and the interior
+# kernel are data-independent and XLA's latency-hiding scheduler can run
+# them concurrently (async all-to-all-start ... kernel ... done):
+#
+#   * the kernel's resid operand carries ONLY interior-overflow edges
+#     (x-derived — no collective input), and the kernel emits a compact
+#     second output y_pre_c [m_b, K*T, H] with each boundary-touched
+#     group's pre-LN/pre-activation y;
+#   * a small post-collective epilogue computes the boundary partial
+#     (boundary_fwd_sep), completes y for the touched rows
+#     (y_s = y_pre_c + (R_b halo) Wl), redoes LN/act on those O(m_b*K*T)
+#     rows, and patches them into the kernel's outputs.
+#
+# The backward already has the right dependence shape — dhalo (the bwd
+# collective's input) derives from t_bnd = Rᵀ·g alone, never from the
+# reverse kernel — so it is shared verbatim with the non-overlap layers.
+# tests/test_halo_overlap.py proves both properties on the jaxpr/HLO.
+
+
+def _ov_epilogue_y(ypre, halo, wl, x_dtype, bnd):
+    """y_s [m_b, K*T, H] f32: complete the touched groups' pre-epilogue y
+    with the boundary term ((R_b halo) @ Wl at the storage dtype)."""
+    r_b = boundary_fwd_sep(halo, bnd)  # [m_b, kt, D] f32
+    add = jnp.dot(
+        r_b.reshape(bnd.m_b * bnd.kt, -1).astype(x_dtype), wl,
+        preferred_element_type=jnp.float32,
+    ).reshape(bnd.m_b, bnd.kt, -1)
+    return ypre + add
+
+
+def _ov_fwd_impl(x, halo, wl, wr, bias, int_fwd, bnd, use_pallas, slope,
+                 interpret):
+    r_io = io_fwd_compact(x, bnd)
+    if use_pallas and not int_fwd.wide:
+        out, ypre = banded_sage_fwd_pallas(
+            x, wl, wr, bias, int_fwd,
+            resid=(r_io.astype(x.dtype), bnd.rg_io),
+            negative_slope=slope, interpret=interpret,
+            ypre=(bnd.rg_b, bnd.m_b))
+    else:
+        agg = spmm_banded_xla(x, int_fwd)
+        agg = _expand_compact(agg, r_io, bnd.rg_io)
+        y = agg @ wl + x @ wr
+        if bias is not None:
+            y = y + bias
+        out = _act(y, slope).astype(x.dtype)
+        steps = bnd.rg_b.shape[0]
+        ypre = y.astype(jnp.float32).reshape(steps, bnd.kt, -1)[
+            jnp.clip(bnd.slot_grp, 0, steps - 1)]
+    y_s = _ov_epilogue_y(ypre, halo, wl, x.dtype, bnd)
+    out_s = _act(y_s, slope)
+    return _patch_groups(out, out_s, bnd.slot_grp, bnd.kt)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def halo_fused_sage_ov(x, halo, wl, wr, bias, int_fwd, int_rev, bnd,
+                       use_pallas: bool, negative_slope: float | None = None,
+                       interpret: bool = False, axis_name: str | None = None):
+    """Overlap twin of :func:`halo_fused_sage`: identical math, but the
+    interior kernel is data-independent of the all-to-all (see the section
+    comment). Backward is shared with the non-overlap layer."""
+    return _ov_fwd_impl(x, halo, wl, wr, bias, int_fwd, bnd, use_pallas,
+                        negative_slope, interpret)
+
+
+def _ov_vjp_fwd(x, halo, wl, wr, bias, int_fwd, int_rev, bnd,
+                use_pallas, negative_slope, interpret, axis_name):
+    y = _ov_fwd_impl(x, halo, wl, wr, bias, int_fwd, bnd, use_pallas,
+                     negative_slope, interpret)
+    return y, (x, halo, wl, wr, bias, int_rev, bnd, y)
+
+
+halo_fused_sage_ov.defvjp(_ov_vjp_fwd, _vjp_bwd)
+
+
+def _ln_ov_fwd_impl(x, halo, wl, wr, bias, gamma, beta, int_fwd, bnd,
+                    use_pallas, slope, eps, interpret):
+    r_io = io_fwd_compact(x, bnd)
+    if use_pallas and not int_fwd.wide:
+        out, xhat, rstd, ypre = banded_sage_fwd_pallas(
+            x, wl, wr, bias, int_fwd,
+            resid=(r_io.astype(x.dtype), bnd.rg_io),
+            negative_slope=slope, ln=(gamma, beta), eps=eps,
+            interpret=interpret, ypre=(bnd.rg_b, bnd.m_b))
+    else:
+        agg = spmm_banded_xla(x, int_fwd)
+        agg = _expand_compact(agg, r_io, bnd.rg_io)
+        y = agg @ wl + x @ wr
+        if bias is not None:
+            y = y + bias
+        z, xhat_f, rstd = _ln_fwd_xla(y, gamma, beta, eps)
+        out = _act(z, slope).astype(x.dtype)
+        xhat = xhat_f.astype(x.dtype)
+        steps = bnd.rg_b.shape[0]
+        ypre = y.astype(jnp.float32).reshape(steps, bnd.kt, -1)[
+            jnp.clip(bnd.slot_grp, 0, steps - 1)]
+    y_s = _ov_epilogue_y(ypre, halo, wl, x.dtype, bnd)
+    z_s, xhat_s, rstd_s = _ln_fwd_xla(y_s, gamma, beta, eps)
+    out_s = _act(z_s, slope)
+    return (_patch_groups(out, out_s, bnd.slot_grp, bnd.kt),
+            _patch_groups(xhat, xhat_s, bnd.slot_grp, bnd.kt),
+            _patch_groups(rstd, rstd_s, bnd.slot_grp, bnd.kt))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def halo_fused_sage_ln_ov(x, halo, wl, wr, bias, gamma, beta,
+                          int_fwd, int_rev, bnd,
+                          use_pallas: bool,
+                          negative_slope: float | None = None,
+                          eps: float = 1e-5, interpret: bool = False,
+                          axis_name: str | None = None):
+    """Overlap twin of :func:`halo_fused_sage_ln` (whole-sublayer fusion
+    with collective/compute overlap; backward shared)."""
+    out, _, _ = _ln_ov_fwd_impl(x, halo, wl, wr, bias, gamma, beta,
+                                int_fwd, bnd, use_pallas, negative_slope,
+                                eps, interpret)
+    return out
+
+
+def _ln_ov_vjp_fwd(x, halo, wl, wr, bias, gamma, beta, int_fwd, int_rev,
+                   bnd, use_pallas, negative_slope, eps, interpret,
+                   axis_name):
+    out, xhat, rstd = _ln_ov_fwd_impl(
+        x, halo, wl, wr, bias, gamma, beta, int_fwd, bnd, use_pallas,
+        negative_slope, eps, interpret)
+    return out, (x, halo, wl, wr, bias, gamma, beta, xhat, rstd,
+                 int_rev, bnd)
+
+
+halo_fused_sage_ln_ov.defvjp(_ln_ov_vjp_fwd, _ln_vjp_bwd)

@@ -40,7 +40,13 @@ from ..models.blocked_sage import _DenseParams, _LNParams
 from ..models.blocks import _activation
 from ..train.loop import TrainState, make_optimizer
 from .halo import HaloBlockedPlan, halo_aggregate_pallas
-from .halo_fused import HaloFusedPlan, halo_fused_sage, halo_fused_sage_ln
+from .halo_fused import (
+    HaloFusedPlan,
+    halo_fused_sage,
+    halo_fused_sage_ln,
+    halo_fused_sage_ln_ov,
+    halo_fused_sage_ov,
+)
 
 
 @dataclass(frozen=True)
@@ -78,6 +84,7 @@ class HaloSageConv(nn.Module):
     use_pallas: bool = True
     axis_name: str = "ep"
     fused: bool = False
+    overlap: bool = False  # collective/compute-overlap fused variants
 
     @nn.compact
     def __call__(self, x_local, send_idx, layouts, *,
@@ -95,12 +102,14 @@ class HaloSageConv(nn.Module):
             wr, _ = _DenseParams(self.out_dim, False, name="lin_r")(x_local.shape[1])
             if ln is not None:
                 gamma, beta = ln
-                out = halo_fused_sage_ln(
+                fn = halo_fused_sage_ln_ov if self.overlap else halo_fused_sage_ln
+                out = fn(
                     xp, halo, wl, wr, bl, gamma, beta,
                     int_fwd, int_rev, bnd, self.use_pallas, negative_slope,
                     1e-5, False, self.axis_name)
                 return out[: self.dims.n_local]
-            out = halo_fused_sage(
+            fn = halo_fused_sage_ov if self.overlap else halo_fused_sage
+            out = fn(
                 xp, halo, wl, wr, bl, int_fwd, int_rev, bnd,
                 self.use_pallas, None, False, self.axis_name)
             return out[: self.dims.n_local]
@@ -125,6 +134,7 @@ class HaloSageBlock(nn.Module):
     axis_name: str = "ep"
     fused: bool = False
     fused_ln: bool = False
+    overlap: bool = False
 
     @nn.compact
     def __call__(self, x_local, send_idx, layouts, *, train: bool = False):
@@ -132,7 +142,7 @@ class HaloSageBlock(nn.Module):
             conv = HaloSageConv(
                 h, dims=self.dims, use_pallas=self.use_pallas,
                 axis_name=self.axis_name, fused=self.fused or self.fused_ln,
-                name=f"conv{i}",
+                overlap=self.overlap, name=f"conv{i}",
             )
             if self.fused_ln:
                 gamma, beta = _LNParams(name=f"norm{i}")(h)
@@ -162,6 +172,7 @@ class HaloSageClassifier(nn.Module):
     axis_name: str = "ep"
     fused: bool = False  # epilogue fusion over the fused halo plan
     fused_ln: bool = False  # conv+LN+act single-kernel (see HaloSageBlock)
+    overlap: bool = False  # interior kernel independent of the all-to-all
 
     @nn.compact
     def __call__(self, x_local, send_idx, layouts, *, train: bool = False):
@@ -169,7 +180,7 @@ class HaloSageClassifier(nn.Module):
             self.hidden_dims, dims=self.dims, dropout=self.dropout,
             negative_slope=self.negative_slope, use_pallas=self.use_pallas,
             axis_name=self.axis_name, fused=self.fused,
-            fused_ln=self.fused_ln, name="sage",
+            fused_ln=self.fused_ln, overlap=self.overlap, name="sage",
         )(x_local, send_idx, layouts, train=train)
         return nn.Dense(self.num_classes, name="head")(h)
 

@@ -331,6 +331,7 @@ def load_streamed_halo_fused_plan(out_dir: str | Path, shards=None, *,
     # ---- pass A: global floors over ALL shards
     w_floor = span
     m_max = m_rev_max = 1
+    m_b_max = m_io_max = 1
     eb_max = ei_max = 1
     overflow_tot = 0
     e_tot = 0
@@ -354,6 +355,8 @@ def load_streamed_halo_fused_plan(out_dir: str | Path, shards=None, *,
         m_max = max(m_max, len(np.unique(
             np.concatenate([bdst, io_d]) // kt)) + 1)
         m_rev_max = max(m_rev_max, len(np.unique(io_s // kt)) + 1)
+        m_b_max = max(m_b_max, len(np.unique(bdst // kt)) + 1)
+        m_io_max = max(m_io_max, len(np.unique(io_d // kt)) + 1)
         eb_max = max(eb_max, len(bdst))
         ei_max = max(ei_max, len(io_s))
         del z
@@ -412,7 +415,8 @@ def load_streamed_halo_fused_plan(out_dir: str | Path, shards=None, *,
         int_rev=stack_banded(rev_list, row=False),
         bnd=_stack_compact(per, kt, ep * h_max, m_min=m_max,
                            m_rev_min=m_rev_max, eb_min=eb_max,
-                           ei_min=ei_max),
+                           ei_min=ei_max, m_b_min=m_b_max,
+                           m_io_min=m_io_max),
         n_local=n_local,
         n_pad_local=n_pad_local,
     )
