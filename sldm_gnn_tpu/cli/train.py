@@ -271,10 +271,21 @@ def train_combination(
               help="Sample the fanout tree ON DEVICE (CSR resident on "
                    "device; only seed ids cross the host boundary — 4.7x "
                    "measured over the host sampler on the remote chip).")
+@click.option("--sampled-dp", type=int, default=0,
+              help="Shard device-sampled seed batches over N devices "
+                   "(dp mesh, psum'd grads, exact metrics); requires "
+                   "--sampled-device and batch divisible by N.")
+@click.option("--sample-mode", default="uniform", show_default=True,
+              type=click.Choice(["uniform", "uniform_norep"]),
+              help="Neighbor sampling semantics: uniform WITH replacement "
+                   "(GraphSAGE default) or WITHOUT replacement (PyG "
+                   "NeighborLoader parity: min(f, deg) distinct "
+                   "neighbors, surplus slots masked).")
 @click.option("-y", "--yes", is_flag=True, default=False, help="Skip the confirmation prompt.")
 def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
          checkpoints, dp, sampled, fanouts, sampled_batch_size, sampled_hidden,
-         sampled_lr, sampled_wd, sampled_scan, sampled_device, yes):
+         sampled_lr, sampled_wd, sampled_scan, sampled_device, sampled_dp,
+         sample_mode, yes):
     if sampled:
         return _run_sampled(
             inputdir, outdir,
@@ -284,6 +295,7 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
             epochs=epochs_override or 5,
             lr=sampled_lr, weight_decay=sampled_wd,
             scan_batches=sampled_scan, device_sample=sampled_device,
+            sample_mode=sample_mode, dp=sampled_dp,
         )
     psc = ParamSweepContext(GRUSAGE_PARAMS_DICT)
     click.echo(f"TOT_COMBINATIONS={len(psc)}")
@@ -339,7 +351,8 @@ def main(inputdir, outdir, lbnum, cut, include_map, epochs_override, vmap_sweep,
 def _run_sampled(inputdir: Path, outdir: Path, *, fanouts, batch_size,
                  hidden_dims, epochs, lr: float = 1e-3,
                  weight_decay: float = 5e-5, scan_batches: int = 0,
-                 device_sample: bool = False):
+                 device_sample: bool = False, sample_mode: str = "uniform",
+                 dp: int = 0):
     """Config-3 driver: fanout-sampled mini-batch training on one large
     node-classification graph (replaces the reference's PyG NeighborLoader
     native sampler, /root/reference/install_dependencies.sh:10)."""
@@ -369,7 +382,7 @@ def _run_sampled(inputdir: Path, outdir: Path, *, fanouts, batch_size,
         src, dst, len(x), x, y, hidden_dims=hidden_dims, fanouts=fanouts,
         batch_size=batch_size, epochs=epochs, lr=lr,
         weight_decay=weight_decay, scan_batches=scan_batches,
-        device_sample=device_sample)
+        device_sample=device_sample, sample_mode=sample_mode, dp=dp)
     outdir.mkdir(parents=True, exist_ok=True)
     with open(outdir / "SAMPLED_state.pkl", "wb") as fh:
         pickle.dump({

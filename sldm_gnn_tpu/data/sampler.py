@@ -10,8 +10,10 @@ fanout axis (models/sampled_sage.py) — no scatter, no ragged shapes, every
 batch compiles once. This replaces the role of PyG's NeighborLoader native
 sampler (SURVEY.md §2.3) with a design that keeps the device program dense.
 
-Sampling modes: ``uniform`` (with replacement — standard GraphSAGE) and
-``first`` (deterministic first-k neighbors — reproducible tests/eval).
+Sampling modes: ``uniform`` (with replacement — standard GraphSAGE),
+``uniform_norep`` (without replacement — PyG NeighborLoader's default
+semantics: min(f, deg) DISTINCT neighbors per hop, surplus slots masked)
+and ``first`` (deterministic first-k neighbors — reproducible tests/eval).
 """
 
 from __future__ import annotations
@@ -29,6 +31,36 @@ class SampledBatch:
     levels: tuple[np.ndarray, ...]
     masks: tuple[np.ndarray, ...]
     fanouts: tuple[int, ...]
+
+
+def _floyd_norep_offsets(deg: np.ndarray, f: int,
+                         rng: np.random.Generator) -> np.ndarray:
+    """[k, f] per-parent neighbor offsets WITHOUT replacement.
+
+    Rows with deg <= f take offsets 0..deg-1 (the full neighbor set; the
+    caller masks slots >= deg). Rows with deg > f use Floyd's f-subset
+    algorithm — each outer iteration is vectorized over rows, with the
+    O(f) membership probe kept cheap by f being small (fanouts ~10-25):
+    for j in [d-f, d): pick t ~ U[0, j]; take j if t already picked,
+    else t. Uniform over f-subsets (within-row order is not uniform,
+    which is irrelevant to an unordered neighbor mean)."""
+    k = len(deg)
+    offs = np.minimum(
+        np.broadcast_to(np.arange(f), (k, f)),
+        np.maximum(deg - 1, 0)[:, None]).astype(np.int64).copy()
+    hi = deg > f
+    if hi.any():
+        dh = deg[hi]
+        picks = np.zeros((int(hi.sum()), f), np.int64)
+        for j in range(f):
+            jj = dh - f + j
+            t = rng.integers(0, jj + 1)
+            if j:
+                dup = (picks[:, :j] == t[:, None]).any(axis=1)
+                t = np.where(dup, jj, t)
+            picks[:, j] = t
+        offs[hi] = picks
+    return offs
 
 
 class NeighborSampler:
@@ -60,6 +92,8 @@ class NeighborSampler:
             k = len(parents)
             if mode == "uniform":
                 offs = rng.integers(0, np.maximum(deg, 1)[:, None], size=(k, f))
+            elif mode == "uniform_norep":
+                offs = _floyd_norep_offsets(deg, f, rng)
             elif mode == "first":
                 offs = np.minimum(
                     np.broadcast_to(np.arange(f), (k, f)),
@@ -75,7 +109,11 @@ class NeighborSampler:
             child = (
                 self.nbr[idx] if len(self.nbr) else np.zeros((k, f), np.int64)
             )
-            valid = (deg > 0)[:, None] & pmask[:, None] & np.ones((1, f), bool)
+            if mode == "uniform_norep":
+                # slot j exists only while j < deg: surplus slots masked
+                valid = (np.arange(f)[None, :] < deg[:, None]) & pmask[:, None]
+            else:
+                valid = (deg > 0)[:, None] & pmask[:, None] & np.ones((1, f), bool)
             # padded slots point at the parent (a safe gather target)
             child = np.where(valid, child, parents[:, None])
             levels.append(child.reshape(-1).astype(np.int32))

@@ -91,33 +91,64 @@ def make_sampled_step_fns(
     return train_step, eval_step, init
 
 
-def device_sample_tree(seeds, indptr, nbr, deg, fanouts, key):
+def device_sample_tree(seeds, indptr, nbr, deg, fanouts, key,
+                       mode: str = "uniform"):
     """Fanout tree sampled ON DEVICE — the fully TPU-native config-3
     sampler: the CSR (indptr/nbr/deg, device-resident int32) turns each
     level into one gather, so a training step needs only the [B] seed ids
     from the host (4 KB/batch instead of the ~1.4 MB id tree the host
     sampler ships — the measured bound on remote-ingest setups,
-    BASELINE.md round 3). Semantics match data/sampler.py mode='uniform':
-    per-slot uniform neighbor with replacement (negligible modulo bias:
-    deg << 2^31), zero-degree slots keep the parent id and mask False.
+    BASELINE.md round 3). Zero-degree slots keep the parent id and mask
+    False. Modes mirror data/sampler.py:
+
+    * ``uniform`` — per-slot uniform WITH replacement (negligible modulo
+      bias: deg << 2^31);
+    * ``uniform_norep`` — min(f, deg) DISTINCT neighbors per hop (PyG
+      NeighborLoader default semantics) via Floyd's f-subset algorithm,
+      unrolled over the static fanout with vectorized duplicate probes;
+      slots >= deg masked;
+    * ``first`` — deterministic first-k (reproducible eval, no key use).
 
     Returns (levels, masks) exactly like the host sampler's tree."""
     levels = [seeds.astype(jnp.int32)]
     masks = [jnp.ones(seeds.shape[0], bool)]
+    ii32 = jnp.iinfo(jnp.int32).max
     for f in fanouts:
         key, sub = jax.random.split(key)
         parents = levels[-1]
         pmask = masks[-1]
         p = parents.shape[0]
         d = deg[parents]  # [P]
-        u = jax.random.randint(sub, (p, f), 0, jnp.iinfo(jnp.int32).max)
-        slot = u % jnp.maximum(d, 1)[:, None]
+        ar = jnp.arange(f, dtype=jnp.int32)
+        if mode == "uniform":
+            u = jax.random.randint(sub, (p, f), 0, ii32)
+            slot = u % jnp.maximum(d, 1)[:, None]
+            cvalid = (d > 0)[:, None] & jnp.ones((1, f), bool)
+        elif mode == "uniform_norep":
+            # Floyd's subset sampling, slot j drawn in [0, d-f+j]; rows
+            # with d <= f fall back to first-d (the full neighbor set)
+            picks = jnp.zeros((p, f), jnp.int32)
+            subs = jax.random.split(sub, f)
+            for j in range(f):
+                jj = d - f + j  # may be < 0 for low-degree rows (unused)
+                u = jax.random.randint(subs[j], (p,), 0, ii32)
+                t = u % jnp.maximum(jj + 1, 1)
+                if j:
+                    dup = (picks[:, :j] == t[:, None]).any(axis=1)
+                    t = jnp.where(dup, jj, t)
+                picks = picks.at[:, j].set(t)
+            firstd = jnp.minimum(ar[None, :], jnp.maximum(d - 1, 0)[:, None])
+            slot = jnp.where(d[:, None] > f, picks, firstd)
+            cvalid = ar[None, :] < d[:, None]
+        elif mode == "first":
+            slot = jnp.minimum(ar[None, :], jnp.maximum(d - 1, 0)[:, None])
+            cvalid = (d > 0)[:, None] & jnp.ones((1, f), bool)
+        else:
+            raise ValueError(f"unknown sampling mode: {mode}")
         child = nbr[indptr[parents][:, None] + slot]
-        child = jnp.where(d[:, None] > 0, child, parents[:, None])
+        child = jnp.where(cvalid, child, parents[:, None])
         levels.append(child.reshape(-1))
-        cmask = jnp.broadcast_to(
-            (pmask & (d > 0))[:, None], (p, f)).reshape(-1)
-        masks.append(cmask)
+        masks.append((pmask[:, None] & cvalid).reshape(-1))
     return tuple(levels), tuple(masks)
 
 
@@ -128,12 +159,20 @@ def make_device_sampled_step_fns(
     indptr: jax.Array,
     nbr: jax.Array,
     deg: jax.Array,
+    *,
+    mode: str = "uniform",
 ):
     """Jitted train/eval steps with IN-JIT tree sampling: the host sends
     only seed ids + labels; sampling, gathering, and the model all run in
     one device program. ``indptr/nbr/deg`` are the device-resident CSR
     (in-neighbors grouped by destination, data/sampler.NeighborSampler
-    layout)."""
+    layout). ``mode`` is the TRAINING sampling mode; eval always uses the
+    deterministic ``first`` tree (same key-free trees every call — the
+    metric is reproducible, matching the host path's eval mode).
+
+    ``train_step`` returns ``(state, (loss, n_edges))`` where ``n_edges``
+    is THIS step's VALID sampled-tree edge count (device scalar) — a
+    measurement, not the padded-tree upper bound."""
     fanouts = tuple(fanouts)
 
     def gather(x, levels):
@@ -150,15 +189,17 @@ def make_device_sampled_step_fns(
     def train_step(state, x, seeds, y, rng):
         srng, drng = jax.random.split(rng)
         levels, masks = device_sample_tree(seeds, indptr, nbr, deg,
-                                           fanouts, srng)
+                                           fanouts, srng, mode)
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, x, levels, masks, y, drng)
-        return state.apply_gradients(grads=grads), loss
+        n_edges = sum(m.sum(dtype=jnp.int32) for m in masks[1:])
+        return state.apply_gradients(grads=grads), (loss, n_edges)
 
     @jax.jit
-    def eval_step(params, x, seeds, y, rng):
+    def eval_step(params, x, seeds, y):
         levels, masks = device_sample_tree(seeds, indptr, nbr, deg,
-                                           fanouts, rng)
+                                           fanouts, jax.random.PRNGKey(0),
+                                           "first")
         logits = model.apply({"params": params}, gather(x, levels), masks,
                              fanouts)
         return jnp.argmax(logits, axis=1) == y
@@ -166,10 +207,108 @@ def make_device_sampled_step_fns(
     def init(rng, x, batch_size: int):
         levels, masks = device_sample_tree(
             jnp.zeros(batch_size, jnp.int32), indptr, nbr, deg, fanouts,
-            jax.random.PRNGKey(0))
+            jax.random.PRNGKey(0), mode)
         params = model.init(rng, gather(x, levels), masks, fanouts)["params"]
         return train_state.TrainState.create(
             apply_fn=model.apply, params=params, tx=optimizer)
+
+    return train_step, eval_step, init
+
+
+def make_dp_device_sampled_step_fns(
+    model: SampledSage,
+    optimizer: optax.GradientTransformation,
+    fanouts: Sequence[int],
+    indptr: jax.Array,
+    nbr: jax.Array,
+    deg: jax.Array,
+    mesh,
+    *,
+    mode: str = "uniform",
+    axis_name: str = "dp",
+):
+    """Data-parallel device-sampled steps: seed batches shard over the
+    ``dp`` mesh axis (CSR + features + params replicated), each shard
+    samples and trains its ``B/dp`` seeds, and the replicated-parameter
+    gradients come out psum'd automatically (``value_and_grad`` OUTSIDE
+    the shard_map — shard_map AD inserts the collective transpose).
+
+    Seed counts are equal across shards by construction (the caller
+    reshapes the wrap-padded batch to [dp, B/dp]), so ``pmean`` of the
+    per-shard means IS the exact global mean. Per-shard sampling keys
+    fold in the shard index; eval uses the deterministic ``first`` tree
+    (key-free), so a dp=1 and a dp=N eval of the same seeds agree
+    exactly.
+
+    Returns ``(train_step, eval_step, init)``:
+      * ``train_step(state, x, seeds[dp, B/dp], y[dp, B/dp], rng) ->
+        (state, (loss, n_edges))`` — n_edges = global valid tree edges;
+      * ``eval_step(params, x, seeds, y) -> hits [dp, B/dp]``;
+      * ``init(rng, x, per_shard_batch) -> TrainState`` (replicated).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    fanouts = tuple(fanouts)
+
+    def gather(x, levels):
+        return [x[l] for l in levels]
+
+    def local_loss(params, x, seeds, y, ip, nb, dg, rng):
+        idx = jax.lax.axis_index(axis_name)
+        srng, drng = jax.random.split(jax.random.fold_in(rng, idx))
+        levels, masks = device_sample_tree(seeds, ip, nb, dg, fanouts,
+                                           srng, mode)
+        logits = model.apply(
+            {"params": params}, gather(x, levels), masks, fanouts,
+            train=True, rngs={"dropout": drng})
+        logp = jax.nn.log_softmax(logits)
+        loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+        n_e = sum(m.sum(dtype=jnp.int32) for m in masks[1:])
+        return (jax.lax.pmean(loss, axis_name),
+                jax.lax.psum(n_e, axis_name))
+
+    def sharded_loss(params, x, seeds_stack, y_stack, ip, nb, dg, rng):
+        return local_loss(params, x, seeds_stack[0], y_stack[0],
+                          ip, nb, dg, rng)
+
+    loss_sm = shard_map(
+        sharded_loss, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P(), P(), P(), P()),
+        out_specs=(P(), P()))
+
+    @jax.jit
+    def train_step(state, x, seeds_stack, y_stack, rng):
+        (loss, n_e), grads = jax.value_and_grad(
+            lambda p: loss_sm(p, x, seeds_stack, y_stack, indptr, nbr,
+                              deg, rng), has_aux=True)(state.params)
+        return state.apply_gradients(grads=grads), (loss, n_e)
+
+    def eval_body(params, x, seeds_stack, y_stack, ip, nb, dg):
+        levels, masks = device_sample_tree(
+            seeds_stack[0], ip, nb, dg, fanouts, jax.random.PRNGKey(0),
+            "first")
+        logits = model.apply({"params": params}, gather(x, levels), masks,
+                             fanouts)
+        return (jnp.argmax(logits, axis=1) == y_stack[0])[None]
+
+    eval_sm = shard_map(
+        eval_body, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P(), P(), P()),
+        out_specs=P(axis_name))
+
+    @jax.jit
+    def eval_step(params, x, seeds_stack, y_stack):
+        return eval_sm(params, x, seeds_stack, y_stack, indptr, nbr, deg)
+
+    def init(rng, x, per_shard_batch: int):
+        levels, masks = device_sample_tree(
+            jnp.zeros(per_shard_batch, jnp.int32), indptr, nbr, deg,
+            fanouts, jax.random.PRNGKey(0), mode)
+        params = model.init(rng, gather(x, levels), masks, fanouts)["params"]
+        state = train_state.TrainState.create(
+            apply_fn=model.apply, params=params, tx=optimizer)
+        return jax.device_put(state, NamedSharding(mesh, P()))
 
     return train_step, eval_step, init
 
@@ -185,7 +324,6 @@ def csr_device_arrays(sampler: NeighborSampler):
 
 def make_sampled_scan_step(
     model: SampledSage,
-    optimizer: optax.GradientTransformation,
     fanouts: Sequence[int],
 ):
     """One jitted call = H sequential train steps over PRE-SAMPLED stacked
@@ -193,7 +331,9 @@ def make_sampled_scan_step(
     dispatch across H steps. On a remote-relay TPU each dispatched step
     pays a launch+transfer RTT that dominates the 33 ms/step config-3
     measurement (BASELINE.md round 3); on local hardware it still cuts
-    launch overhead and lets sampling run further ahead.
+    launch overhead and lets sampling run further ahead. Updates apply
+    through ``state.apply_gradients`` — the optimizer is the TrainState's
+    own ``tx`` (there is deliberately no optimizer argument to ignore).
 
     Returns ``scan_step(state, x, levels_h, masks_h, y_h, rng) ->
     (state, losses[H])`` where each levels_h[l] is [H, B·prod(f..)]."""
@@ -288,6 +428,8 @@ def train_sampled_classifier(
     prefetch_depth: int = 2,
     scan_batches: int = 0,
     device_sample: bool = False,
+    sample_mode: str = "uniform",
+    dp: int = 0,
 ) -> tuple[train_state.TrainState, SampledTrainResult]:
     """Config-3 training loop: node classification on one large graph via
     fanout-sampled mini-batches. ``fanouts`` is outermost-first (layer 1
@@ -297,7 +439,12 @@ def train_sampled_classifier(
     ``device_sample=True`` samples the fanout tree ON DEVICE
     (:func:`device_sample_tree`): only seed ids cross the host boundary —
     4.7× measured over the host-sampled path on the remote chip
-    (BASELINE.md round 3)."""
+    (BASELINE.md round 3). ``sample_mode``: ``uniform`` (with replacement,
+    GraphSAGE default) or ``uniform_norep`` (PyG-NeighborLoader parity:
+    min(f, deg) distinct neighbors, surplus slots masked). ``dp>1``
+    (device_sample only) shards each seed batch over a dp-axis device
+    mesh (:func:`make_dp_device_sampled_step_fns`); batch_size must
+    divide by dp and metrics stay exact (equal shard counts + pmean)."""
     import time
 
     labels = np.asarray(labels, np.int64)
@@ -316,7 +463,11 @@ def train_sampled_classifier(
     if device_sample:
         return _train_device_sampled(
             model, sampler, x, labels, num_classes, fanouts, batch_size,
-            epochs, lr, weight_decay, train_seeds, val_seeds, seed)
+            epochs, lr, weight_decay, train_seeds, val_seeds, seed,
+            sample_mode, dp=dp)
+    if dp and dp > 1:
+        raise ValueError("dp-sharded sampled training requires "
+                         "device_sample=True")
     train_step, eval_step, init = make_sampled_step_fns(
         model, make_optimizer(lr, weight_decay), fanouts)
     # one probe batch fixes the static shapes and initializes params
@@ -334,8 +485,7 @@ def train_sampled_classifier(
     t_train = 0.0
     scan_step = None
     if scan_batches and scan_batches > 1:
-        scan_step = make_sampled_scan_step(model, make_optimizer(lr, weight_decay),
-                                           fanouts)
+        scan_step = make_sampled_scan_step(model, fanouts)
 
     for epoch in range(epochs):
         losses = []
@@ -347,7 +497,8 @@ def train_sampled_classifier(
             pend_edges = 0
             for levels, masks, y, _, n_edges in Prefetcher(
                 sampled_batches(sampler, train_seeds, batch_size, fanouts,
-                                labels, rng=rng), prefetch_depth):
+                                labels, rng=rng, mode=sample_mode),
+                prefetch_depth):
                 pend.append((levels, masks, y))
                 pend_edges += n_edges
                 if len(pend) == scan_batches:
@@ -358,7 +509,9 @@ def train_sampled_classifier(
                     y_h = jnp.stack([b[2] for b in pend])
                     key, sub = jax.random.split(key)
                     state, ls = scan_step(state, x, levels_h, masks_h, y_h, sub)
-                    losses.append(jnp.mean(ls))
+                    # per-step losses (not the group mean): tail single
+                    # steps then weigh equally in the epoch average
+                    losses.append(ls)
                     edges_total += pend_edges
                     steps_timed += scan_batches
                     pend, pend_edges = [], 0
@@ -371,7 +524,7 @@ def train_sampled_classifier(
         else:
             for levels, masks, y, _, n_edges in Prefetcher(
                 sampled_batches(sampler, train_seeds, batch_size, fanouts, labels,
-                                rng=rng), prefetch_depth):
+                                rng=rng, mode=sample_mode), prefetch_depth):
                 key, sub = jax.random.split(key)
                 state, loss = train_step(state, x, levels, masks, y, sub)
                 losses.append(loss)
@@ -379,7 +532,8 @@ def train_sampled_classifier(
                 steps_timed += 1
         jax.block_until_ready(losses[-1])
         t_train += time.perf_counter() - t0
-        tr_loss[epoch] = float(jnp.mean(jnp.stack(losses)))
+        tr_loss[epoch] = float(jnp.mean(jnp.concatenate(
+            [jnp.atleast_1d(l) for l in losses])))
 
         if val_seeds is not None and len(val_seeds):
             correct = 0
@@ -401,16 +555,36 @@ def train_sampled_classifier(
 
 def _train_device_sampled(model, sampler, x, labels, num_classes, fanouts,
                           batch_size, epochs, lr, weight_decay, train_seeds,
-                          val_seeds, seed):
+                          val_seeds, seed, sample_mode="uniform", dp=0):
     """Device-sampled training phase of :func:`train_sampled_classifier`:
-    per step only [B] seed ids (+labels) leave the host."""
+    per step only [B] seed ids (+labels) leave the host. Eval trees are
+    deterministic (mode='first' inside the step fns), so the reported
+    val_acc is reproducible run to run. ``dp>1``: seed batches reshape to
+    [dp, B/dp] and shard over a dp mesh."""
     import time
 
     indptr, nbr, deg = csr_device_arrays(sampler)
-    train_step, eval_step, init = make_device_sampled_step_fns(
-        model, make_optimizer(lr, weight_decay), fanouts, indptr, nbr, deg)
+    dp = int(dp) if dp else 0
+    if dp > 1:
+        from ..parallel.mesh import make_mesh
+
+        if batch_size % dp:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"dp={dp}")
+        mesh = make_mesh(dp=dp, ep=1, devices=jax.devices()[:dp])
+        train_step, eval_step, init = make_dp_device_sampled_step_fns(
+            model, make_optimizer(lr, weight_decay), fanouts, indptr, nbr,
+            deg, mesh, mode=sample_mode)
+        reshape = lambda a: a.reshape(dp, batch_size // dp)
+        init_b = batch_size // dp
+    else:
+        train_step, eval_step, init = make_device_sampled_step_fns(
+            model, make_optimizer(lr, weight_decay), fanouts, indptr, nbr,
+            deg, mode=sample_mode)
+        reshape = lambda a: a
+        init_b = batch_size
     labels_j = jnp.asarray(np.asarray(labels, np.int32))
-    state = init(jax.random.PRNGKey(seed), x, batch_size)
+    state = init(jax.random.PRNGKey(seed), x, init_b)
     key = jax.random.PRNGKey(seed + 2)
     rng = np.random.default_rng(seed + 1)
 
@@ -418,26 +592,28 @@ def _train_device_sampled(model, sampler, x, labels, num_classes, fanouts,
     val_acc = np.zeros(epochs, np.float32)
     steps_timed = 0
     t_train = 0.0
-    tree = batch_size * int(np.sum(np.cumprod(fanouts)))
     edges_total = 0
     for epoch in range(epochs):
         order = rng.permutation(train_seeds)
         losses = []
+        counts = []  # device scalars: valid tree edges per step (measured)
         t0 = time.perf_counter()
         for s in range(0, len(order), batch_size):
             chunk = order[s:s + batch_size]
             if len(chunk) < batch_size:
                 chunk = np.concatenate(
                     [chunk, np.resize(order, batch_size - len(chunk))])
-            seeds = jnp.asarray(chunk.astype(np.int32))
+            seeds = jnp.asarray(reshape(chunk.astype(np.int32)))
             key, sub = jax.random.split(key)
-            state, loss = train_step(state, x, seeds, labels_j[seeds], sub)
+            state, (loss, n_e) = train_step(state, x, seeds,
+                                            labels_j[seeds], sub)
             losses.append(loss)
+            counts.append(n_e)
             steps_timed += 1
-            edges_total += tree  # upper bound (masked slots included)
         jax.block_until_ready(losses[-1])
         t_train += time.perf_counter() - t0
         tr_loss[epoch] = float(jnp.mean(jnp.stack(losses)))
+        edges_total += int(jnp.sum(jnp.stack(counts)))
 
         if val_seeds is not None and len(val_seeds):
             correct = total = 0
@@ -447,10 +623,9 @@ def _train_device_sampled(model, sampler, x, labels, num_classes, fanouts,
                 if n_real < batch_size:
                     chunk = np.concatenate(
                         [chunk, np.resize(val_seeds, batch_size - n_real)])
-                seeds = jnp.asarray(chunk.astype(np.int32))
-                key, sub = jax.random.split(key)
+                seeds = jnp.asarray(reshape(chunk.astype(np.int32)))
                 hits = np.asarray(eval_step(state.params, x, seeds,
-                                            labels_j[seeds], sub))
+                                            labels_j[seeds])).reshape(-1)
                 correct += int(hits[:n_real].sum())
                 total += n_real
             val_acc[epoch] = correct / max(total, 1)

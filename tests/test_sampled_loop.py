@@ -81,7 +81,7 @@ def test_scan_step_matches_sequential(rng):
     model = SampledSage(hidden_dims=(8, 8), out_dim=3)
     opt = make_optimizer(1e-2, 0.0)
     train_step, _, init = make_sampled_step_fns(model, opt, fanouts)
-    scan_step = make_sampled_scan_step(model, opt, fanouts)
+    scan_step = make_sampled_scan_step(model, fanouts)
 
     srng = np.random.default_rng(3)
     batches = [sampler.sample(srng.integers(0, 60, 16), fanouts, rng=srng)
@@ -193,18 +193,24 @@ def test_device_sampled_training_learns(rng):
     state = init(jax.random.PRNGKey(0), xj, 32)
     key = jax.random.PRNGKey(1)
     srng = np.random.default_rng(2)
+    tree_cap = 32 * (4 + 16)
     for _ in range(60 * (n // 32)):
         seeds = jnp.asarray(srng.integers(0, n, 32).astype(np.int32))
         key, sub = jax.random.split(key)
-        state, loss = train_step(state, xj, seeds, yj[seeds], sub)
+        state, (loss, n_e) = train_step(state, xj, seeds, yj[seeds], sub)
+        assert 0 < int(n_e) <= tree_cap  # measured valid-slot count
     hits = []
     for s in range(0, n, 32):
         seeds = jnp.asarray(np.arange(s, min(s + 32, n)) % n)
         seeds = jnp.asarray(np.resize(np.asarray(seeds), 32))
-        key, sub = jax.random.split(key)
-        hits.append(np.asarray(eval_step(state.params, xj, seeds, yj[seeds], sub)))
+        hits.append(np.asarray(eval_step(state.params, xj, seeds, yj[seeds])))
     acc = np.concatenate(hits).mean()
     assert acc >= 0.9, acc
+    # deterministic eval: identical hit vectors on repeated calls
+    seeds = jnp.asarray(np.arange(32, dtype=np.int32))
+    h1 = np.asarray(eval_step(state.params, xj, seeds, yj[seeds]))
+    h2 = np.asarray(eval_step(state.params, xj, seeds, yj[seeds]))
+    np.testing.assert_array_equal(h1, h2)
 
 
 def test_train_sampled_classifier_device_mode(rng):
@@ -216,3 +222,88 @@ def test_train_sampled_classifier_device_mode(rng):
         lr=1e-2, weight_decay=0.0, seed=0, device_sample=True)
     assert res.val_acc[-1] >= 0.9, res.val_acc
     assert res.seeds_per_s > 0
+
+
+def test_dp_device_sampled_matches_single(rng):
+    """dp=4 sharded device-sampled steps == the single-device path when
+    trees are deterministic (mode='first', dropout off): losses and
+    trained params agree to f32 reduction-order tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from sldm_gnn_tpu.models.sampled_sage import SampledSage
+    from sldm_gnn_tpu.parallel.mesh import make_mesh
+    from sldm_gnn_tpu.train.loop import make_optimizer
+    from sldm_gnn_tpu.train.sampled_loop import (
+        csr_device_arrays,
+        make_device_sampled_step_fns,
+        make_dp_device_sampled_step_fns,
+    )
+
+    src, dst, x, y = _community_graph(rng, n=64)
+    n = len(x)
+    sampler = NeighborSampler(src, dst, n)
+    indptr, nbr, deg = csr_device_arrays(sampler)
+    model = SampledSage(hidden_dims=(8, 8), out_dim=3)
+    opt = make_optimizer(1e-2, 0.0)
+    fanouts = (3, 2)
+    dp = 4
+    B = 32
+    mesh = make_mesh(dp=dp, ep=1, devices=jax.devices()[:dp])
+    t1, e1, i1 = make_device_sampled_step_fns(
+        model, opt, fanouts, indptr, nbr, deg, mode="first")
+    tD, eD, iD = make_dp_device_sampled_step_fns(
+        model, opt, fanouts, indptr, nbr, deg, mesh, mode="first")
+
+    xj = jnp.asarray(x)
+    yj = jnp.asarray(y.astype(np.int32))
+    s1 = i1(jax.random.PRNGKey(0), xj, B)
+    sD = iD(jax.random.PRNGKey(0), xj, B // dp)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sD.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    srng = np.random.default_rng(5)
+    key = jax.random.PRNGKey(1)
+    for _ in range(4):
+        chunk = srng.integers(0, n, B).astype(np.int32)
+        key, sub = jax.random.split(key)
+        s1, (l1, c1) = t1(s1, xj, jnp.asarray(chunk), yj[jnp.asarray(chunk)],
+                          sub)
+        sh = jnp.asarray(chunk.reshape(dp, B // dp))
+        sD, (lD, cD) = tD(sD, xj, sh, yj[sh], sub)
+        np.testing.assert_allclose(float(lD), float(l1), rtol=1e-6,
+                                   atol=1e-7)
+        assert int(c1) == int(cD)  # same global valid-edge count
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                    jax.tree.leaves(jax.device_get(sD.params))):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    # eval parity (deterministic 'first' trees both paths)
+    chunk = np.arange(B, dtype=np.int32)
+    h1 = np.asarray(e1(s1.params, xj, jnp.asarray(chunk),
+                       yj[jnp.asarray(chunk)]))
+    sh = jnp.asarray(chunk.reshape(dp, B // dp))
+    hD = np.asarray(eD(sD.params, xj, sh, yj[sh])).reshape(-1)
+    np.testing.assert_array_equal(hD, h1)
+
+
+def test_train_sampled_classifier_dp_mode(rng):
+    """device_sample + dp=2 end to end: learns the community task."""
+    src, dst, x, y = _community_graph(rng)
+    state, res = train_sampled_classifier(
+        src, dst, len(x), x, y,
+        hidden_dims=(16, 16), fanouts=(4, 4), batch_size=32, epochs=30,
+        lr=1e-2, weight_decay=0.0, seed=0, device_sample=True, dp=2)
+    assert res.val_acc[-1] >= 0.9, res.val_acc
+    assert res.seeds_per_s > 0 and res.sampled_edges_per_s > 0
+
+
+def test_train_sampled_classifier_norep_mode(rng):
+    """uniform_norep sampling end to end (host and device paths)."""
+    src, dst, x, y = _community_graph(rng)
+    for device in (False, True):
+        state, res = train_sampled_classifier(
+            src, dst, len(x), x, y,
+            hidden_dims=(16, 16), fanouts=(4, 4), batch_size=32,
+            epochs=25, lr=1e-2, weight_decay=0.0, seed=0,
+            device_sample=device, sample_mode="uniform_norep")
+        assert res.val_acc[-1] >= 0.9, (device, res.val_acc)

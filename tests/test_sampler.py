@@ -163,3 +163,104 @@ def test_seed_batches_tile_when_batch_exceeds_nodes():
     chunks = list(iterate_seed_batches(3, 10, shuffle=False))
     assert all(len(c) == 10 for c in chunks)
     assert set(chunks[0][:3]) == {0, 1, 2}
+
+
+def test_norep_exact_coverage(rng):
+    """uniform_norep: per parent, valid children are DISTINCT true
+    neighbors; the valid count equals min(f, deg); when deg <= f the
+    sampled set IS the full neighbor set."""
+    n = 40
+    src = rng.integers(0, n, 300).astype(np.int64)
+    dst = rng.integers(0, n, 300).astype(np.int64)
+    s = NeighborSampler(src, dst, n)
+    nbr_lists = {i: list(src[dst == i]) for i in range(n)}
+    f = 5
+    seeds = np.arange(n)
+    batch = s.sample(seeds, (f,), rng=np.random.default_rng(0),
+                     mode="uniform_norep")
+    children = batch.levels[1].reshape(n, f)
+    cmask = batch.masks[1].reshape(n, f)
+    for p in range(n):
+        deg = len(nbr_lists[p])
+        valid = children[p][cmask[p]]
+        assert len(valid) == min(f, deg), (p, deg)
+        # distinct multiset positions (neighbors may repeat in the CSR via
+        # parallel edges; offsets are distinct, so count multiplicities)
+        offs_seen = sorted(valid.tolist())
+        if deg <= f:
+            assert offs_seen == sorted(nbr_lists[p]), p
+        for c in valid:
+            assert c in nbr_lists[p]
+
+
+def test_norep_offsets_are_distinct_and_uniformish():
+    """The Floyd subset sampler picks distinct offsets; over many draws
+    every neighbor of a deg>f parent is selected at least once."""
+    from sldm_gnn_tpu.data.sampler import _floyd_norep_offsets
+
+    rng = np.random.default_rng(0)
+    deg = np.array([12, 30, 7, 5, 1, 0], np.int64)
+    f = 5
+    seen = [set() for _ in deg]
+    for _ in range(300):
+        offs = _floyd_norep_offsets(deg, f, rng)
+        for i, d in enumerate(deg):
+            row = offs[i][: min(f, max(d, 0))] if d > 0 else []
+            vals = list(offs[i][:f]) if d > f else list(offs[i][: max(d, 0)])
+            if d > f:
+                assert len(set(vals)) == f, (i, vals)  # distinct
+                assert all(0 <= v < d for v in vals)
+                seen[i].update(vals)
+            elif d > 0:
+                assert vals == list(range(d))  # full set, first-d order
+    for i, d in enumerate(deg):
+        if d > f:
+            assert seen[i] == set(range(d)), (i, sorted(seen[i]))
+
+
+def test_device_norep_matches_host_semantics(rng):
+    """Device uniform_norep tree: distinct valid children per parent, all
+    true neighbors, count == min(f, deg), surplus slots masked; 'first'
+    mode is key-independent (deterministic)."""
+    from sldm_gnn_tpu.train.sampled_loop import (
+        csr_device_arrays, device_sample_tree)
+
+    n = 40
+    src = rng.integers(0, n, 250).astype(np.int64)
+    dst = rng.integers(0, n, 250).astype(np.int64)
+    s = NeighborSampler(src, dst, n)
+    indptr, nbr, deg = csr_device_arrays(s)
+    nbr_lists = {i: list(src[dst == i]) for i in range(n)}
+    f = 4
+    seeds = jnp.asarray(np.arange(n, dtype=np.int32))
+    levels, masks = device_sample_tree(seeds, indptr, nbr, deg, (f,),
+                                       jax.random.PRNGKey(3),
+                                       "uniform_norep")
+    children = np.asarray(levels[1]).reshape(n, f)
+    cmask = np.asarray(masks[1]).reshape(n, f)
+    degs = np.asarray(deg)
+    for p in range(n):
+        d = int(degs[p])
+        valid = children[p][cmask[p]]
+        assert len(valid) == min(f, d), (p, d)
+        for c in valid:
+            assert c in nbr_lists[p]
+        if d > f:
+            # offsets distinct => with distinct neighbor values they stay
+            # distinct; with parallel edges values may collide, so check
+            # via sorted CSR slice multiplicity instead
+            row = sorted(valid.tolist())
+            pool = sorted(nbr_lists[p])
+            j = 0
+            for v in row:
+                while j < len(pool) and pool[j] < v:
+                    j += 1
+                assert j < len(pool) and pool[j] == v
+                j += 1
+    # 'first' is deterministic under different keys
+    l1, m1 = device_sample_tree(seeds, indptr, nbr, deg, (f,),
+                                jax.random.PRNGKey(0), "first")
+    l2, m2 = device_sample_tree(seeds, indptr, nbr, deg, (f,),
+                                jax.random.PRNGKey(99), "first")
+    np.testing.assert_array_equal(np.asarray(l1[1]), np.asarray(l2[1]))
+    np.testing.assert_array_equal(np.asarray(m1[1]), np.asarray(m2[1]))
