@@ -65,23 +65,9 @@ def shard_map_data(map_data: MapData, ep: int) -> MapData:
     )
 
 
-def make_dp_train_step(
-    model: GruSage,
-    optimizer: optax.GradientTransformation,
-    mesh: Mesh,
-    *,
-    loss_type: str = "bce",
-    pos_weight: float = 1.0,
-    focal_alpha: float = 0.75,
-    focal_gamma: float = 2.0,
-    map_data: MapData | None = None,
-):
-    """Build a jitted SPMD train step over ``mesh`` (axes 'dp'[, 'ep']).
-
-    Returns ``step(state, stacked_batch, rng) -> (state, metrics)`` where
-    ``stacked_batch`` has a leading dp-axis (see :func:`shard_batch`).
-    """
-    ep = mesh.shape.get("ep", 1)
+def _map_operands(model: GruSage, map_data: MapData | None, ep: int):
+    """Shared map-branch operand prep for the dp train/eval steps:
+    returns (map_shards, md_specs, edge_sharded)."""
     edge_sharded = model.cfg.map_included and model.cfg.map_edge_axis is not None
     segment_sharded = model.cfg.map_included and model.cfg.map_segment_axis is not None
     if segment_sharded:
@@ -109,20 +95,46 @@ def make_dp_train_step(
     else:
         map_shards = jax.tree.map(jnp.asarray, map_data) if map_data is not None else None
         md_specs = jax.tree.map(lambda _: P(), map_shards) if map_shards is not None else None
+    return map_shards, md_specs, edge_sharded
 
+
+def _local_map_slice(md, edge_sharded):
+    """Per-shard view of the edge-sharded map operands (no-op otherwise)."""
+    if md is None or not edge_sharded:
+        return md
+    return MapData(
+        feats=md.feats,
+        lane_type_cats=md.lane_type_cats,
+        edge_src=md.edge_src[0],
+        edge_dst=md.edge_dst[0],
+        centroids=md.centroids,
+        edge_mask=md.edge_mask[0],
+    )
+
+
+def make_dp_train_step(
+    model: GruSage,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    loss_type: str = "bce",
+    pos_weight: float = 1.0,
+    focal_alpha: float = 0.75,
+    focal_gamma: float = 2.0,
+    map_data: MapData | None = None,
+):
+    """Build a jitted SPMD train step over ``mesh`` (axes 'dp'[, 'ep']).
+
+    Returns ``step(state, stacked_batch, rng) -> (state, metrics)`` where
+    ``stacked_batch`` has a leading dp-axis (see :func:`shard_batch`).
+    """
+    ep = mesh.shape.get("ep", 1)
+    map_shards, md_specs, edge_sharded = _map_operands(model, map_data, ep)
     batch_specs = jax.tree.map(lambda _: P("dp"), PaddedGraphBatch(*([0] * 12)))
 
     def per_shard_loss(params, batch_stacked, md, rng):
         batch = jax.tree.map(lambda a: a[0], batch_stacked)  # local shard
-        if md is not None and edge_sharded:
-            md = MapData(
-                feats=md.feats,
-                lane_type_cats=md.lane_type_cats,
-                edge_src=md.edge_src[0],
-                edge_dst=md.edge_dst[0],
-                centroids=md.centroids,
-                edge_mask=md.edge_mask[0],
-            )
+        md = _local_map_slice(md, edge_sharded)
         rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
         logits = model.apply(
             {"params": params}, batch, map_data=md, train=True, rngs={"dropout": rng}
@@ -170,3 +182,69 @@ def make_dp_train_step(
         )
 
     return step
+
+
+def make_dp_eval_step(
+    model: GruSage,
+    mesh: Mesh,
+    *,
+    loss_type: str = "bce",
+    pos_weight: float = 1.0,
+    focal_alpha: float = 0.75,
+    focal_gamma: float = 2.0,
+    map_data: MapData | None = None,
+    eval_scores: bool = True,
+):
+    """SPMD eval step over the dp mesh: each shard evaluates ONE batch of
+    a dp-stacked group (same :func:`~sldm_gnn_tpu.data.prefetch.
+    dp_batch_groups` layout as training, dummy tail batches all-masked),
+    so eval wall-clock scales with dp instead of running replicated.
+
+    Returns ``eval(params, stacked_batch) -> metrics`` with
+    ``loss``/``correct``/``n_graphs`` as EXACT valid-graph-weighted global
+    reductions (identical semantics to the train metrics) and, when
+    ``eval_scores``, dp-stacked per-graph ``scores``/``preds``
+    [dp, G, L] for the single-label CM/ROC-AUC curves."""
+    ep = mesh.shape.get("ep", 1)
+    map_shards, md_specs, edge_sharded = _map_operands(model, map_data, ep)
+    batch_specs = jax.tree.map(lambda _: P("dp"), PaddedGraphBatch(*([0] * 12)))
+
+    def per_shard_eval(params, batch_stacked, md):
+        batch = jax.tree.map(lambda a: a[0], batch_stacked)
+        md = _local_map_slice(md, edge_sharded)
+        logits = model.apply({"params": params}, batch, map_data=md,
+                             train=False)
+        loss = masked_graph_loss(
+            logits, batch.y, batch.graph_mask,
+            loss_type=loss_type, pos_weight=pos_weight,
+            focal_alpha=focal_alpha, focal_gamma=focal_gamma,
+        )
+        n_local = jnp.sum(batch.graph_mask.astype(jnp.float32))
+        loss_g = jax.lax.psum(loss * n_local, "dp") / jnp.maximum(
+            jax.lax.psum(n_local, "dp"), 1.0)
+        scores = jax.nn.sigmoid(logits)
+        preds = (scores >= 0.5).astype(jnp.float32)
+        correct = jax.lax.psum(jnp.sum(
+            (preds == batch.y).astype(jnp.int32)
+            * batch.graph_mask[:, None].astype(jnp.int32), axis=0), "dp")
+        n = jax.lax.psum(jnp.sum(batch.graph_mask.astype(jnp.int32)), "dp")
+        if eval_scores:
+            return loss_g, correct, n, scores[None], preds[None]
+        return loss_g, correct, n
+
+    out_specs = ((P(), P(), P(), P("dp"), P("dp")) if eval_scores
+                 else (P(), P(), P()))
+    sharded_eval = shard_map(
+        per_shard_eval, mesh=mesh,
+        in_specs=(P(), batch_specs, md_specs),
+        out_specs=out_specs)
+
+    @jax.jit
+    def eval_step(params, batch_stacked):
+        outs = sharded_eval(params, batch_stacked, map_shards)
+        m = {"loss": outs[0], "correct": outs[1], "n_graphs": outs[2]}
+        if eval_scores:
+            m["scores"], m["preds"] = outs[3], outs[4]
+        return m
+
+    return eval_step

@@ -209,8 +209,9 @@ def train_model(
     all-masked dummy batches), prefetched straight to mesh-sharded device
     memory, and each step consumes dp batches with AD-inserted gradient
     psums. Loss/accuracy stay exact means over real graphs, so curves are
-    comparable with the single-device path. Eval runs replicated over the
-    mesh. No reference analogue (it is single-GPU, SURVEY.md §2.4).
+    comparable with the single-device path. Eval shards the same way
+    (parallel/data_parallel.py make_dp_eval_step), so its wall-clock also
+    scales with dp. No reference analogue (single-GPU, SURVEY.md §2.4).
     """
     L = len(active_labels)
     if focal_gamma > 0:
@@ -226,14 +227,16 @@ def train_model(
     fns = build_step_fns(model, optimizer, map_data=map_data,
                          eval_scores=(L == 1), **loss_kw)
 
-    dp = dp_sharding = repl_sharding = dp_step = None
+    dp = dp_sharding = repl_sharding = dp_step = dp_eval = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.data_parallel import make_dp_train_step
+        from ..parallel.data_parallel import make_dp_eval_step, make_dp_train_step
 
         dp = int(mesh.shape["dp"])
         dp_step = make_dp_train_step(model, optimizer, mesh, map_data=map_data, **loss_kw)
+        dp_eval = make_dp_eval_step(model, mesh, map_data=map_data,
+                                    eval_scores=(L == 1), **loss_kw)
         dp_sharding = NamedSharding(mesh, P("dp"))
         repl_sharding = NamedSharding(mesh, P())
 
@@ -337,19 +340,29 @@ def train_model(
         pl_tracc[:, epoch] = correct / max(n, 1)
         tr_loss_curve[epoch] = loss_sum / max(nb, 1)
 
-        # ---- eval phase
+        # ---- eval phase (dp-sharded over the mesh when one is given:
+        # each shard evaluates one batch of a dp group, so eval wall-clock
+        # scales with dp like the train phase; metrics stay exact)
         step_metrics = []
         masks = []
         gts = []
-        for batch in _prefetch(eval_batches(), prefetch_depth):
-            batch_dev = jax.tree.map(jnp.asarray, batch)
+        if mesh is not None:
+            from ..data.prefetch import dp_batch_groups, prefetch_to_device
+
+            eval_iter = prefetch_to_device(
+                dp_batch_groups(eval_batches(), dp), prefetch_depth,
+                sharding=dp_sharding)
+        else:
+            eval_iter = _prefetch(eval_batches(), prefetch_depth)
+        for batch in eval_iter:
             if mesh is not None:
-                # params live replicated on the mesh; put the batch there
-                # too so eval runs replicated (no cross-device-set jit)
-                batch_dev = jax.device_put(batch_dev, repl_sharding)
-            m = fns.eval_step(state.params, batch_dev)
+                m = dp_eval(state.params, batch)
+            else:
+                m = fns.eval_step(state.params, jax.tree.map(jnp.asarray, batch))
             step_metrics.append(m)
             if L == 1:
+                # [G] flat or [dp, G] stacked masks/gt — the score
+                # collection below boolean-indexes either layout
                 masks.append(np.asarray(batch.graph_mask))
                 gts.append(np.asarray(batch.y))
         correct = np.zeros((L,), np.int64)

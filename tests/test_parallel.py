@@ -328,3 +328,90 @@ def test_ep_sharded_pallas_path_traces_under_grad(rng):
     )
     out = jax.eval_shape(jax.grad(lambda xx: f(xx, sf, sr)), x)
     assert out.shape == (n_pad, d)
+
+
+def test_dp_eval_step_matches_replicated(rng):
+    """make_dp_eval_step == per-batch replicated eval: valid-graph-weighted
+    loss, correct counts, n, and the dp-stacked scores/preds match the
+    single-device eval_step's on the same params (incl. a padded tail
+    group with all-masked dummy batches)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sldm_gnn_tpu.data.prefetch import dp_batch_groups, prefetch_to_device
+    from sldm_gnn_tpu.parallel.data_parallel import make_dp_eval_step
+
+    F, L, DP = 6, 1, 4
+    mesh = make_mesh(dp=DP, ep=2)
+    dims = BatchDims(node_capacity=24, edge_capacity=48, graph_capacity=2,
+                     num_frames=F, num_labels=L)
+    gs = _graphs(rng, 12, F, L)
+    flat = [pad_and_batch(gs[i:i + 2], dims) for i in range(0, 12, 2)]
+
+    cfg = GruSageConfig(
+        frames_num=F, gru_hidden_size=8, fc1dims=(8,), sage_hidden_dims=(8,),
+        fc2dims=(8,), out_dim=L, emb_dim=4, dropout=None, negative_slope=0.1,
+        map_included=False,
+    )
+    model = GruSage(cfg)
+    opt = make_optimizer(1e-3, 0.0)
+    fns = build_step_fns(model, opt, loss_type="bce", pos_weight=1.0,
+                         eval_scores=True)
+    state = fns.init(jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, flat[0]))
+    dp_eval = make_dp_eval_step(model, mesh, loss_type="bce", pos_weight=1.0,
+                                eval_scores=True)
+
+    sharding = NamedSharding(mesh, P("dp"))
+    params = jax.device_put(state.params, NamedSharding(mesh, P()))
+    groups = list(prefetch_to_device(dp_batch_groups(iter(flat + flat[:1]), DP),
+                                     depth=2, sharding=sharding))
+    assert len(groups) == 2  # 7 batches -> group of 4 + padded group
+    for g in groups:
+        m = dp_eval(params, g)
+        # reference: per-sub-batch replicated eval, weighted by n_graphs
+        num = den = 0.0
+        correct = np.zeros(L, np.int64)
+        for i in range(DP):
+            b = jax.tree.map(lambda a: np.asarray(a)[i], g)
+            mr = fns.eval_step(state.params, jax.tree.map(jnp.asarray, b))
+            nb = int(mr["n_graphs"])
+            num += float(mr["loss"]) * nb
+            den += nb
+            correct += np.asarray(mr["correct"])
+            np.testing.assert_allclose(np.asarray(m["scores"])[i],
+                                       np.asarray(mr["scores"]),
+                                       rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(m["loss"]), num / max(den, 1.0),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(m["correct"]), correct)
+        assert int(m["n_graphs"]) == int(den)
+
+
+def test_train_model_dp_mesh_single_label(rng):
+    """train_model(mesh=...) with L=1: the dp-sharded eval phase feeds the
+    CM/ROC-AUC stats (scores path) and the loop completes with finite
+    curves."""
+    from sldm_gnn_tpu.train.loop import train_model
+
+    F, L, DP = 6, 1, 4
+    mesh = make_mesh(dp=DP, ep=2)
+    dims = BatchDims(node_capacity=24, edge_capacity=48, graph_capacity=2,
+                     num_frames=F, num_labels=L)
+    gs = _graphs(rng, 10, F, L)
+    gs = [GraphArrays(x=g.x + 2.0 * (g.y[0] - 0.5), xsttype=g.xsttype,
+                      xdims=g.xdims, edge_index=g.edge_index,
+                      edge_attr=g.edge_attr, y=g.y, pos_raw=g.pos_raw)
+          for g in gs]
+    batches = [pad_and_batch(gs[i:i + 2], dims) for i in range(0, 10, 2)]
+    cfg = GruSageConfig(
+        frames_num=F, gru_hidden_size=8, fc1dims=(8,), sage_hidden_dims=(8,),
+        fc2dims=(8,), out_dim=L, emb_dim=4, dropout=None, negative_slope=0.1,
+        map_included=False,
+    )
+    state, res = train_model(
+        GruSage(cfg), lambda: iter(batches), lambda: iter(batches),
+        epochs=6, lr=1e-2, weight_decay=0.0, active_labels=(0,), mesh=mesh,
+    )
+    assert np.isfinite(res.train_loss).all() and np.isfinite(res.val_loss).all()
+    assert res.bin_cm is not None and res.bin_cm.sum(axis=0)[-1] == 10
+    assert res.bin_rocauc is not None and np.isfinite(res.bin_rocauc).all()
+    assert res.total_val_acc[0, -1] > 0.6
