@@ -6,6 +6,13 @@ dropout 0.25, map top-k 5) on synthetic graphs with a 1000-segment map.
 Prints one JSON line with ms/step and graphs/s. Env knobs: FLAG_BATCH,
 FLAG_FRAMES, FLAG_HIDDEN, FLAG_SEGMENTS, FLAG_ITERS, FLAG_NO_MAP,
 FLAG_GRU_PAD (0 disables the MXU-aligned GRU hidden padding).
+
+Timing mode: DEFAULT is in-loop — one jitted ``lax.fori_loop`` runs all
+iterations in a single dispatch, so the remote relay's per-dispatch
+latency (which produced the round-3 "flagship drift" scare, BASELINE.md)
+never enters the numbers; the window closes with a device-side scalar
+fetch. ``FLAG_DISPATCHED=1`` restores the old per-step dispatch timing
+(useful only to measure dispatch overhead itself).
 """
 
 import json
@@ -98,15 +105,36 @@ def main():
     state = fns.init(jax.random.PRNGKey(0), batch)
 
     rkey = jax.random.PRNGKey(1)
-    state, m = fns.train_step(state, batch, rkey)
-    jax.tree.map(lambda a: a.block_until_ready(), state.params)
-    float(m["loss"])  # warm the value-fetch path
-    t0 = time.perf_counter()
-    for i in range(iters):
-        rkey = jax.random.fold_in(rkey, i)
+    dispatched = bool(int(os.environ.get("FLAG_DISPATCHED", 0)))
+    if dispatched:
         state, m = fns.train_step(state, batch, rkey)
-    float(m["loss"])  # close the timing window (remote-relay drain)
-    dt = (time.perf_counter() - t0) / iters
+        jax.tree.map(lambda a: a.block_until_ready(), state.params)
+        float(m["loss"])  # warm the value-fetch path
+        t0 = time.perf_counter()
+        for i in range(iters):
+            rkey = jax.random.fold_in(rkey, i)
+            state, m = fns.train_step(state, batch, rkey)
+        float(m["loss"])  # close the timing window (remote-relay drain)
+        dt = (time.perf_counter() - t0) / iters
+    else:
+        # in-loop mode: iters steps in ONE dispatch; the relay RTT is paid
+        # once, and the close is a device-side scalar fetch (CLAUDE.md)
+        @jax.jit
+        def run_k(state, batch, key):
+            def body(i, st):
+                st2, _ = fns.train_step(st, batch, jax.random.fold_in(key, i))
+                return st2
+            return jax.lax.fori_loop(0, iters, body, state)
+
+        def close(st):
+            return float(jax.tree.leaves(st.params)[0].ravel()[0])
+
+        state = run_k(state, batch, rkey)  # compile + warm
+        close(state)
+        t0 = time.perf_counter()
+        state = run_k(state, batch, jax.random.fold_in(rkey, 10**6))
+        close(state)
+        dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "metric": "flagship GruSage train step (fwd+bwd+Adam)",
         "ms_per_step": round(dt * 1e3, 3),
@@ -114,6 +142,7 @@ def main():
         "batch": b, "frames": frames, "hidden": hidden,
         "map_segments": segments if with_map else 0,
         "gru_pad_to": gru_pad, "backend": jax.default_backend(),
+        "timing": "dispatched" if dispatched else "in-loop",
     }))
 
 

@@ -1,0 +1,244 @@
+"""Multi-PROCESS fused-halo training: 2 jax.distributed processes x 4 CPU
+devices each, every worker loading ONLY its shard subset of a streamed
+config-5-style plan (parallel/streamed.py load_streamed_halo_fused_plan
+``shards=...``) and running the fused (overlap) halo train step over the
+8-way ('dp','ep') mesh — the actual multi-host code path (per-worker
+subset load + cross-process Gloo collectives), not a single-process
+virtual mesh. SURVEY.md §5.8 (jax.distributed multi-host entry).
+
+Driver mode (no args): builds a synthetic banded graph + streamed plan,
+runs the single-process 8-virtual-device reference (same seeds), spawns
+the 2 workers, and asserts loss/param parity. Exit 0 = parity held.
+
+    python multiproc_halo.py            # driver (takes ~2-4 min on 2 CPUs)
+    python multiproc_halo.py --worker PID NPROC COORD WORKDIR   # internal
+
+Run by tests/test_multiprocess.py under --runslow.
+"""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+EP = 8
+NPROC = 2
+STEPS = 3
+N = 4096
+TILE = 32
+HIDDEN = (16, 16)
+NCLS = 3
+D = 12
+SEED = 0
+
+
+def _build_inputs(workdir: Path):
+    """Graph + streamed plan + node arrays, written to ``workdir``."""
+    import numpy as np
+
+    from sldm_gnn_tpu.parallel.streamed import StreamedHaloPlanner
+
+    rng = np.random.default_rng(SEED)
+    deg = 4
+    dst = np.repeat(np.arange(N, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-12, 13, N * deg), 0, N - 1)
+    planner = StreamedHaloPlanner(N, EP, workdir / "plan", tile=TILE,
+                                  banded_k=2)
+    for s in range(0, len(src), 5000):
+        planner.consume(src[s:s + 5000], dst[s:s + 5000])
+    planner.finalize()
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    y = rng.integers(0, NCLS, N).astype(np.int32)
+    np.savez(workdir / "data.npz", x=x, y=y)
+
+
+def _model_and_plan(plan):
+    from sldm_gnn_tpu.parallel.halo_model import HaloDims, HaloSageClassifier
+
+    model = HaloSageClassifier(
+        hidden_dims=HIDDEN, num_classes=NCLS, dims=HaloDims.of(plan),
+        negative_slope=0.1, use_pallas=False, fused_ln=True, overlap=True)
+    return model
+
+
+def _run_steps(fns, x_stack, y_stack, m_stack, put_repl=None):
+    import jax
+    import numpy as np
+
+    rng = jax.random.PRNGKey(SEED)
+    rng, init_rng = jax.random.split(rng)
+    if put_repl is not None:
+        init_rng = put_repl(init_rng)
+    state = fns.init(init_rng, x_stack)
+    losses = []
+    for _ in range(STEPS):
+        rng, step_rng = jax.random.split(rng)
+        if put_repl is not None:
+            step_rng = put_repl(step_rng)
+        state, m = fns.train_step(state, x_stack, y_stack, m_stack, step_rng)
+        losses.append(float(m["loss"]))
+    params = [np.asarray(l) for l in
+              jax.tree.leaves(jax.device_get(state.params))]
+    return losses, params
+
+
+def _reference(workdir: Path):
+    """Single-process 8-virtual-device run (the established baseline)."""
+    import numpy as np
+    import jax
+
+    from sldm_gnn_tpu.parallel.halo_model import (
+        build_halo_step_fns, shard_node_array)
+    from sldm_gnn_tpu.parallel.mesh import make_mesh
+    from sldm_gnn_tpu.parallel.streamed import load_streamed_halo_fused_plan
+    from sldm_gnn_tpu.train.loop import make_optimizer
+
+    plan = load_streamed_halo_fused_plan(workdir / "plan")
+    model = _model_and_plan(plan)
+    mesh = make_mesh(dp=1, ep=EP, devices=jax.devices()[:EP])
+    fns = build_halo_step_fns(model, make_optimizer(1e-2, 0.0), mesh, plan,
+                              loss_type="softmax_ce")
+    data = np.load(workdir / "data.npz")
+    x_stack = jax.device_put(
+        shard_node_array(data["x"], EP, plan.n_local), fns.node_sharding)
+    y_stack = jax.device_put(
+        shard_node_array(data["y"], EP, plan.n_local), fns.node_sharding)
+    m_stack = jax.device_put(
+        shard_node_array(np.ones(N, np.float32), EP, plan.n_local),
+        fns.node_sharding)
+    return _run_steps(fns, x_stack, y_stack, m_stack)
+
+
+def worker(pid: int, nproc: int, coord: str, workdir: Path):
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={EP // nproc}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=nproc, process_id=pid)
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sldm_gnn_tpu.parallel.halo_fused import HaloFusedPlan
+    from sldm_gnn_tpu.parallel.halo_model import (
+        build_halo_step_fns, shard_node_array)
+    from sldm_gnn_tpu.parallel.streamed import load_streamed_halo_fused_plan
+    from sldm_gnn_tpu.train.loop import make_optimizer
+
+    devs = jax.devices()
+    assert len(devs) == EP, f"expected {EP} global devices, got {len(devs)}"
+    mesh = Mesh(np.array(devs).reshape(1, EP), ("dp", "ep"))
+    flat = list(np.array(devs).reshape(-1))
+    local_shards = [i for i, d in enumerate(flat) if d.process_index == pid]
+    assert len(local_shards) == EP // nproc
+    ep_sharding = NamedSharding(mesh, P("ep"))  # matches fns.node_sharding
+
+    def global_sharded(a):
+        """[len(local_shards), ...] local-stacked -> global [EP, ...]
+        Array holding only this worker's shards."""
+        a = np.asarray(a)
+        gshape = (EP,) + a.shape[1:]
+        sds = [jax.device_put(a[pos][None], flat[i])
+               for pos, i in enumerate(local_shards)]
+        return jax.make_array_from_single_device_arrays(
+            gshape, ep_sharding, sds)
+
+    def replicated(a):
+        a = np.asarray(a)
+        sds = [jax.device_put(a, flat[i]) for i in local_shards]
+        return jax.make_array_from_single_device_arrays(
+            a.shape, NamedSharding(mesh, P()), sds)
+
+    # THE point: this worker loads ONLY its own shards' layouts (pass A
+    # still scans all shards one at a time for the global program floors)
+    plan_local = load_streamed_halo_fused_plan(workdir / "plan",
+                                               shards=local_shards)
+    plan = HaloFusedPlan(
+        send_idx=global_sharded(plan_local.send_idx[local_shards]),
+        int_fwd=jax.tree.map(global_sharded, plan_local.int_fwd),
+        int_rev=jax.tree.map(global_sharded, plan_local.int_rev),
+        bnd=jax.tree.map(global_sharded, plan_local.bnd),
+        n_local=plan_local.n_local,
+        n_pad_local=plan_local.n_pad_local,
+    )
+    model = _model_and_plan(plan)
+    fns = build_halo_step_fns(model, make_optimizer(1e-2, 0.0), mesh, plan,
+                              loss_type="softmax_ce")
+    data = np.load(workdir / "data.npz")
+    xs = shard_node_array(data["x"], EP, plan.n_local)
+    ys = shard_node_array(data["y"], EP, plan.n_local)
+    ms = shard_node_array(np.ones(N, np.float32), EP, plan.n_local)
+    x_stack = global_sharded(xs[local_shards])
+    y_stack = global_sharded(ys[local_shards])
+    m_stack = global_sharded(ms[local_shards])
+
+    losses, params = _run_steps(fns, x_stack, y_stack, m_stack,
+                                put_repl=replicated)
+    out = {"pid": pid, "losses": losses}
+    print(json.dumps(out), flush=True)
+    if pid == 0:
+        np.savez(workdir / "worker0_params.npz",
+                 **{f"p{i}": p for i, p in enumerate(params)},
+                 losses=np.asarray(losses))
+    jax.distributed.shutdown()
+
+
+def driver():
+    import socket
+    import subprocess
+    import tempfile
+
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={EP}"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    with tempfile.TemporaryDirectory() as td:
+        workdir = Path(td)
+        _build_inputs(workdir)
+        ref_losses, ref_params = _reference(workdir)
+        print(f"reference losses (1 process, {EP} devices): "
+              f"{[round(l, 6) for l in ref_losses]}", flush=True)
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        coord = f"127.0.0.1:{port}"
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # workers set their own device count
+        procs = [subprocess.Popen(
+            [sys.executable, __file__, "--worker", str(p), str(NPROC),
+             coord, str(workdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for p in range(NPROC)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out.decode())
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            if p.returncode != 0:
+                print(f"worker {pid} FAILED rc={p.returncode}\n{out[-4000:]}")
+                sys.exit(1)
+
+        w = np.load(workdir / "worker0_params.npz")
+        np.testing.assert_allclose(w["losses"], ref_losses, rtol=1e-5,
+                                   atol=1e-7)
+        for i, rp in enumerate(ref_params):
+            np.testing.assert_allclose(w[f"p{i}"], rp, rtol=5e-5, atol=5e-6)
+        print(json.dumps({
+            "multiprocess_parity": "ok",
+            "processes": NPROC, "devices_per_process": EP // NPROC,
+            "ep": EP, "steps": STEPS,
+            "losses": [round(l, 6) for l in ref_losses],
+        }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+               Path(sys.argv[5]))
+    else:
+        driver()

@@ -312,10 +312,15 @@ def build_halo_step_fns(
         n_correct, den = stats
         return {"loss": loss, "n_correct": n_correct, "n_valid": den}
 
+    # send_idx/layouts ride as explicit jit ARGUMENTS (via the partial
+    # wrappers below), never closures: multi-process JAX forbids closing
+    # over arrays that span non-addressable devices (multiproc_halo.py),
+    # and as constants they'd bloat the remote-compile payload anyway
     @jax.jit
-    def train_step(state: TrainState, x_stack, y_stack, m_stack, rng):
+    def _train_impl(state: TrainState, x_stack, y_stack, m_stack, rng,
+                    send, lts):
         def loss_fn(params):
-            return loss_train(params, x_stack, y_stack, m_stack, rng, send_idx, layouts)
+            return loss_train(params, x_stack, y_stack, m_stack, rng, send, lts)
 
         (loss, stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -325,12 +330,19 @@ def build_halo_step_fns(
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, _metrics(loss, stats)
 
+    def train_step(state: TrainState, x_stack, y_stack, m_stack, rng):
+        return _train_impl(state, x_stack, y_stack, m_stack, rng,
+                           send_idx, layouts)
+
     @jax.jit
-    def eval_step(params, x_stack, y_stack, m_stack):
+    def _eval_impl(params, x_stack, y_stack, m_stack, send, lts):
         loss, stats = loss_eval(
-            params, x_stack, y_stack, m_stack, jax.random.PRNGKey(0), send_idx, layouts
+            params, x_stack, y_stack, m_stack, jax.random.PRNGKey(0), send, lts
         )
         return _metrics(loss, stats)
+
+    def eval_step(params, x_stack, y_stack, m_stack):
+        return _eval_impl(params, x_stack, y_stack, m_stack, send_idx, layouts)
 
     node_sharding = NamedSharding(mesh, node_spec)
     repl_sharding = NamedSharding(mesh, P())
