@@ -329,6 +329,37 @@ def main():
                 blocked_rev = jax.tree.map(jnp.asarray, banded_rev)
                 _vlog(f"banded layout: A {banded_fwd.a.nbytes/1e9:.2f}+{banded_rev.a.nbytes/1e9:.2f} GB, "
                       f"s_span {banded_fwd.s_span}/{banded_rev.s_span}, wsz {banded_fwd.wsz}/{banded_rev.wsz}")
+    if spmm_backend == "cmap":
+        # column-tile-indirect low-degree tier (ops/spmm_cmap.py): each dst
+        # block keeps only its C nonzero source tiles (scalar-prefetched
+        # window-relative indices) — A bytes ∝ nb·C instead of nb·span; the
+        # play for the deg≈3 city-map shape where >60% of banded count
+        # tiles are zero. Produces a BandedResidualLayout, so everything
+        # downstream (fused kernels, int4 view) is shared.
+        from sldm_gnn_tpu.ops.banded_residual import (
+            banded_residual_sage_apply, spmm_banded_residual_apply)
+        from sldm_gnn_tpu.ops.spmm_cmap import (
+            prepare_cmap_residual_mean_aggregate)
+
+        rlayout, n_pad = prepare_cmap_residual_mean_aggregate(
+            src, dst, n, tile=dense_tile, k=banded_k,
+            c=int(os.environ["BENCH_CMAP_C"])
+            if os.environ.get("BENCH_CMAP_C") else None,
+            range_budget=int(os.environ.get("BENCH_CMAP_RANGE", 32)),
+            resid_frac=float(os.environ.get("BENCH_CMAP_RESID", 0.005)),
+            count_cap=None
+            if os.environ.get("BENCH_A_INT4", "auto") == "0" else 7)
+        spmm_backend = "banded_residual"
+        blocked_fwd = jax.tree.map(jnp.asarray, rlayout)
+        blocked_rev = None
+        _vlog(
+            f"cmap layout: c {rlayout.banded_fwd.s_span}/"
+            f"{rlayout.banded_rev.s_span}, wsz {rlayout.banded_fwd.wsz}/"
+            f"{rlayout.banded_rev.wsz}, A "
+            f"{rlayout.banded_fwd.a.nbytes / 1e6:.1f}+"
+            f"{rlayout.banded_rev.a.nbytes / 1e6:.1f} MB, "
+            f"resid {rlayout.resid_frac:.5f} ({len(rlayout.r_src)} edges), "
+            f"slots {rlayout.m_fwd}/{rlayout.m_rev} of {rlayout.steps}")
     if spmm_backend == "gather":
         # low-degree tier (ops/spmm_gather.py): sparse in-band codes + VMEM
         # row gathers — A traffic ∝ E, not N×bandwidth; the play for the

@@ -69,13 +69,52 @@ def _unflatten(z, prefix: str, header: dict):
     return cls(**kwargs)
 
 
-def save_layout(path: str | Path, layout) -> None:
+_I4_SUFFIX = "__i4"
+
+
+def _pack_int4(a: np.ndarray) -> np.ndarray:
+    """int8 values in [-8, 7] -> two nibbles per byte (uint8)."""
+    flat = np.ascontiguousarray(a, np.int8).reshape(-1)
+    if len(flat) % 2:
+        flat = np.concatenate([flat, np.zeros(1, np.int8)])
+    u = flat.view(np.uint8)
+    return ((u[0::2] & 0x0F) | ((u[1::2] & 0x0F) << 4)).astype(np.uint8)
+
+
+def _unpack_int4(p: np.ndarray, shape) -> np.ndarray:
+    n = int(np.prod(shape))
+    out = np.empty(2 * len(p), np.int8)
+    # sign-extend each nibble: v = ((n xor 8) - 8) over int8
+    out[0::2] = ((p & 0x0F).astype(np.int8) ^ 8) - 8
+    out[1::2] = (((p >> 4) & 0x0F).astype(np.int8) ^ 8) - 8
+    return out[:n].reshape(shape)
+
+
+def save_layout(path: str | Path, layout, *, pack_int4: bool = True) -> None:
     """Write one layout dataclass (incl. nested, e.g. HybridLayout) to
-    ``path`` (.npz)."""
+    ``path`` (.npz).
+
+    ``pack_int4`` (default): int8 arrays whose values fit [-8, 7] — count
+    tiles of any simple graph — store as packed nibbles, halving the
+    on-disk A footprint (the config-5 plans' dominant term, BASELINE.md).
+    Exact and transparent: :func:`load_layout` unpacks to int8."""
     if type(layout).__name__ not in _registry():
         raise TypeError(f"unknown layout type {type(layout).__name__}")
     arrays: dict = {}
     header = _flatten(layout, "", arrays)
+    if pack_int4:
+        i4 = {}
+        out_arrays = {}
+        for k, v in arrays.items():
+            if (v.dtype == np.int8 and v.size >= 4096
+                    and int(v.min(initial=0)) >= -8
+                    and int(v.max(initial=0)) <= 7):
+                out_arrays[k + _I4_SUFFIX] = _pack_int4(v)
+                i4[k] = list(v.shape)
+            else:
+                out_arrays[k] = v
+        arrays = out_arrays
+        header["__i4__"] = i4
     np.savez(path, __layout_header__=np.asarray(json.dumps(header)), **arrays)
 
 
@@ -84,7 +123,19 @@ def load_layout(path: str | Path):
     move to device with ``jax.tree.map(jnp.asarray, layout)``)."""
     with np.load(path, allow_pickle=False) as z:
         header = json.loads(str(z["__layout_header__"]))
-        return _unflatten(z, "", header)
+        i4 = header.get("__i4__", {})
+        if not i4:
+            return _unflatten(z, "", header)
+        data = {}
+        for k in z.files:
+            if k == "__layout_header__":
+                continue
+            if k.endswith(_I4_SUFFIX) and k[: -len(_I4_SUFFIX)] in i4:
+                base = k[: -len(_I4_SUFFIX)]
+                data[base] = _unpack_int4(z[k], i4[base])
+            else:
+                data[k] = z[k]
+        return _unflatten(data, "", header)
 
 
 def cached_layouts(cache_dir: str | Path, key: str, build):

@@ -48,12 +48,13 @@ from .spmm_banded import BandedBlocks, _window_prologue, spmm_banded_pallas, spm
 
 def _fused_kernel(woff_ref, *rest, s_span, K, tile, wsz,
                   has_row, has_bias, slope, has_resid, has_ln, eps,
-                  has_ypre=False):
+                  has_ypre=False, has_cmap=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rest = list(rest)
     off_ref = rest.pop(0)
+    cmap_ref = rest.pop(0) if has_cmap else None
     rg_ref = rest.pop(0) if has_resid else None
     if has_ypre:
         rest.pop(0)  # rg_b: consumed only by the ypre output's index map
@@ -95,7 +96,10 @@ def _fused_kernel(woff_ref, *rest, s_span, K, tile, wsz,
         offk = off_ref[g * K + kk]
         acc = jnp.zeros((tile, d), jnp.float32)
         for s in range(s_span):
-            xs = xw[slot, pl.ds((offk + s) * tile, tile), :]
+            # cmap: arbitrary window tile per slot (ops/spmm_cmap.py)
+            col = (cmap_ref[(g * K + kk) * s_span + s] if has_cmap
+                   else offk + s)
+            xs = xw[slot, pl.ds(col * tile, tile), :]
             acc += jnp.dot(
                 a_ref[kk, s].astype(jnp.bfloat16),
                 xs.astype(jnp.bfloat16),
@@ -218,6 +222,9 @@ def banded_sage_fwd_pallas(
                   pl.BlockSpec((1, h), lambda g, *_: (0, 0))]
         args += [gamma.reshape(1, h), beta.reshape(1, h)]
     prefetch = [blocks.woff, blocks.off]
+    has_cmap = blocks.cmap is not None
+    if has_cmap:
+        prefetch.append(blocks.cmap)
     scratch = [
         pltpu.VMEM((2, wsz * tile, d), x.dtype),  # double-buffered window
         pltpu.SemaphoreType.DMA((2,)),
@@ -277,7 +284,7 @@ def banded_sage_fwd_pallas(
         partial(_fused_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,
                 has_row=has_row, has_bias=has_bias, slope=slope,
                 has_resid=has_resid, has_ln=has_ln, eps=float(eps),
-                has_ypre=has_ypre),
+                has_ypre=has_ypre, has_cmap=has_cmap),
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -293,7 +300,7 @@ def banded_sage_fwd_pallas(
 
 
 def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
-                has_resid, fuse_dw):
+                has_resid, fuse_dw, has_cmap=False):
     """Reverse fused kernel: per destination block b,
         t[b]  = Σ_s (A_rev[b,s] ⊙ scale[off+s]) @ g[off+s]   (= Âᵀ g̃ rows)
         dx[b] = t[b] @ Wlᵀ + g[own_b] @ Wrᵀ
@@ -315,6 +322,7 @@ def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
     from jax.experimental.pallas import tpu as pltpu
 
     rest = list(rest)
+    cmap_ref = rest.pop(0) if has_cmap else None
     rg_ref = rest.pop(0) if has_resid else None
     a_ref = rest.pop(0)
     wlt_ref = rest.pop(0)
@@ -392,12 +400,14 @@ def _bwd_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
         h = gw.shape[-1]
         acc = jnp.zeros((tile, h), jnp.float32)
         for s in range(s_span):
-            rows = gw[slot, pl.ds((offk + s) * tile, tile), :]
+            col = (cmap_ref[(g * K + kk) * s_span + s] if has_cmap
+                   else offk + s)
+            rows = gw[slot, pl.ds(col * tile, tile), :]
             a_s = a_ref[kk, s].astype(jnp.bfloat16)
             if has_scale:
                 # scale columns of A (== scaling the g rows): [1, T] lane
                 # vector broadcast over sublanes — relayout-free
-                a_s = a_s * sw[slot, pl.ds(offk + s, 1), :].astype(jnp.bfloat16)
+                a_s = a_s * sw[slot, pl.ds(col, 1), :].astype(jnp.bfloat16)
             acc += jnp.dot(
                 a_s,
                 rows.astype(jnp.bfloat16),
@@ -485,6 +495,9 @@ def banded_sage_bwd_pallas(
     # transpose of a [D, H] param — 64 KB, negligible)
     args = [blocks_rev.a, wl.T, wr.T]
     prefetch = [blocks_rev.woff, blocks_rev.off]
+    has_cmap = blocks_rev.cmap is not None
+    if has_cmap:
+        prefetch.append(blocks_rev.cmap)
     scratch = [
         pltpu.VMEM((2, wsz * tile, h), gq.dtype),
         pltpu.VMEM((2, wsz, tile), jnp.float32),
@@ -540,7 +553,8 @@ def banded_sage_bwd_pallas(
     )
     outs = pl.pallas_call(
         partial(_bwd_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,
-                has_scale=has_scale, has_resid=has_resid, fuse_dw=fuse_dw),
+                has_scale=has_scale, has_resid=has_resid, fuse_dw=fuse_dw,
+                has_cmap=has_cmap),
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -636,7 +650,7 @@ banded_sage_apply.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
 def _bwd_ln_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
-                   has_resid, slope, has_ln_act):
+                   has_resid, slope, has_ln_act, has_cmap=False):
     """Fully-fused LN backward: streams the RAW upstream gradient g and the
     forward's xhat/rstd residuals as windows and derives dL/dy_pre
     IN-KERNEL — the XLA prologue pass (read g + xhat, write dy) and its
@@ -658,6 +672,7 @@ def _bwd_ln_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
 
     f32 = jnp.float32
     rest = list(rest)
+    cmap_ref = rest.pop(0) if has_cmap else None
     rg_ref = rest.pop(0) if has_resid else None
     a_ref = rest.pop(0)
     wlt_ref = rest.pop(0)
@@ -741,13 +756,15 @@ def _bwd_ln_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_scale,
         offk = off_ref[g * K + kk]
         acc = jnp.zeros((tile, h), f32)
         for s in range(s_span):
-            rows = dyw[pl.ds((offk + s) * tile, tile), :]
+            col = (cmap_ref[(g * K + kk) * s_span + s] if has_cmap
+                   else offk + s)
+            rows = dyw[pl.ds(col * tile, tile), :]
             a_s = a_ref[kk, s].astype(f32)
             # fold rstd (and 1/deg when present) into A's COLUMNS — the
             # algebraic twin of scaling the dy rows, relayout-free
-            cs = rw[slot, pl.ds(offk + s, 1), :]
+            cs = rw[slot, pl.ds(col, 1), :]
             if has_scale:
-                cs = cs * sw[slot, pl.ds(offk + s, 1), :]
+                cs = cs * sw[slot, pl.ds(col, 1), :]
             a_s = (a_s * cs).astype(jnp.bfloat16)
             acc += jnp.dot(a_s, rows.astype(jnp.bfloat16),
                            preferred_element_type=f32)
@@ -835,6 +852,9 @@ def banded_sage_ln_bwd_pallas(
     ]
     args = [blocks_rev.a, wl.T, wr.T, gamma.reshape(1, h), beta.reshape(1, h)]
     prefetch = [blocks_rev.woff, blocks_rev.off]
+    has_cmap = blocks_rev.cmap is not None
+    if has_cmap:
+        prefetch.append(blocks_rev.cmap)
     scratch = [
         pltpu.VMEM((2, wsz * tile, h), g.dtype),       # g windows
         pltpu.VMEM((2, wsz * tile, h), xhat.dtype),    # xhat windows
@@ -885,7 +905,7 @@ def banded_sage_ln_bwd_pallas(
     return pl.pallas_call(
         partial(_bwd_ln_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz,
                 has_scale=has_scale, has_resid=has_resid, slope=slope,
-                has_ln_act=negative_slope is not None),
+                has_ln_act=negative_slope is not None, has_cmap=has_cmap),
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(

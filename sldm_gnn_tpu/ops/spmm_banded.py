@@ -69,6 +69,16 @@ class BandedBlocks:
     off: jax.Array
     row_scale: jax.Array | None = None
     col_scale: jax.Array | None = None
+    # cmap [NB * S_SPAN] int32 (optional): per-(block, slot) WINDOW-
+    # RELATIVE source-tile index — slot s of block b reads window tile
+    # cmap[b*S+s] instead of off[b]+s. Slots become an arbitrary SET of
+    # source tiles instead of a contiguous band, so low-degree graphs
+    # (deg≈3 city maps) carry only their nonzero source tiles: A bytes
+    # drop from nb*span*T*T toward nb*c*T*T (ops/spmm_cmap.py builder).
+    # Rides the scalar prefetch — tile-level indirection is Mosaic-
+    # expressible where the per-element gather tier was not
+    # (ops/spmm_gather.py).
+    cmap: jax.Array | None = None
     tile: int = field(default=TILE, metadata=dict(static=True))
     wsz: int = field(default=8, metadata=dict(static=True))
     k: int = field(default=4, metadata=dict(static=True))
@@ -90,6 +100,7 @@ def widen_banded(blocks: BandedBlocks) -> BandedBlocks:
     the layouts are built once per static edge set)."""
     if blocks.wide:
         return blocks
+    assert blocks.cmap is None, "cmap slots are non-contiguous; keep narrow"
     a = np.asarray(blocks.a)
     nb, s, t, _ = a.shape
     a = np.ascontiguousarray(a.transpose(0, 2, 1, 3)).reshape(nb, t, s * t)
@@ -123,8 +134,8 @@ def counts_to_int4(blocks: BandedBlocks) -> BandedBlocks:
     return BandedBlocks(
         a=blocks.a.astype(jnp.int4), bo=blocks.bo, woff=blocks.woff,
         off=blocks.off, row_scale=blocks.row_scale,
-        col_scale=blocks.col_scale, tile=blocks.tile, wsz=blocks.wsz,
-        k=blocks.k, wide=blocks.wide,
+        col_scale=blocks.col_scale, cmap=blocks.cmap, tile=blocks.tile,
+        wsz=blocks.wsz, k=blocks.k, wide=blocks.wide,
     )
 
 
@@ -373,10 +384,13 @@ def _window_prologue(woff_ref, x_hbm, xw, sems, tile, wsz):
     return slot
 
 
-def _banded_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz, has_row,
-                   wide):
+def _banded_kernel(woff_ref, off_ref, *rest, s_span, K, tile, wsz, has_row,
+                   wide, has_cmap=False):
     from jax.experimental import pallas as pl
 
+    rest = list(rest)
+    cmap_ref = rest.pop(0) if has_cmap else None
+    a_ref = rest.pop(0)
     if has_row:
         rs_ref, x_hbm, out_ref, xw, sems = rest
     else:
@@ -401,7 +415,11 @@ def _banded_kernel(woff_ref, off_ref, a_ref, *rest, s_span, K, tile, wsz, has_ro
         else:
             acc = jnp.zeros((tile, d), jnp.float32)
             for s in range(s_span):
-                xs = xw[slot, pl.ds((offk + s) * tile, tile), :]
+                # cmap: slot s reads an ARBITRARY window tile (scalar-
+                # prefetched per-block index) instead of band slot off+s
+                col = (cmap_ref[(g * K + kk) * s_span + s] if has_cmap
+                       else offk + s)
+                xs = xw[slot, pl.ds(col * tile, tile), :]
                 acc += jnp.dot(
                     a_ref[kk, s].astype(jnp.bfloat16),
                     xs.astype(jnp.bfloat16),
@@ -429,23 +447,28 @@ def spmm_banded_pallas(x: jax.Array, blocks: BandedBlocks, *, interpret: bool = 
         x = (x.astype(jnp.float32) * blocks.col_scale).astype(x.dtype)
 
     has_row = blocks.row_scale is not None
+    has_cmap = blocks.cmap is not None
+    assert not (has_cmap and blocks.wide), "cmap needs the narrow layout"
     extra_specs, extra_args = [], []
     if has_row:
-        extra_specs.append(pl.BlockSpec((K * tile, 1), lambda g, woff, off: (g, 0)))
+        extra_specs.append(pl.BlockSpec((K * tile, 1), lambda g, *_: (g, 0)))
         extra_args.append(blocks.row_scale)
 
     a_spec = (
-        pl.BlockSpec((K, tile, s_span * tile), lambda g, woff, off: (g, 0, 0))
+        pl.BlockSpec((K, tile, s_span * tile), lambda g, *_: (g, 0, 0))
         if blocks.wide
-        else pl.BlockSpec((K, s_span, tile, tile), lambda g, woff, off: (g, 0, 0, 0))
+        else pl.BlockSpec((K, s_span, tile, tile), lambda g, *_: (g, 0, 0, 0))
     )
+    prefetch = [blocks.woff, blocks.off]
+    if has_cmap:
+        prefetch.append(blocks.cmap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # woff [steps], off [steps*K]
+        num_scalar_prefetch=len(prefetch),  # woff [steps], off [steps*K], cmap?
         grid=(steps,),
         in_specs=[a_spec]
         + extra_specs
         + [pl.BlockSpec(memory_space=pl.ANY)],  # x stays in HBM; windows DMA'd manually
-        out_specs=pl.BlockSpec((K * tile, d), lambda g, woff, off: (g, 0)),
+        out_specs=pl.BlockSpec((K * tile, d), lambda g, *_: (g, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, wsz * tile, d), x.dtype),  # double-buffered window
             pltpu.SemaphoreType.DMA((2,)),
@@ -453,7 +476,7 @@ def spmm_banded_pallas(x: jax.Array, blocks: BandedBlocks, *, interpret: bool = 
     )
     return pl.pallas_call(
         partial(_banded_kernel, s_span=s_span, K=K, tile=tile, wsz=wsz, has_row=has_row,
-                wide=blocks.wide),
+                wide=blocks.wide, has_cmap=has_cmap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_pad, d), x.dtype, vma=_operand_vma(x, blocks.a, blocks.off)),
@@ -466,7 +489,7 @@ def spmm_banded_pallas(x: jax.Array, blocks: BandedBlocks, *, interpret: bool = 
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(blocks.woff, blocks.off, blocks.a, *extra_args, x)
+    )(*prefetch, blocks.a, *extra_args, x)
 
 
 def _banded_int8_kernel(woff_ref, off_ref, xscale_ref, a_ref, rs_ref, x_hbm,
@@ -514,6 +537,7 @@ def spmm_banded_int8_pallas(
     n_pad, d = xq.shape
     assert xq.dtype == jnp.int8, xq.dtype
     assert not blocks.wide, "int8 banded kernel uses the per-slot layout"
+    assert blocks.cmap is None, "int8 inference kernel: contiguous band only"
     assert blocks.a.dtype == jnp.int8, "needs int8 count tiles"
     assert blocks.row_scale is not None, "needs the factored-mean row scale"
     tile, K, wsz = blocks.tile, blocks.k, blocks.wsz
@@ -571,8 +595,14 @@ def spmm_banded_xla(x: jax.Array, blocks: BandedBlocks):
     if blocks.col_scale is not None:
         x = (x.astype(jnp.float32) * blocks.col_scale).astype(x.dtype)
     xb = x.reshape(-1, tile, x.shape[1])  # [NB, T, D]
-    # gather source blocks bo[b] + s (in range by the builder's base clamp)
-    idx = jnp.clip(blocks.bo[:, None] + jnp.arange(s_span)[None, :], 0, nb - 1)
+    if blocks.cmap is not None:
+        # window-relative slot tiles -> absolute source blocks
+        woff_b = jnp.repeat(blocks.woff, blocks.k)[:nb]
+        idx = jnp.clip(
+            woff_b[:, None] + blocks.cmap.reshape(nb, s_span), 0, nb - 1)
+    else:
+        # gather source blocks bo[b] + s (in range by the builder's base clamp)
+        idx = jnp.clip(blocks.bo[:, None] + jnp.arange(s_span)[None, :], 0, nb - 1)
     gathered = xb[idx]  # [NB, S_SPAN, T, D]
     out = jnp.einsum("bsij,bsjd->bid", a.astype(x.dtype), gathered)
     out = out.reshape(nb * tile, x.shape[1])

@@ -70,6 +70,8 @@ class StreamedHaloPlanner:
         not banded) stream straight through: one O(N) relabel array
         replaces the former hard failure at pass 2's span check."""
         self.num_nodes = int(num_nodes)
+        if self.num_nodes >= 2**31:
+            raise ValueError("streamed planner spills int32 node ids")
         self.ep = int(ep)
         self._relabel = None
         if node_order is not None:
@@ -113,7 +115,9 @@ class StreamedHaloPlanner:
         ends = np.searchsorted(oo, np.arange(self.ep) + 1)
         for p in range(self.ep):
             if ends[p] > starts[p]:
-                pair = np.empty((ends[p] - starts[p], 2), np.int64)
+                # int32 spill: node ids < 2^31 (checked in __init__) —
+                # halves the pass-1 disk footprint and pass-2 read volume
+                pair = np.empty((ends[p] - starts[p], 2), np.int32)
                 pair[:, 0] = so[starts[p]:ends[p]]
                 pair[:, 1] = do[starts[p]:ends[p]]
                 self._spill[p].write(pair.tobytes())
@@ -123,9 +127,9 @@ class StreamedHaloPlanner:
     # ------------------------------------------------- passes 2 + 3
 
     def _load_shard_edges(self, p: int):
-        raw = np.fromfile(self.out / f"edges_p{p}.bin", dtype=np.int64)
+        raw = np.fromfile(self.out / f"edges_p{p}.bin", dtype=np.int32)
         pair = raw.reshape(-1, 2)
-        return pair[:, 0], pair[:, 1]
+        return pair[:, 0].astype(np.int64), pair[:, 1].astype(np.int64)
 
     def finalize(self) -> dict:
         from ..ops.spmm_banded import build_banded_counts
@@ -169,9 +173,11 @@ class StreamedHaloPlanner:
                 needs[int(q)] = ids
                 h_max = max(h_max, len(ids))
             np.savez(self.out / f"shard_p{p}.npz",
-                     isrc=isrc, idst=idst, iw=iw,
-                     bsrc_g=bsrc_g, bdst=bdst, bw=bw, bq=bq,
-                     **{f"need_{q}": ids for q, ids in needs.items()})
+                     isrc=isrc, idst=idst, iw=iw.astype(np.float32),
+                     bsrc_g=bsrc_g.astype(np.int32), bdst=bdst,
+                     bw=bw.astype(np.float32), bq=bq,
+                     **{f"need_{q}": ids.astype(np.int32)
+                        for q, ids in needs.items()})
             # banded span bounds of the interior, both directions
             for s, d_ in ((isrc.astype(np.int64), idst.astype(np.int64)),
                           (idst.astype(np.int64), isrc.astype(np.int64))):

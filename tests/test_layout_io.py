@@ -104,3 +104,33 @@ def test_hybrid_layout_roundtrip(tmp_path, rng):
     r2 = cached_layouts(tmp_path, "hk", build)
     assert len(calls) == 1 and r1[1] == r2[1]
     assert r2[0].dense_frac == r1[0].dense_frac
+
+
+def test_int4_packed_roundtrip(tmp_path, rng):
+    """save_layout packs int8 count tiles that fit [-8, 7] as nibbles
+    (half the on-disk bytes); load_layout restores them bit-exactly."""
+    from sldm_gnn_tpu.graph.layout_io import load_layout, save_layout
+    from sldm_gnn_tpu.ops.spmm_banded import build_banded_counts
+
+    n = 4096
+    dst = np.repeat(np.arange(n, dtype=np.int64), 3)
+    src = np.clip(dst + rng.integers(-40, 41, len(dst)), 0, n - 1)
+    blocks = build_banded_counts(src, dst, n, tile=32, k=2)
+    assert int(np.asarray(blocks.a).max()) <= 7
+    p = tmp_path / "b.npz"
+    save_layout(p, blocks)
+    with np.load(p, allow_pickle=False) as z:
+        assert "a__i4" in z.files and "a" not in z.files
+        packed_bytes = z["a__i4"].nbytes
+    assert packed_bytes * 2 >= np.asarray(blocks.a).nbytes - 1
+    got = load_layout(p)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(blocks.a))
+    assert got.a.dtype == np.int8
+    np.testing.assert_array_equal(got.off, blocks.off)
+    # out-of-range int8 arrays stay unpacked
+    big = build_banded_counts(
+        np.concatenate([src] + [src[:1]] * 9),
+        np.concatenate([dst] + [dst[:1]] * 9), n, tile=32, k=2)
+    save_layout(p, big)
+    with np.load(p, allow_pickle=False) as z:
+        assert "a" in z.files
