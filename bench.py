@@ -211,7 +211,15 @@ def main():
             scramble = np.random.default_rng(2).permutation(n)
             src, dst = scramble[src], scramble[dst]
         t0 = time.perf_counter()
-        perm = reorder_for_banding(src, dst, n, coords=coords)
+        # BENCH_ORDER=hilbert forces the Hilbert candidate (span ~3x wider
+        # than RCM on city maps) — the order-robustness probe for the cmap
+        # tier, whose A cost tracks nonzero tiles instead of contiguity
+        if os.environ.get("BENCH_ORDER") == "hilbert" and coords is not None:
+            from sldm_gnn_tpu.graph.reorder import hilbert_order
+
+            perm = hilbert_order(coords)
+        else:
+            perm = reorder_for_banding(src, dst, n, coords=coords)
         if perm is not None:
             src, dst = relabel_edges(src, dst, perm)
             reordered = True

@@ -39,7 +39,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from sldm_gnn_tpu.parallel.halo_fused import halo_fused_sage_ln, plan_halo_fused
+    from sldm_gnn_tpu.parallel.halo_fused import (
+        halo_fused_sage_ln,
+        halo_fused_sage_ln_ov,
+        plan_halo_fused,
+    )
     from sldm_gnn_tpu.parallel.halo_model import shard_node_array
 
     n = int(os.environ.get("BHF_NODES", 200_000))
@@ -55,7 +59,7 @@ def main():
 
     use_pallas = jax.default_backend() not in ("cpu",)
 
-    def run_arm(name, ep, p):
+    def run_arm(name, ep, p, layer_fn=halo_fused_sage_ln):
         plan = plan_halo_fused(src, dst, n, ep, banded_k=8)
         unstack = lambda t: jax.tree.map(lambda a: jnp.asarray(a[p]), t)
         int_fwd = unstack(plan.int_fwd)
@@ -80,7 +84,7 @@ def main():
         }
 
         def loss(pm, xq, hq, f, r, b):
-            layer = lambda xx, hh, i: halo_fused_sage_ln(
+            layer = lambda xx, hh, i: layer_fn(
                 xx, hh, pm[f"wl{i}"], pm[f"wr{i}"], pm[f"b{i}"],
                 pm[f"g{i}"], pm[f"be{i}"], f, r, b, use_pallas, 0.0)
             h1 = layer(xq, hq, 0)
@@ -124,6 +128,14 @@ def main():
         run_arm("ep1 (no boundary == single-chip fused_ln)", 1, 0)
     if "shard0" in arms:
         run_arm("shard0 of ep=2 (real boundary resid)", 2, 0)
+    # overlap variants (halo_fused_sage_ln_ov): the interior kernel is
+    # data-independent of the collective; single-chip these arms measure
+    # the restructure's epilogue overhead (split LN patch + small matmul)
+    if "ep1_ov" in arms:
+        run_arm("ep1 OVERLAP layer", 1, 0, layer_fn=halo_fused_sage_ln_ov)
+    if "shard0_ov" in arms:
+        run_arm("shard0 of ep=2 OVERLAP layer", 2, 0,
+                layer_fn=halo_fused_sage_ln_ov)
 
 
 if __name__ == "__main__":

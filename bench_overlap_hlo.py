@@ -1,0 +1,162 @@
+"""Compiled-HLO evidence for collective/compute overlap (VERDICT r3 #1).
+
+AOT-compiles the 8-shard fused-overlap halo forward for a REAL TPU
+topology (jax.experimental.topologies — no 8-chip hardware needed, only
+the compiler) and inspects the optimized module:
+
+  1. does the all-to-all lower to an async pair
+     (`all-to-all-start` / `all-to-all-done`)?
+  2. does the interior Mosaic kernel (tpu custom-call) appear BETWEEN
+     start and done in the scheduled instruction order — i.e. did XLA's
+     latency-hiding scheduler actually hide the collective behind the
+     interior compute?
+  3. negative control: the NON-overlap layer must show the custom-call
+     strictly AFTER the collective completes.
+
+Prints one JSON line per layer variant. If the topology/AOT path is
+unavailable in this environment (e.g. the axon relay plugin exposes no
+compile-only topology), prints {"aot": "unavailable", ...} — the
+data-dependence half of the claim is then still covered by
+tests/test_halo_overlap.py's jaxpr taint analysis.
+
+Env: OVHLO_TOPO (default v5e:2x2, i.e. 4 devices), OVHLO_NODES.
+"""
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def _schedule_positions(hlo_text: str):
+    """(first all-to-all-start line, first tpu_custom_call line after it,
+    first all-to-all-done line) — line indices in the entry computation,
+    or None when absent. HLO module text lists instructions in schedule
+    order once the scheduler has run."""
+    lines = hlo_text.splitlines()
+    start = done = kern = None
+    for i, ln in enumerate(lines):
+        if "all-to-all-start" in ln and start is None:
+            start = i
+        elif ("all-to-all-done" in ln or
+              ("all-to-all" in ln and "done" in ln)) and done is None:
+            done = i
+        if ("custom-call" in ln and ("tpu_custom_call" in ln or "Mosaic" in ln)
+                and kern is None):
+            kern = i
+    # sync fallback: plain all-to-all op
+    sync = None
+    if start is None:
+        for i, ln in enumerate(lines):
+            if re.search(r"=\s*\S*\s*all-to-all\(", ln):
+                sync = i
+                break
+    return start, done, kern, sync
+
+
+def main():
+    topo_name = os.environ.get("OVHLO_TOPO", "v5e:2x2")
+    n = int(os.environ.get("OVHLO_NODES", 4096))
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    try:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(
+            platform="tpu", topology_name=topo_name)
+        devs = topo.devices
+    except Exception as e:  # relay plugin may not expose compile-only topo
+        print(json.dumps({"aot": "unavailable", "error": str(e)[:300]}))
+        return
+    ep = len(devs)
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(devs).reshape(1, ep), ("dp", "ep"))
+
+    from sldm_gnn_tpu.parallel.halo_fused import (
+        halo_fused_sage_ln,
+        halo_fused_sage_ln_ov,
+        plan_halo_fused,
+    )
+
+    rng = np.random.default_rng(0)
+    deg = 8
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-64, 65, n * deg), 0, n - 1)
+    plan = plan_halo_fused(src, dst, n, ep, banded_k=4)
+    layouts = jax.tree.map(jnp.asarray, (plan.int_fwd, plan.int_rev, plan.bnd))
+    l_specs = jax.tree.map(lambda _: P("ep"), layouts)
+    d = 128
+    w = np.float32(0.05) * rng.standard_normal((d, d)).astype(np.float32)
+    gm = np.ones(d, np.float32)
+    bt = np.zeros(d, np.float32)
+
+    def fwd(fn):
+        def body(xs, send, lts, wl, wr, gamma, beta):
+            int_fwd, int_rev, bnd = (
+                jax.tree.map(lambda a: a[0], t) for t in lts)
+            outgoing = xs[0][send[0]]
+            halo = jax.lax.all_to_all(
+                outgoing, "ep", split_axis=0, concat_axis=0
+            ).reshape(-1, xs.shape[-1])
+            return fn(xs[0], halo, wl, wr, None, gamma, beta,
+                      int_fwd, int_rev, bnd, True, 0.0, 1e-5, False,
+                      "ep")[None]
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P("ep"), P("ep"), l_specs, P(), P(), P(), P()),
+            out_specs=P("ep"))
+
+    xs_shape = jax.ShapeDtypeStruct(
+        (ep, plan.n_pad_local, d), jnp.float32,
+        sharding=jax.sharding.NamedSharding(mesh, P("ep")))
+    send_shape = jax.ShapeDtypeStruct(
+        plan.send_idx.shape, jnp.int32,
+        sharding=jax.sharding.NamedSharding(mesh, P("ep")))
+    l_shapes = jax.tree.map(
+        lambda a, s: jax.ShapeDtypeStruct(
+            a.shape, a.dtype,
+            sharding=jax.sharding.NamedSharding(mesh, s)),
+        layouts, l_specs)
+    w_s = jax.ShapeDtypeStruct(
+        w.shape, jnp.float32,
+        sharding=jax.sharding.NamedSharding(mesh, P()))
+    v_s = jax.ShapeDtypeStruct(
+        gm.shape, jnp.float32,
+        sharding=jax.sharding.NamedSharding(mesh, P()))
+
+    for name, fn in (("overlap", halo_fused_sage_ln_ov),
+                     ("non-overlap", halo_fused_sage_ln)):
+        lowered = jax.jit(fwd(fn)).lower(
+            xs_shape, send_shape, l_shapes, w_s, w_s, v_s, v_s)
+        try:
+            compiled = lowered.compile()
+            text = compiled.as_text()
+        except Exception as e:
+            print(json.dumps({"variant": name, "aot": "compile-failed",
+                              "error": str(e)[:300]}))
+            continue
+        start, done, kern, sync = _schedule_positions(text)
+        overlapped = (start is not None and kern is not None
+                      and done is not None and start < kern < done)
+        print(json.dumps({
+            "variant": name, "aot": "ok", "topology": topo_name,
+            "async_pair": start is not None and done is not None,
+            "kernel_between_start_done": overlapped,
+            "positions": {"start": start, "kernel": kern, "done": done,
+                          "sync_a2a": sync},
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -397,11 +397,24 @@ def boundary_fwd_sep(halo_flat: jax.Array, bnd: CompactBoundary) -> jax.Array:
 def _patch_groups(full: jax.Array, slots: jax.Array, slot_grp: jax.Array,
                   kt: int) -> jax.Array:
     """Overwrite the rows of boundary-touched grid groups with their
-    recomputed values; sentinel slot ids (== steps) drop out of range."""
+    recomputed values; sentinel slot ids (== steps) are no-ops.
+
+    Implemented as m_b static dynamic-slice/update pairs, NOT a scatter —
+    XLA TPU lowers even tiny scatters expensively, and this patch sits on
+    the overlap path's critical epilogue (measured: the scatter form cost
+    ~0.17-0.25 ms/layer on chip)."""
     steps = full.shape[0] // kt
-    fr = full.reshape((steps, kt) + full.shape[1:])
-    fr = fr.at[slot_grp].set(slots.astype(full.dtype), mode="drop")
-    return fr.reshape(full.shape)
+    m_b = slots.shape[0]
+    trail = full.shape[1:]
+    for s in range(m_b):
+        g = jnp.minimum(slot_grp[s], steps - 1)
+        row = g * kt
+        start = (row,) + (0,) * len(trail)
+        cur = jax.lax.dynamic_slice(full, start, (kt,) + trail)
+        val = jnp.where(slot_grp[s] < steps, slots[s].astype(full.dtype),
+                        cur)
+        full = jax.lax.dynamic_update_slice(full, val, start)
+    return full
 
 
 def boundary_rev(dy: jax.Array, bnd: CompactBoundary) -> jax.Array:
