@@ -140,7 +140,11 @@ def main():
         lowered = jax.jit(fwd(fn)).lower(
             xs_shape, send_shape, l_shapes, w_s, w_s, v_s, v_s)
         try:
-            compiled = lowered.compile()
+            # async all-to-all lowering is gated behind a TPU compile
+            # option (sync by default); with it on, the latency-hiding
+            # scheduler may place compute between start and done
+            compiled = lowered.compile(compiler_options={
+                "xla_tpu_enable_async_all_to_all": "true"})
             text = compiled.as_text()
         except Exception as e:
             print(json.dumps({"variant": name, "aot": "compile-failed",
