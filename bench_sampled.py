@@ -107,27 +107,33 @@ def main():
         labels_j = jnp.asarray(labels.astype(np.int32))
         key_d = jax.random.PRNGKey(1)
 
-        def run_dev(n_steps):
-            nonlocal dstate, key_d
-            loss = None
-            counts = []
-            for _ in range(n_steps):
-                seeds = jnp.asarray(
-                    rng.integers(0, n, batch).astype(np.int32))
-                key_d, sub = jax.random.split(key_d)
-                dstate, (loss, n_e) = dtrain(dstate, x, seeds,
-                                             labels_j[seeds], sub)
-                counts.append(n_e)
-            float(loss.ravel()[0])
-            return counts
+        # in-loop window: seeds drawn ON DEVICE per step, all `steps`
+        # iterations inside ONE jitted fori_loop — the fully-device
+        # config-3 pipeline with zero host round-trips, immune to the
+        # relay's per-dispatch drift (the loss-only A/B measured the SAME
+        # program at 7.0 ms one day and 10.9-13.8 ms another through
+        # dispatched timing; BASELINE.md round-4 note)
+        @jax.jit
+        def run_k(state, xx, key, k):
+            def body(_, carry):
+                st, ky, acc = carry
+                ky, s1, s2 = jax.random.split(ky, 3)
+                seeds = jax.random.randint(s1, (batch,), 0, n,
+                                           dtype=jnp.int32)
+                st, (loss, n_e) = dtrain(st, xx, seeds, labels_j[seeds], s2)
+                return st, ky, acc + n_e  # int32: ~280k edges/step, <2^31
+            return jax.lax.fori_loop(
+                0, k, body, (state, key, jnp.zeros((), jnp.int32)))
 
-        run_dev(3)
+        dstate, key_d, _ = run_k(dstate, x, key_d, steps)  # compile+warm
+        float(jax.tree.leaves(dstate.params)[0].ravel()[0])
         t0 = time.perf_counter()
-        counts = run_dev(steps)
+        dstate, key_d, edges_acc = run_k(dstate, x, key_d, steps)
+        float(jax.tree.leaves(dstate.params)[0].ravel()[0])
         dt = time.perf_counter() - t0
-        # MEASURED sampled-edge throughput: the step fns count valid tree
-        # slots on device (masked zero-degree slots excluded)
-        edges_valid = int(jnp.sum(jnp.stack(counts)))
+        # MEASURED sampled-edge throughput: valid tree slots counted on
+        # device (masked zero-degree slots excluded)
+        edges_valid = int(edges_acc)
         print(json.dumps({
             "metric": "seeds/s (DEVICE-sampled mini-batch train, fanout "
                       f"{list(fanouts)})",
