@@ -41,6 +41,10 @@ import numpy as np
 @click.option("--dropout", type=float, default=None)
 @click.option("--val-frac", type=float, default=0.1, show_default=True,
               help="Held-out node fraction for the eval split.")
+@click.option("--overlap/--no-overlap", default=True, show_default=True,
+              help="With --fused-ln: collective/compute-overlap layer "
+                   "variants (interior kernel independent of the halo "
+                   "all-to-all; parallel/halo_fused.py *_ov).")
 @click.option("--fused-ln", is_flag=True, default=False,
               help="Fused-kernel halo plan (parallel/halo_fused.py): "
                    "conv+LN+act as one kernel each way per shard.")
@@ -53,8 +57,8 @@ import numpy as np
 @click.option("--resume", is_flag=True, default=False)
 @click.option("--seed", type=int, default=0, show_default=True)
 def main(inputdir, outdir, ep, hidden, epochs, lr, weight_decay, loss_type,
-         pos_weight, focal_alpha, focal_gamma, dropout, val_frac, fused_ln,
-         backend, banded_k, checkpoint_every, resume, seed):
+         pos_weight, focal_alpha, focal_gamma, dropout, val_frac, overlap,
+         fused_ln, backend, banded_k, checkpoint_every, resume, seed):
     import jax
 
     from ..parallel.halo import plan_halo_blocked
@@ -93,7 +97,7 @@ def main(inputdir, outdir, ep, hidden, epochs, lr, weight_decay, loss_type,
     model = HaloSageClassifier(
         hidden_dims=hidden_dims, num_classes=ncls, dims=HaloDims.of(plan),
         dropout=dropout, negative_slope=0.1, use_pallas=use_pallas,
-        fused_ln=fused_ln)
+        fused_ln=fused_ln, overlap=fused_ln and overlap)
 
     rng = np.random.default_rng(seed)
     val = (rng.random(n) < val_frac).astype(np.float32)
