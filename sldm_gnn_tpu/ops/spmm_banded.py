@@ -28,6 +28,7 @@ callers fall back to ops/spmm_dense.py.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -586,8 +587,17 @@ def spmm_banded_infer_int8(x: jax.Array, blocks: BandedBlocks, *, interpret: boo
     return spmm_banded_int8_pallas(xq, scale, blocks, interpret=interpret)
 
 
-def spmm_banded_xla(x: jax.Array, blocks: BandedBlocks):
-    """XLA reference over the banded tiles (any backend)."""
+def spmm_banded_xla(x: jax.Array, blocks: BandedBlocks,
+                    chunk_blocks: int | None = None):
+    """XLA reference over the banded tiles (any backend).
+
+    ``chunk_blocks`` (or env ``SLDM_XLA_AGG_CHUNK``) bounds the peak
+    memory of the fallback: the int8->float A-tile upcast and the
+    [*, S_SPAN, T, D] source gather are materialized per ``lax.map``
+    chunk of destination blocks instead of for the whole graph — exact
+    same math, O(chunk) transients. This is what lets the 200M-edge
+    config-5 virtual-mesh step fit host RAM (the unchunked form's f32
+    A upcast alone is ~90 GB there)."""
     nb, tile, s_span = blocks.num_dst_blocks, blocks.tile, blocks.s_span
     a = blocks.a
     if blocks.wide:
@@ -603,8 +613,29 @@ def spmm_banded_xla(x: jax.Array, blocks: BandedBlocks):
     else:
         # gather source blocks bo[b] + s (in range by the builder's base clamp)
         idx = jnp.clip(blocks.bo[:, None] + jnp.arange(s_span)[None, :], 0, nb - 1)
-    gathered = xb[idx]  # [NB, S_SPAN, T, D]
-    out = jnp.einsum("bsij,bsjd->bid", a.astype(x.dtype), gathered)
+    if chunk_blocks is None:
+        c_env = os.environ.get("SLDM_XLA_AGG_CHUNK")
+        chunk_blocks = int(c_env) if c_env else 0
+    d = x.shape[1]
+    if chunk_blocks and chunk_blocks < nb:
+        c = chunk_blocks
+        nb0 = (nb // c) * c  # tail handled densely: reshape stays copy-free
+
+        def body(ac_ic):
+            ac, ic = ac_ic
+            return jnp.einsum("bsij,bsjd->bid", ac.astype(x.dtype), xb[ic])
+
+        parts = [jax.lax.map(
+            body, (a[:nb0].reshape(-1, c, s_span, tile, tile),
+                   idx[:nb0].reshape(-1, c, s_span)),
+        ).reshape(nb0, tile, d)]
+        if nb0 < nb:
+            parts.append(jnp.einsum(
+                "bsij,bsjd->bid", a[nb0:].astype(x.dtype), xb[idx[nb0:]]))
+        out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    else:
+        gathered = xb[idx]  # [NB, S_SPAN, T, D]
+        out = jnp.einsum("bsij,bsjd->bid", a.astype(x.dtype), gathered)
     out = out.reshape(nb * tile, x.shape[1])
     if blocks.row_scale is not None:
         out = (out.astype(jnp.float32) * blocks.row_scale).astype(x.dtype)

@@ -238,13 +238,26 @@ def build_halo_step_fns(
     """
     from ..train.losses import _stable_bce_elems
 
-    send_idx = jnp.asarray(plan.send_idx)
+    # Layouts go straight to their mesh sharding: device_put of the numpy
+    # stacks onto P(axis_name) here means the jitted steps receive
+    # correctly-placed args and never pay a dispatch-time reshard copy
+    # (at config-5 scale that copy is tens of GB per call). Multi-process
+    # callers (multiproc_halo.py) pass pre-assembled global jax Arrays,
+    # which are kept as-is.
+    _layout_sharding = NamedSharding(mesh, P(axis_name))
+
+    def _put(a):
+        if isinstance(a, jax.Array):
+            return a
+        return jax.device_put(np.asarray(a), _layout_sharding)
+
+    send_idx = _put(plan.send_idx)
     if isinstance(plan, HaloFusedPlan):
         layouts = jax.tree.map(
-            jnp.asarray, (plan.int_fwd, plan.int_rev, plan.bnd))
+            _put, (plan.int_fwd, plan.int_rev, plan.bnd))
     else:
         layouts = jax.tree.map(
-            jnp.asarray, (plan.int_fwd, plan.int_rev, plan.bnd_fwd, plan.bnd_rev)
+            _put, (plan.int_fwd, plan.int_rev, plan.bnd_fwd, plan.bnd_rev)
         )
     l_specs = jax.tree.map(lambda _: P(axis_name), layouts)
     node_spec = P(axis_name)

@@ -286,3 +286,34 @@ def test_banded_counts_native_matches_numpy_sources_above(rng):
     w = jnp.asarray(mean_weights(dst, n_pad))
     want = np.asarray(spmm_xla(x, jnp.asarray(src), jnp.asarray(dst), w, n_pad))
     np.testing.assert_allclose(got[: n], want[: n], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_banded_xla_chunked_exact(rng, wide):
+    """The O(chunk)-memory lax.map fallback (chunk_blocks / env
+    SLDM_XLA_AGG_CHUNK) is bit-identical to the one-shot einsum,
+    including the non-divisible tail and through the custom VJP."""
+    import os
+
+    n, tile, d, K = 3000, 64, 16, 4
+    src, dst = _banded_graph(rng)
+    fwd, rev, n_pad = prepare_banded_mean_aggregate(
+        src, dst, n, tile=tile, k=K, wide=wide)
+    fj, rj = jax.tree.map(jnp.asarray, (fwd, rev))
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    want = np.asarray(spmm_banded_xla(x, fj))
+    nb = fj.num_dst_blocks
+    for c in (1, 7, nb - 1, nb):  # 7 and nb-1 leave tails
+        got = np.asarray(spmm_banded_xla(x, fj, chunk_blocks=c))
+        np.testing.assert_array_equal(got, want, err_msg=f"chunk={c}")
+
+    # env-gated, and through the differentiable wrapper's backward
+    t = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    loss = lambda x: jnp.sum(spmm_banded_apply(x, fj, rj, False) * t)
+    want_g = np.asarray(jax.grad(loss)(x))
+    os.environ["SLDM_XLA_AGG_CHUNK"] = "5"
+    try:
+        got_g = np.asarray(jax.grad(loss)(x))
+    finally:
+        del os.environ["SLDM_XLA_AGG_CHUNK"]
+    np.testing.assert_array_equal(got_g, want_g)
