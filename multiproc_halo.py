@@ -14,6 +14,18 @@ the 2 workers, and asserts loss/param parity. Exit 0 = parity held.
     python multiproc_halo.py --worker PID NPROC COORD WORKDIR   # internal
 
 Run by tests/test_multiprocess.py under --runslow.
+
+Big mode (`--plan DIR [NPROC]`): the same 2-process worker pattern over
+an EXISTING streamed plan (e.g. the 200M-edge config-5 build) — each
+worker subset-loads its half of the shards, generates its node features
+per shard from a fixed seed, and runs fused-overlap train steps over the
+cross-process mesh. No single-process reference at this scale (the whole
+point is that no one process holds the graph); the driver instead
+asserts every worker computed the SAME finite losses — the global
+psum'd loss is replicated, so cross-worker equality checks the
+cross-process collectives end to end.
+
+    python multiproc_halo.py --plan /root/stream_plan_200m 2
 """
 
 import json
@@ -184,6 +196,163 @@ def worker(pid: int, nproc: int, coord: str, workdir: Path):
     jax.distributed.shutdown()
 
 
+def worker_big(pid: int, nproc: int, coord: str, plan_dir: Path,
+               steps: int):
+    """Subset-load worker over an existing (large) streamed plan."""
+    import gc
+    import json as _json
+    import resource
+
+    man = _json.loads((plan_dir / "manifest.json").read_text())
+    ep = man["ep"]
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={ep // nproc}")
+    # bound the XLA fallback's A-upcast transients (see spmm_banded_xla)
+    os.environ.setdefault("SLDM_XLA_AGG_CHUNK", "256")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=nproc, process_id=pid)
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sldm_gnn_tpu.parallel.halo_fused import HaloFusedPlan
+    from sldm_gnn_tpu.parallel.halo_model import build_halo_step_fns
+    from sldm_gnn_tpu.parallel.streamed import load_streamed_halo_fused_plan
+    from sldm_gnn_tpu.train.loop import make_optimizer
+
+    devs = jax.devices()
+    assert len(devs) == ep, f"expected {ep} global devices, got {len(devs)}"
+    mesh = Mesh(np.array(devs).reshape(1, ep), ("dp", "ep"))
+    flat = list(np.array(devs).reshape(-1))
+    local_shards = [i for i, d in enumerate(flat) if d.process_index == pid]
+    ep_sharding = NamedSharding(mesh, P("ep"))
+
+    def global_sharded(a):
+        a = np.asarray(a)
+        gshape = (ep,) + a.shape[1:]
+        sds = [jax.device_put(a[pos][None], flat[i])
+               for pos, i in enumerate(local_shards)]
+        return jax.make_array_from_single_device_arrays(
+            gshape, ep_sharding, sds)
+
+    def replicated(a):
+        a = np.asarray(a)
+        sds = [jax.device_put(a, flat[i]) for i in local_shards]
+        return jax.make_array_from_single_device_arrays(
+            a.shape, NamedSharding(mesh, P()), sds)
+
+    t0 = __import__("time").perf_counter
+    t_load0 = t0()
+    plan_local = load_streamed_halo_fused_plan(plan_dir, shards=local_shards)
+    n_local = plan_local.n_local
+    plan = HaloFusedPlan(
+        send_idx=global_sharded(plan_local.send_idx[local_shards]),
+        int_fwd=jax.tree.map(global_sharded, plan_local.int_fwd),
+        int_rev=jax.tree.map(global_sharded, plan_local.int_rev),
+        bnd=jax.tree.map(global_sharded, plan_local.bnd),
+        n_local=plan_local.n_local,
+        n_pad_local=plan_local.n_pad_local,
+    )
+    del plan_local  # free this worker's numpy stacks; jax copies remain
+    gc.collect()
+    t_load = t0() - t_load0
+
+    model = _model_and_plan(plan)
+    fns = build_halo_step_fns(model, make_optimizer(1e-2, 0.0), mesh, plan,
+                              loss_type="softmax_ce")
+    # per-SHARD deterministic data: no process ever holds a global array
+    xs = np.stack([np.random.default_rng(1000 + i)
+                   .standard_normal((n_local, D)).astype(np.float32)
+                   for i in local_shards])
+    ys = np.stack([np.random.default_rng(2000 + i)
+                   .integers(0, NCLS, n_local).astype(np.int32)
+                   for i in local_shards])
+    ms = np.ones((len(local_shards), n_local), np.float32)
+    x_stack = global_sharded(xs)
+    y_stack = global_sharded(ys)
+    m_stack = global_sharded(ms)
+    del xs, ys, ms
+    gc.collect()
+
+    t_step0 = t0()
+    losses, _ = _run_steps_n(fns, x_stack, y_stack, m_stack, steps,
+                             put_repl=replicated)
+    t_steps = t0() - t_step0
+    print(json.dumps({
+        "pid": pid, "losses": losses,
+        "shards": local_shards,
+        "load_s": round(t_load, 1),
+        "steps_s": round(t_steps, 1),
+        "peak_rss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
+    }), flush=True)
+    jax.distributed.shutdown()
+
+
+def _run_steps_n(fns, x_stack, y_stack, m_stack, steps, put_repl=None):
+    import jax
+    import numpy as np
+
+    rng = jax.random.PRNGKey(SEED)
+    rng, init_rng = jax.random.split(rng)
+    if put_repl is not None:
+        init_rng = put_repl(init_rng)
+    state = fns.init(init_rng, x_stack)
+    losses = []
+    for _ in range(steps):
+        rng, step_rng = jax.random.split(rng)
+        if put_repl is not None:
+            step_rng = put_repl(step_rng)
+        state, m = fns.train_step(state, x_stack, y_stack, m_stack, step_rng)
+        losses.append(float(m["loss"]))
+    return losses, None
+
+
+def driver_big(plan_dir: Path, nproc: int, steps: int):
+    import socket
+    import subprocess
+
+    import numpy as np
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, __file__, "--worker-big", str(p), str(nproc),
+         coord, str(plan_dir), str(steps)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for p in range(nproc)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=5400)
+        outs.append(out.decode())
+    reports = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            print(f"worker {pid} FAILED rc={p.returncode}\n{out[-6000:]}")
+            sys.exit(1)
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        reports.append(json.loads(line))
+    base = reports[0]["losses"]
+    assert np.isfinite(base).all(), base
+    for r in reports[1:]:  # replicated psum'd loss: must agree exactly
+        assert r["losses"] == base, (base, r["losses"])
+    print(json.dumps({
+        "multiprocess_big": "ok", "plan": str(plan_dir),
+        "processes": nproc, "steps": steps,
+        "losses": [round(l, 6) for l in base],
+        "workers": [{k: r[k] for k in
+                     ("pid", "shards", "load_s", "steps_s", "peak_rss_mb")}
+                    for r in reports],
+    }))
+
+
 def driver():
     import socket
     import subprocess
@@ -240,5 +409,12 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
                Path(sys.argv[5]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--worker-big":
+        worker_big(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+                   Path(sys.argv[5]), int(sys.argv[6]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--plan":
+        driver_big(Path(sys.argv[2]),
+                   int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+                   int(sys.argv[4]) if len(sys.argv) > 4 else 2)
     else:
         driver()
