@@ -26,3 +26,33 @@ def test_multiprocess_halo_parity():
         capture_output=True, text=True, timeout=840, env=env, cwd=REPO)
     assert out.returncode == 0, out.stdout[-4000:] + out.stderr[-2000:]
     assert '"multiprocess_parity": "ok"' in out.stdout, out.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_multiprocess_big_mode_tiny_plan(tmp_path):
+    """Big mode (--plan DIR): the subset-load worker pattern used at
+    config-5 scale, exercised on a tiny streamed plan. Checks the
+    cross-worker loss-equality invariant (the replicated psum'd loss
+    must agree bit-for-bit across processes)."""
+    import numpy as np
+
+    from sldm_gnn_tpu.parallel.streamed import StreamedHaloPlanner
+
+    rng = np.random.default_rng(0)
+    n, deg = 4096, 4
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-12, 13, n * deg), 0, n - 1)
+    planner = StreamedHaloPlanner(n, 8, tmp_path / "plan", tile=32,
+                                  banded_k=2)
+    for s in range(0, len(src), 5000):
+        planner.consume(src[s:s + 5000], dst[s:s + 5000])
+    planner.finalize()
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "multiproc_halo.py"), "--plan",
+         str(tmp_path / "plan"), "2", "2"],
+        capture_output=True, text=True, timeout=840, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout[-4000:] + out.stderr[-2000:]
+    assert '"multiprocess_big": "ok"' in out.stdout, out.stdout[-2000:]
