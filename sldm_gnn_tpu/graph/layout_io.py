@@ -81,23 +81,42 @@ def _pack_int4(a: np.ndarray) -> np.ndarray:
     return ((u[0::2] & 0x0F) | ((u[1::2] & 0x0F) << 4)).astype(np.uint8)
 
 
+_I4_LUT = None
+
+
 def _unpack_int4(p: np.ndarray, shape) -> np.ndarray:
+    # one 256-entry byte->uint16 LUT gather; each uint16 is the two
+    # sign-extended nibbles in little-endian byte order, so a .view(int8)
+    # of the gathered array IS the unpacked stream (the naive strided
+    # out[0::2]/out[1::2] writes ran ~5 s/GB; this is ~0.5 s/GB)
+    global _I4_LUT
+    if _I4_LUT is None:
+        b = np.arange(256, dtype=np.uint16)
+        lo = ((((b & 0x0F) ^ 8) - 8) & 0xFF).astype(np.uint16)
+        hi = ((((b >> 4) ^ 8) - 8) & 0xFF).astype(np.uint16)
+        _I4_LUT = lo | (hi << np.uint16(8))
     n = int(np.prod(shape))
-    out = np.empty(2 * len(p), np.int8)
-    # sign-extend each nibble: v = ((n xor 8) - 8) over int8
-    out[0::2] = ((p & 0x0F).astype(np.int8) ^ 8) - 8
-    out[1::2] = (((p >> 4) & 0x0F).astype(np.int8) ^ 8) - 8
+    out = _I4_LUT[p].view(np.int8)
     return out[:n].reshape(shape)
 
 
-def save_layout(path: str | Path, layout, *, pack_int4: bool = True) -> None:
+def save_layout(path: str | Path, layout, *, pack_int4: bool = True,
+                raw_threshold: int | None = 16 * 2**20) -> None:
     """Write one layout dataclass (incl. nested, e.g. HybridLayout) to
-    ``path`` (.npz).
+    ``path`` (.npz), with large arrays as raw ``.npy`` side-car files.
 
     ``pack_int4`` (default): int8 arrays whose values fit [-8, 7] — count
     tiles of any simple graph — store as packed nibbles, halving the
     on-disk A footprint (the config-5 plans' dominant term, BASELINE.md).
-    Exact and transparent: :func:`load_layout` unpacks to int8."""
+    Exact and transparent: :func:`load_layout` unpacks to int8.
+
+    ``raw_threshold``: arrays at/above this many bytes (post-packing) are
+    written as ``<stem>.<field>.npy`` NEXT TO the npz and referenced from
+    its header — numpy's zipfile member reader tops out ~150 MB/s
+    (64 KB chunks + CRC) while a raw ``.npy`` reads at memory/disk speed,
+    which dominates multi-GB plan loads (multi-host worker startup).
+    ``None`` disables side-cars. The npz and its side-cars form ONE
+    artifact: move/delete them together."""
     if type(layout).__name__ not in _registry():
         raise TypeError(f"unknown layout type {type(layout).__name__}")
     arrays: dict = {}
@@ -115,27 +134,40 @@ def save_layout(path: str | Path, layout, *, pack_int4: bool = True) -> None:
                 out_arrays[k] = v
         arrays = out_arrays
         header["__i4__"] = i4
+    p = Path(path)
+    raw = {}
+    if raw_threshold is not None:
+        for k in sorted(arrays):
+            v = arrays[k]
+            if v.nbytes >= raw_threshold:
+                fn = f"{p.stem}.{k}.npy"
+                np.save(p.parent / fn, v)
+                raw[k] = fn
+                del arrays[k]
+    header["__raw__"] = raw
     np.savez(path, __layout_header__=np.asarray(json.dumps(header)), **arrays)
 
 
 def load_layout(path: str | Path):
     """Read a layout written by :func:`save_layout` (host numpy arrays;
     move to device with ``jax.tree.map(jnp.asarray, layout)``)."""
+    p = Path(path)
     with np.load(path, allow_pickle=False) as z:
         header = json.loads(str(z["__layout_header__"]))
-        i4 = header.get("__i4__", {})
-        if not i4:
-            return _unflatten(z, "", header)
-        data = {}
-        for k in z.files:
-            if k == "__layout_header__":
-                continue
+        data = {k: z[k] for k in z.files if k != "__layout_header__"}
+    for k, fn in header.get("__raw__", {}).items():
+        data[k] = np.load(p.parent / fn, allow_pickle=False)
+    i4 = header.get("__i4__", {})
+    if i4:
+        out = {}
+        for k, v in data.items():
             if k.endswith(_I4_SUFFIX) and k[: -len(_I4_SUFFIX)] in i4:
                 base = k[: -len(_I4_SUFFIX)]
-                data[base] = _unpack_int4(z[k], i4[base])
+                out[base] = _unpack_int4(v, i4[base])
             else:
-                data[k] = z[k]
-        return _unflatten(data, "", header)
+                out[k] = v
+        data = out
+    return _unflatten(data, "", header)
 
 
 def cached_layouts(cache_dir: str | Path, key: str, build):

@@ -299,42 +299,11 @@ def load_streamed_halo_plan(out_dir: str | Path, shards=None):
     )
 
 
-def load_streamed_halo_fused_plan(out_dir: str | Path, shards=None, *,
-                                  span: int | None = None,
-                                  resid_frac: float = 0.01):
-    """Assemble a :class:`~sldm_gnn_tpu.parallel.halo_fused.HaloFusedPlan`
-    from a streamed build — config-5 inputs feeding the FUSED multi-chip
-    path. ``span=None`` uses the manifest's s_common (no interior
-    overflow); a tighter ``span`` spills out-of-window interior edges into
-    the fused kernels' compact residual (parallel/halo_fused.py).
-
-    Pass A scans ALL shards (one at a time, O(one shard) memory) for the
-    GLOBAL floors — common (s_span, wsz), compact-slot maxima, padded edge
-    counts — so a ``shards=...`` subset load on one worker compiles the
-    SAME program as every other worker. Pass B builds only the requested
-    shards' layouts."""
+def _fused_floors(out: Path, ep, nbl, tile, k, kt, span, resid_frac):
+    """Pass A: global floors over ALL shards (O(one shard) memory) so a
+    subset load on one worker compiles the SAME program as every other."""
     from ..ops.banded_residual import split_banded_residual
-    from ..ops.spmm_banded import BandedBlocks, build_banded_counts
-    from .halo_fused import (
-        HaloFusedPlan,
-        _compact_shard,
-        _stack_compact,
-    )
 
-    out = Path(out_dir)
-    man = json.loads((out / "manifest.json").read_text())
-    ep, n_local = man["ep"], man["n_local"]
-    tile, k = man["tile"], man["banded_k"]
-    n_pad_local = man["n_pad_local"]
-    h_max = man["h_max"]
-    nbl = n_pad_local // tile
-    steps = nbl // k
-    kt = k * tile
-    span = man["s_common"] if span is None else int(span)
-    inv = np.load(out / "inv_deg.npy")
-    send_idx = np.load(out / "send_idx.npy")
-
-    # ---- pass A: global floors over ALL shards
     w_floor = span
     m_max = m_rev_max = 1
     m_b_max = m_io_max = 1
@@ -371,35 +340,149 @@ def load_streamed_halo_fused_plan(out_dir: str | Path, shards=None, *,
             f"interior overflow fraction {overflow_tot / e_tot:.4f} at "
             f"span={span} exceeds {4 * resid_frac:.4f}: loosen span or "
             "reorder the input stream (StreamingHilbert)")
+    return {"span": span, "w_floor": w_floor, "m_max": m_max,
+            "m_rev_max": m_rev_max, "m_b_max": m_b_max,
+            "m_io_max": m_io_max, "eb_max": eb_max, "ei_max": ei_max}
 
-    # ---- pass B: requested shards' layouts
+
+def _fused_floors_cached(out: Path, span: int):
+    """Floors from ``fused_manifest.json`` when materialize_fused_plan ran
+    at this span; None -> caller recomputes (and rebuilds per shard)."""
+    fm_path = out / "fused_manifest.json"
+    if not fm_path.exists():
+        return None
+    fm = json.loads(fm_path.read_text())
+    if fm["span"] != span:
+        return None
+    fm["cached"] = True
+    return fm
+
+
+def _fused_shard_layouts(out: Path, p: int, *, span, w_floor, n_pad_local,
+                         tile, k, h_max, steps, nbl):
+    """Pass-B body for ONE shard: span-split banded interiors + compact
+    residual maps (boundary rows remapped into the [ep*h_max] table)."""
+    from ..ops.banded_residual import split_banded_residual
+    from ..ops.spmm_banded import build_banded_counts
+    from .halo_fused import _compact_shard
+
+    z = np.load(out / f"shard_p{p}.npz")
+    isrc = z["isrc"].astype(np.int64)
+    idst = z["idst"].astype(np.int64)
+    iw = z["iw"].astype(np.float32)
+    keep = split_banded_residual(isrc, idst, nbl, tile=tile, span=span)
+    s_k, d_k = isrc[keep], idst[keep]
+    fwd = build_banded_counts(
+        s_k, d_k, n_pad_local, tile=tile, k=k, max_span=span,
+        s_span_min=span, wsz_min=w_floor)
+    rev = build_banded_counts(
+        d_k, s_k, n_pad_local, tile=tile, k=k, max_span=span,
+        s_span_min=span, wsz_min=w_floor)
+    bsrc_g, bdst, bw, bq = (z["bsrc_g"], z["bdst"].astype(np.int64),
+                            z["bw"].astype(np.float32), z["bq"])
+    hal_src = np.zeros(len(bsrc_g), np.int64)
+    for q in np.unique(bq):
+        ids = z[f"need_{int(q)}"]
+        m = bq == q
+        hal_src[m] = int(q) * h_max + np.searchsorted(ids, bsrc_g[m])
+    t = _compact_shard(hal_src, bdst, bw,
+                       (isrc[~keep], idst[~keep], iw[~keep]),
+                       steps, k, tile)
+    del z
+    return fwd, rev, t
+
+
+def materialize_fused_plan(out_dir: str | Path, *, span: int | None = None,
+                           resid_frac: float = 0.01) -> dict:
+    """One-time fused-layout cache next to a streamed plan: computes the
+    pass-A global floors and every shard's span-split layouts ONCE and
+    writes them to ``fused_int_{fwd,rev}_p*.npz`` (int4-packed via
+    save_layout) + ``fused_bnd_p*.npz`` + ``fused_manifest.json``.
+    Subsequent ``load_streamed_halo_fused_plan`` calls at the same span
+    fast-load any shard subset with no O(E) rescan — multi-host worker
+    startup drops from minutes (re-split + native refill of every local
+    shard) to reading its own files. Returns the floors manifest."""
+    from ..graph.layout_io import save_layout
+
+    out = Path(out_dir)
+    man = json.loads((out / "manifest.json").read_text())
+    ep, tile, k = man["ep"], man["tile"], man["banded_k"]
+    nbl = man["n_pad_local"] // tile
+    span = man["s_common"] if span is None else int(span)
+    floors = _fused_floors(out, ep, nbl, tile, k, k * tile, span, resid_frac)
+    for p in range(ep):
+        fwd, rev, t = _fused_shard_layouts(
+            out, p, span=span, w_floor=floors["w_floor"],
+            n_pad_local=man["n_pad_local"], tile=tile, k=k,
+            h_max=man["h_max"], steps=nbl // k, nbl=nbl)
+        save_layout(out / f"fused_int_fwd_p{p}.npz", fwd)
+        save_layout(out / f"fused_int_rev_p{p}.npz", rev)
+        np.savez(out / f"fused_bnd_p{p}.npz", **t)
+    (out / "fused_manifest.json").write_text(json.dumps(floors, indent=1))
+    return floors
+
+
+def load_streamed_halo_fused_plan(out_dir: str | Path, shards=None, *,
+                                  span: int | None = None,
+                                  resid_frac: float = 0.01):
+    """Assemble a :class:`~sldm_gnn_tpu.parallel.halo_fused.HaloFusedPlan`
+    from a streamed build — config-5 inputs feeding the FUSED multi-chip
+    path. ``span=None`` uses the manifest's s_common (no interior
+    overflow); a tighter ``span`` spills out-of-window interior edges into
+    the fused kernels' compact residual (parallel/halo_fused.py).
+
+    Pass A scans ALL shards (one at a time, O(one shard) memory) for the
+    GLOBAL floors — common (s_span, wsz), compact-slot maxima, padded edge
+    counts — so a ``shards=...`` subset load on one worker compiles the
+    SAME program as every other worker. Pass B builds only the requested
+    shards' layouts. When :func:`materialize_fused_plan` has cached the
+    floors + per-shard layouts at this span, BOTH passes are skipped in
+    favor of reading this subset's files (no O(E) rescan at startup)."""
+    from ..ops.spmm_banded import BandedBlocks
+    from .halo_fused import HaloFusedPlan, _stack_compact
+
+    out = Path(out_dir)
+    man = json.loads((out / "manifest.json").read_text())
+    ep, n_local = man["ep"], man["n_local"]
+    tile, k = man["tile"], man["banded_k"]
+    n_pad_local = man["n_pad_local"]
+    h_max = man["h_max"]
+    nbl = n_pad_local // tile
+    steps = nbl // k
+    kt = k * tile
+    span = man["s_common"] if span is None else int(span)
+    inv = np.load(out / "inv_deg.npy")
+    send_idx = np.load(out / "send_idx.npy")
+
+    floors = _fused_floors_cached(out, span)
+    if floors is None:
+        floors = _fused_floors(out, ep, nbl, tile, k, kt, span, resid_frac)
+
+    # ---- pass B: requested shards' layouts (cached on disk by
+    # materialize_fused_plan, else built here)
     shards = list(range(ep)) if shards is None else list(shards)
     fwd_list, rev_list, per = [], [], []
     for p in shards:
-        z = np.load(out / f"shard_p{p}.npz")
-        isrc = z["isrc"].astype(np.int64)
-        idst = z["idst"].astype(np.int64)
-        iw = z["iw"].astype(np.float32)
-        keep = split_banded_residual(isrc, idst, nbl, tile=tile, span=span)
-        s_k, d_k = isrc[keep], idst[keep]
-        fwd_list.append(build_banded_counts(
-            s_k, d_k, n_pad_local, tile=tile, k=k, max_span=span,
-            s_span_min=span, wsz_min=w_floor))
-        rev_list.append(build_banded_counts(
-            d_k, s_k, n_pad_local, tile=tile, k=k, max_span=span,
-            s_span_min=span, wsz_min=w_floor))
-        # boundary edges remapped into the [ep*h_max] halo-row table
-        bsrc_g, bdst, bw, bq = (z["bsrc_g"], z["bdst"].astype(np.int64),
-                                z["bw"].astype(np.float32), z["bq"])
-        hal_src = np.zeros(len(bsrc_g), np.int64)
-        for q in np.unique(bq):
-            ids = z[f"need_{int(q)}"]
-            m = bq == q
-            hal_src[m] = int(q) * h_max + np.searchsorted(ids, bsrc_g[m])
-        per.append(_compact_shard(
-            hal_src, bdst, bw, (isrc[~keep], idst[~keep], iw[~keep]),
-            steps, k, tile))
-        del z
+        fp = out / f"fused_int_fwd_p{p}.npz"
+        if floors.get("cached") and fp.exists():
+            from ..graph.layout_io import load_layout
+
+            fwd, rev = load_layout(fp), load_layout(
+                out / f"fused_int_rev_p{p}.npz")
+            zc = np.load(out / f"fused_bnd_p{p}.npz")
+            t = {kk: (int(zc[kk]) if zc[kk].ndim == 0 else zc[kk])
+                 for kk in zc.files}
+        else:
+            fwd, rev, t = _fused_shard_layouts(
+                out, p, span=span, w_floor=floors["w_floor"],
+                n_pad_local=n_pad_local, tile=tile, k=k, h_max=h_max,
+                steps=steps, nbl=nbl)
+        fwd_list.append(fwd)
+        rev_list.append(rev)
+        per.append(t)
+    m_max, m_rev_max = floors["m_max"], floors["m_rev_max"]
+    m_b_max, m_io_max = floors["m_b_max"], floors["m_io_max"]
+    eb_max, ei_max = floors["eb_max"], floors["ei_max"]
 
     import jax
 

@@ -134,3 +134,34 @@ def test_int4_packed_roundtrip(tmp_path, rng):
     save_layout(p, big)
     with np.load(p, allow_pickle=False) as z:
         assert "a" in z.files
+
+
+def test_raw_sidecar_roundtrip(rng, tmp_path):
+    """Arrays over raw_threshold go to .npy side-cars (the npz zipfile
+    reader is ~150 MB/s; raw npy reads at disk speed) and load back
+    bit-identical — including int4-packed count tiles whose PACKED form
+    crosses the threshold."""
+    from sldm_gnn_tpu.graph.layout_io import load_layout, save_layout
+    from sldm_gnn_tpu.ops.spmm_banded import prepare_banded_mean_aggregate
+
+    n, deg = 4096, 6
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.clip(dst + rng.integers(-40, 41, n * deg), 0, n - 1)
+    fwd, _, _ = prepare_banded_mean_aggregate(src, dst, n, tile=64, k=4)
+
+    p = tmp_path / "lay.npz"
+    save_layout(p, fwd, raw_threshold=1024)  # force side-cars
+    sidecars = list(tmp_path.glob("lay.*.npy"))
+    assert sidecars, "expected raw side-car files"
+    got = load_layout(p)
+    for f in ("a", "bo", "woff", "off", "row_scale"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f)),
+                                      np.asarray(getattr(fwd, f)), err_msg=f)
+    assert got.a.dtype == np.int8
+
+    # threshold None -> single-file npz, same contents
+    p2 = tmp_path / "lay2.npz"
+    save_layout(p2, fwd, raw_threshold=None)
+    assert not list(tmp_path.glob("lay2.*.npy"))
+    got2 = load_layout(p2)
+    np.testing.assert_array_equal(np.asarray(got2.a), np.asarray(got.a))

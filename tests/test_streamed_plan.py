@@ -248,3 +248,47 @@ def test_streamed_fused_plan_matches_in_memory(rng, tmp_path):
     assert sub.int_fwd.wsz == got.int_fwd.wsz
     np.testing.assert_array_equal(np.asarray(sub.int_fwd.a),
                                   np.asarray(got.int_fwd.a)[[1, 3]])
+
+
+def test_materialized_fused_plan_fast_load(rng, tmp_path):
+    """materialize_fused_plan caches floors + per-shard fused layouts on
+    disk; subsequent loads (full and subset) skip both passes and must be
+    field-identical to the from-scratch build. A different requested span
+    falls back to the slow path."""
+    import dataclasses
+
+    from sldm_gnn_tpu.parallel.streamed import (
+        load_streamed_halo_fused_plan, materialize_fused_plan)
+
+    def assert_same(a, b, path=""):
+        if dataclasses.is_dataclass(a):
+            for f in dataclasses.fields(a):
+                assert_same(getattr(a, f.name), getattr(b, f.name),
+                            f"{path}.{f.name}")
+        elif hasattr(a, "shape"):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=path)
+        else:
+            assert a == b, (path, a, b)
+
+    src, dst = _banded_graph(rng, n=2048, deg=4, reach=40)
+    out = tmp_path / "plan"
+    _stream_build(src, dst, 2048, 4, out, tile=64, banded_k=2)
+    slow = load_streamed_halo_fused_plan(out)
+    floors = materialize_fused_plan(out)
+    assert (out / "fused_manifest.json").exists()
+    assert (out / "fused_int_fwd_p3.npz").exists()
+    fast = load_streamed_halo_fused_plan(out)
+    assert_same(slow, fast)
+
+    sub_slow = load_streamed_halo_fused_plan(out, shards=[1, 3],
+                                             span=floors["span"] - 1,
+                                             resid_frac=0.05)
+    # tighter span than the cache: must rebuild, not reuse stale files
+    assert sub_slow.int_fwd.a.shape[2] == floors["span"] - 1
+    sub_fast = load_streamed_halo_fused_plan(out, shards=[1, 3])
+    assert sub_fast.int_fwd.a.shape[1:] == fast.int_fwd.a.shape[1:]
+    np.testing.assert_array_equal(np.asarray(sub_fast.int_fwd.a),
+                                  np.asarray(fast.int_fwd.a)[[1, 3]])
+    np.testing.assert_array_equal(np.asarray(sub_fast.bnd.src_f),
+                                  np.asarray(fast.bnd.src_f)[[1, 3]])
