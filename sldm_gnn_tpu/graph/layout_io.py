@@ -85,18 +85,19 @@ _I4_LUT = None
 
 
 def _unpack_int4(p: np.ndarray, shape) -> np.ndarray:
-    # one 256-entry byte->uint16 LUT gather; each uint16 is the two
-    # sign-extended nibbles in little-endian byte order, so a .view(int8)
-    # of the gathered array IS the unpacked stream (the naive strided
-    # out[0::2]/out[1::2] writes ran ~5 s/GB; this is ~0.5 s/GB)
+    # one 256-entry byte->(lo, hi) int8 LUT gather; the (256, 2) table puts
+    # the sign-extended low nibble in column 0 and the high nibble in
+    # column 1, so reshape(-1) IS the unpacked stream on any host
+    # endianness (the naive strided out[0::2]/out[1::2] writes ran
+    # ~5 s/GB; this is ~0.5 s/GB)
     global _I4_LUT
     if _I4_LUT is None:
-        b = np.arange(256, dtype=np.uint16)
-        lo = ((((b & 0x0F) ^ 8) - 8) & 0xFF).astype(np.uint16)
-        hi = ((((b >> 4) ^ 8) - 8) & 0xFF).astype(np.uint16)
-        _I4_LUT = lo | (hi << np.uint16(8))
+        b = np.arange(256, dtype=np.int16)
+        lo = (((b & 0x0F) ^ 8) - 8).astype(np.int8)
+        hi = ((((b >> 4) & 0x0F) ^ 8) - 8).astype(np.int8)
+        _I4_LUT = np.stack([lo, hi], axis=1)
     n = int(np.prod(shape))
-    out = _I4_LUT[p].view(np.int8)
+    out = _I4_LUT[p].reshape(-1)
     return out[:n].reshape(shape)
 
 

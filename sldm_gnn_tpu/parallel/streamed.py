@@ -27,8 +27,10 @@ for only the shards it owns; loading everything reproduces
 
 from __future__ import annotations
 
+import hashlib
 import json
 import resource
+import uuid
 from pathlib import Path
 
 import numpy as np
@@ -245,7 +247,15 @@ class StreamedHaloPlanner:
             "deg_array_mb": round(self._deg.nbytes / 1e6, 1),
             "peak_shard_edges_mb": round(peak_shard_bytes / 1e6, 1),
             "banded_a_mb_per_shard_dir": round(nbl * s_common * tile * tile / 1e6, 1),
+            # unique per finalize: ties fused_* caches to THIS build
+            "build_id": uuid.uuid4().hex,
         }
+        # a rebuild into an existing plan dir must invalidate any fused
+        # layout cache materialized from the PREVIOUS contents — the
+        # fast-load path would otherwise silently train on the old
+        # graph's layouts whenever n/ep/span coincide
+        for stale in self.out.glob("fused_*"):
+            stale.unlink()
         (self.out / "manifest.json").write_text(json.dumps(manifest, indent=1))
         return manifest
 
@@ -335,25 +345,52 @@ def _fused_floors(out: Path, ep, nbl, tile, k, kt, span, resid_frac):
         eb_max = max(eb_max, len(bdst))
         ei_max = max(ei_max, len(io_s))
         del z
+    _check_overflow(overflow_tot, e_tot, span, resid_frac)
+    return {"span": span, "w_floor": w_floor, "m_max": m_max,
+            "m_rev_max": m_rev_max, "m_b_max": m_b_max,
+            "m_io_max": m_io_max, "eb_max": eb_max, "ei_max": ei_max,
+            "overflow_tot": overflow_tot, "e_tot": e_tot}
+
+
+def _check_overflow(overflow_tot: int, e_tot: int, span: int,
+                    resid_frac: float) -> None:
     if e_tot and overflow_tot / e_tot > 4 * resid_frac:
         raise ValueError(
             f"interior overflow fraction {overflow_tot / e_tot:.4f} at "
             f"span={span} exceeds {4 * resid_frac:.4f}: loosen span or "
             "reorder the input stream (StreamingHilbert)")
-    return {"span": span, "w_floor": w_floor, "m_max": m_max,
-            "m_rev_max": m_rev_max, "m_b_max": m_b_max,
-            "m_io_max": m_io_max, "eb_max": eb_max, "ei_max": ei_max}
 
 
-def _fused_floors_cached(out: Path, span: int):
+def _plan_fingerprint(out: Path) -> str:
+    """Identity of the plan a fused cache was materialized against: the
+    manifest's per-finalize ``build_id`` when present, else (plans built
+    before build_id existed) a hash of the manifest text — finalize
+    rewrites it with run-varying fields, so a rebuild changes it."""
+    text = (out / "manifest.json").read_text()
+    man = json.loads(text)
+    if "build_id" in man:
+        return man["build_id"]
+    return hashlib.sha1(text.encode()).hexdigest()
+
+
+def _fused_floors_cached(out: Path, span: int, resid_frac: float):
     """Floors from ``fused_manifest.json`` when materialize_fused_plan ran
-    at this span; None -> caller recomputes (and rebuilds per shard)."""
+    at this span AGAINST THIS PLAN BUILD; None -> caller recomputes (and
+    rebuilds per shard). Re-validates the recorded interior-overflow
+    fraction against the CALLER's resid_frac — a stricter bound than the
+    one materialize used must reject the cache's layouts, not silently
+    accept them."""
     fm_path = out / "fused_manifest.json"
     if not fm_path.exists():
         return None
     fm = json.loads(fm_path.read_text())
     if fm["span"] != span:
         return None
+    if fm.get("plan_fingerprint") != _plan_fingerprint(out):
+        return None
+    if "overflow_tot" not in fm or "e_tot" not in fm:
+        return None
+    _check_overflow(fm["overflow_tot"], fm["e_tot"], span, resid_frac)
     fm["cached"] = True
     return fm
 
@@ -409,7 +446,12 @@ def materialize_fused_plan(out_dir: str | Path, *, span: int | None = None,
     ep, tile, k = man["ep"], man["tile"], man["banded_k"]
     nbl = man["n_pad_local"] // tile
     span = man["s_common"] if span is None else int(span)
+    # invalidate the cache FIRST: an interruption mid-materialize must
+    # leave no manifest pairing old floors with a mix of old/new shard
+    # files — the loader then falls back to the slow rebuild path
+    (out / "fused_manifest.json").unlink(missing_ok=True)
     floors = _fused_floors(out, ep, nbl, tile, k, k * tile, span, resid_frac)
+    floors["plan_fingerprint"] = _plan_fingerprint(out)
     for p in range(ep):
         fwd, rev, t = _fused_shard_layouts(
             out, p, span=span, w_floor=floors["w_floor"],
@@ -454,7 +496,7 @@ def load_streamed_halo_fused_plan(out_dir: str | Path, shards=None, *,
     inv = np.load(out / "inv_deg.npy")
     send_idx = np.load(out / "send_idx.npy")
 
-    floors = _fused_floors_cached(out, span)
+    floors = _fused_floors_cached(out, span, resid_frac)
     if floors is None:
         floors = _fused_floors(out, ep, nbl, tile, k, kt, span, resid_frac)
 

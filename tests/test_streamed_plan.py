@@ -292,3 +292,54 @@ def test_materialized_fused_plan_fast_load(rng, tmp_path):
                                   np.asarray(fast.int_fwd.a)[[1, 3]])
     np.testing.assert_array_equal(np.asarray(sub_fast.bnd.src_f),
                                   np.asarray(fast.bnd.src_f)[[1, 3]])
+
+
+def test_fused_cache_invalidation(rng, tmp_path):
+    """The fused-layout cache must NOT survive anything that changes what
+    it was materialized from: a plan rebuild into the same directory
+    (different graph, same n/ep/span), a missing/stale fingerprint, or a
+    caller demanding a stricter interior-overflow bound than the recorded
+    one satisfies (advisor round 4)."""
+    import json
+
+    from sldm_gnn_tpu.parallel.streamed import (
+        _fused_floors_cached, load_streamed_halo_fused_plan,
+        materialize_fused_plan)
+
+    src, dst = _banded_graph(rng, n=2048, deg=4, reach=40)
+    out = tmp_path / "plan"
+    _stream_build(src, dst, 2048, 4, out, tile=64, banded_k=2)
+    floors = materialize_fused_plan(out)
+    span = floors["span"]
+    assert _fused_floors_cached(out, span, 0.01) is not None
+    # e_tot counts interior edges only (boundary edges live elsewhere)
+    assert floors["overflow_tot"] == 0 and 0 < floors["e_tot"] <= len(src)
+
+    # rebuild the SAME directory from a different graph: finalize deletes
+    # fused_* files, so the fast path cannot resurrect the old layouts
+    src2, dst2 = _banded_graph(rng, n=2048, deg=3, reach=40)
+    _stream_build(src2, dst2, 2048, 4, out, tile=64, banded_k=2)
+    assert not (out / "fused_manifest.json").exists()
+    assert not (out / "fused_int_fwd_p0.npz").exists()
+    plan2 = load_streamed_halo_fused_plan(out)  # slow path, new graph
+    materialize_fused_plan(out)
+    fast2 = load_streamed_halo_fused_plan(out)
+    np.testing.assert_array_equal(np.asarray(plan2.int_fwd.a),
+                                  np.asarray(fast2.int_fwd.a))
+
+    # a fused manifest whose fingerprint does not match the plan build is
+    # rejected even when span/shape statics coincide
+    fm = json.loads((out / "fused_manifest.json").read_text())
+    fm["plan_fingerprint"] = "not-this-build"
+    (out / "fused_manifest.json").write_text(json.dumps(fm))
+    assert _fused_floors_cached(out, fm["span"], 0.01) is None
+
+    # a recorded overflow fraction above the caller's 4*resid_frac bound
+    # must raise from the cached path exactly like the slow path would
+    fm = json.loads((out / "fused_manifest.json").read_text())
+    from sldm_gnn_tpu.parallel.streamed import _plan_fingerprint
+    fm["plan_fingerprint"] = _plan_fingerprint(out)
+    fm["overflow_tot"] = fm["e_tot"] // 2
+    (out / "fused_manifest.json").write_text(json.dumps(fm))
+    with pytest.raises(ValueError, match="overflow fraction"):
+        _fused_floors_cached(out, fm["span"], 0.01)
