@@ -245,17 +245,55 @@ def worker_big(pid: int, nproc: int, coord: str, plan_dir: Path,
 
     t0 = __import__("time").perf_counter
     t_load0 = t0()
-    plan_local = load_streamed_halo_fused_plan(plan_dir, shards=local_shards)
-    n_local = plan_local.n_local
-    plan = HaloFusedPlan(
-        send_idx=global_sharded(plan_local.send_idx[local_shards]),
-        int_fwd=jax.tree.map(global_sharded, plan_local.int_fwd),
-        int_rev=jax.tree.map(global_sharded, plan_local.int_rev),
-        bnd=jax.tree.map(global_sharded, plan_local.bnd),
-        n_local=plan_local.n_local,
-        n_pad_local=plan_local.n_pad_local,
-    )
-    del plan_local  # free this worker's numpy stacks; jax copies remain
+    # Load ONE shard at a time and device_put it before touching the
+    # next: the all-at-once path holds every local shard's layouts twice
+    # (numpy stacks + the jax copies) at its peak, which at 500M-edge
+    # scale is the difference between 4 workers fitting this host or not.
+    # Requires the materialized fused cache (fused_manifest.json) so each
+    # single-shard load skips pass A; without it fall back to one call.
+    per_shard = []
+    treedef = None
+    statics = None
+    if (plan_dir / "fused_manifest.json").exists():
+        for pos, i in enumerate(local_shards):
+            sp = load_streamed_halo_fused_plan(plan_dir, shards=[i])
+            statics = (sp.n_local, sp.n_pad_local)
+            tree = (sp.send_idx[[i]], sp.int_fwd, sp.int_rev, sp.bnd)
+            leaves, treedef = jax.tree.flatten(tree)
+            del sp, tree
+            put = []
+            for li in range(len(leaves)):
+                put.append(jax.device_put(np.asarray(leaves[li]),
+                                          flat[local_shards[pos]]))
+                leaves[li] = None
+            del leaves
+            gc.collect()
+            per_shard.append(put)
+        combined = []
+        for li in range(len(per_shard[0])):
+            sds = [ps[li] for ps in per_shard]
+            gshape = (ep,) + sds[0].shape[1:]
+            combined.append(jax.make_array_from_single_device_arrays(
+                gshape, ep_sharding, sds))
+        del per_shard
+        send_g, fwd_g, rev_g, bnd_g = jax.tree.unflatten(treedef, combined)
+        n_local = statics[0]
+        plan = HaloFusedPlan(send_idx=send_g, int_fwd=fwd_g, int_rev=rev_g,
+                             bnd=bnd_g, n_local=statics[0],
+                             n_pad_local=statics[1])
+    else:
+        plan_local = load_streamed_halo_fused_plan(plan_dir,
+                                                   shards=local_shards)
+        n_local = plan_local.n_local
+        plan = HaloFusedPlan(
+            send_idx=global_sharded(plan_local.send_idx[local_shards]),
+            int_fwd=jax.tree.map(global_sharded, plan_local.int_fwd),
+            int_rev=jax.tree.map(global_sharded, plan_local.int_rev),
+            bnd=jax.tree.map(global_sharded, plan_local.bnd),
+            n_local=plan_local.n_local,
+            n_pad_local=plan_local.n_pad_local,
+        )
+        del plan_local  # free this worker's numpy stacks; jax copies remain
     gc.collect()
     t_load = t0() - t_load0
 
