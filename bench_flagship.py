@@ -72,6 +72,8 @@ def main():
     # default matches GruSageConfig (None = stock width; padding measured
     # neutral-to-slower at corrected timing, see BASELINE.md)
     gru_pad = int(os.environ.get("FLAG_GRU_PAD", 0)) or None
+    # 'scan' (f32 parity) or 'pallas' (row-blocked fused kernel)
+    gru_impl = os.environ.get("FLAG_GRU_IMPL", "scan")
     labels = 4
 
     rng = np.random.default_rng(0)
@@ -99,6 +101,7 @@ def main():
         negative_slope=0.1,
         map_included=with_map,
         gru_pad_to=gru_pad,
+        gru_impl=gru_impl,
     )
     model = GruSage(cfg)
     fns = build_step_fns(model, make_optimizer(1e-3, 5e-5), map_data=map_data)
@@ -141,7 +144,8 @@ def main():
         "graphs_per_s": round(b / dt, 1),
         "batch": b, "frames": frames, "hidden": hidden,
         "map_segments": segments if with_map else 0,
-        "gru_pad_to": gru_pad, "backend": jax.default_backend(),
+        "gru_pad_to": gru_pad, "gru_impl": gru_impl,
+        "backend": jax.default_backend(),
         "timing": "dispatched" if dispatched else "in-loop",
     }))
 

@@ -297,6 +297,12 @@ def worker_big(pid: int, nproc: int, coord: str, plan_dir: Path,
     gc.collect()
     t_load = t0() - t_load0
 
+    def _phase(tag):
+        print(json.dumps({"pid": pid, "phase": tag, "rss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)}),
+            flush=True)
+
+    _phase("loaded")
     model = _model_and_plan(plan)
     fns = build_halo_step_fns(model, make_optimizer(1e-2, 0.0), mesh, plan,
                               loss_type="softmax_ce")
@@ -313,10 +319,11 @@ def worker_big(pid: int, nproc: int, coord: str, plan_dir: Path,
     m_stack = global_sharded(ms)
     del xs, ys, ms
     gc.collect()
+    _phase("data_ready")
 
     t_step0 = t0()
     losses, _ = _run_steps_n(fns, x_stack, y_stack, m_stack, steps,
-                             put_repl=replicated)
+                             put_repl=replicated, on_step=_phase)
     t_steps = t0() - t_step0
     print(json.dumps({
         "pid": pid, "losses": losses,
@@ -329,7 +336,8 @@ def worker_big(pid: int, nproc: int, coord: str, plan_dir: Path,
     jax.distributed.shutdown()
 
 
-def _run_steps_n(fns, x_stack, y_stack, m_stack, steps, put_repl=None):
+def _run_steps_n(fns, x_stack, y_stack, m_stack, steps, put_repl=None,
+                 on_step=None):
     import jax
     import numpy as np
 
@@ -338,13 +346,17 @@ def _run_steps_n(fns, x_stack, y_stack, m_stack, steps, put_repl=None):
     if put_repl is not None:
         init_rng = put_repl(init_rng)
     state = fns.init(init_rng, x_stack)
+    if on_step is not None:
+        on_step("init")
     losses = []
-    for _ in range(steps):
+    for k in range(steps):
         rng, step_rng = jax.random.split(rng)
         if put_repl is not None:
             step_rng = put_repl(step_rng)
         state, m = fns.train_step(state, x_stack, y_stack, m_stack, step_rng)
         losses.append(float(m["loss"]))
+        if on_step is not None:
+            on_step(f"step{k}")
     return losses, None
 
 

@@ -93,6 +93,14 @@ class GruSageConfig:
     # was a 20-iteration measurement artifact. Kept as an option for
     # hidden sizes far off lane alignment.
     gru_pad_to: int | None = None
+    # GRU implementation: 'scan' (XLA lax.scan, f32, reference-parity
+    # default) or 'pallas' (ops/gru_pallas.gru_last_forward — the
+    # row-blocked fused kernel: bf16 MXU operands/carry, in-kernel input
+    # projection, h_last-only cotangent; ~1e-2 rel vs the f32 scan and
+    # 2.5x faster fwd+bwd at TPU-native batch, bench_flagship_diag.py).
+    # The pallas path needs the temporal cotangent structure the fused
+    # kernel provides (only h_last consumed) — exactly GruSage's use.
+    gru_impl: str = "scan"
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -118,11 +126,15 @@ class GruSage(nn.Module):
             )
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         self.st_emb = nn.Embed(c.num_st_types, c.emb_dim, name="st_emb")
+        if c.gru_impl not in ("scan", "pallas"):
+            raise ValueError(
+                f"Unsupported gru_impl: {c.gru_impl!r} (use 'scan' or 'pallas')")
         self.gru = GRUCell(
             input_size=c.dynamic_features_num,
             hidden_size=c.gru_hidden_size,
             num_layers=c.gru_num_layers,
             pad_to=c.gru_pad_to,
+            impl=c.gru_impl,
         )
         self.fc1s = MLPStack(c.fc1dims, dropout=c.dropout, negative_slope=c.negative_slope, dtype=dt)
         if c.map_included:
@@ -236,12 +248,19 @@ class GruSage(nn.Module):
 
 
 class GRUCell(nn.Module):
-    """Flax wrapper owning the stacked GRU parameters (ops/gru.py math)."""
+    """Flax wrapper owning the stacked GRU parameters (ops/gru.py math).
+
+    ``impl='pallas'`` dispatches to the row-blocked fused kernel
+    (ops/gru_pallas.gru_last_forward) and returns ``(None, h_last)`` —
+    the full output sequence is not materialized, which is the point
+    (GruSage consumes only the final hidden state,
+    /root/reference/src/models/grusage.py:160-161)."""
 
     input_size: int
     hidden_size: int
     num_layers: int = 1
     pad_to: int | None = None
+    impl: str = "scan"
 
     @nn.compact
     def __call__(self, x):
@@ -288,4 +307,11 @@ class GRUCell(nn.Module):
             b_hh0=mk("b_hh0", shapes["b_hh0"]),
             **rest,
         )
+        if self.impl == "pallas":
+            from ..ops.gru_pallas import gru_last_forward
+
+            # Mosaic kernels need a TPU; CPU (tests, CLIs off-chip) runs
+            # the same kernel under the Pallas interpreter
+            interpret = jax.default_backend() != "tpu"
+            return None, gru_last_forward(params, x, interpret=interpret)
         return gru_forward(params, x, pad_to=self.pad_to)

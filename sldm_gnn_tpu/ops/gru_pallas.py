@@ -207,3 +207,311 @@ def gru_forward_pallas(params: GRUParams, x: jax.Array, *, interpret: bool = Fal
     for l in range(params.w_ih.shape[0]):
         out = layer(out, params.w_ih[l], params.w_hh[l], params.b_ih[l], params.b_hh[l])
     return out, out[:, -1, :]
+
+
+# ---------------------------------------------------------------------------
+# Row-blocked fused GRU (v2): the TPU-native batch-scale path.
+#
+# The kernels above block the WHOLE batch into VMEM ([B, 3H] f32 per frame),
+# which caps B at a few thousand rows and leans on an XLA-materialized
+# [B, T, 3H] f32 xproj — at flagship batch 2048 (~22k rows, T=100, H=96)
+# that one residual is ~2.6 GB/step of HBM traffic, and the round-4 batch
+# curve showed the step pinned at ~3% MFU because of it (BASELINE.md).
+#
+# v2 structure (grid = (row_blocks, T), frames innermost):
+#   * the hidden state lives in a [RB, H] bf16 VMEM scratch across all T
+#     frames of a row block — rows of a GRU are independent, so row blocks
+#     are embarrassingly parallel and RB bounds VMEM, not B;
+#   * BOTH projections are computed in-kernel ([RB, D]x[D, 3H] and
+#     [RB, H]x[H, 3H] MXU matmuls, f32 accumulate) — x (~[N, T, 6]) is the
+#     only per-step input stream and xproj never exists in HBM;
+#   * the ONLY backward residual is hs in bf16 ([T, N, H]): backward
+#     recomputes the gates from hs[t-1] exactly as forward computed them
+#     (forward also reads its carry from the bf16 scratch, so the
+#     recomputation is bit-consistent), runs reverse BPTT with a [RB, H]
+#     f32 dh carry, and accumulates dW_ih/dW_hh/db in VMEM scratch flushed
+#     once at grid end (sage_fused.py's in-kernel dW pattern);
+#   * only h_last takes a cotangent: the flagship consumes just the final
+#     hidden state (/root/reference/src/models/grusage.py:160-161), so the
+#     [T, N, H] upstream-zeros cotangent of the full-sequence form never
+#     materializes.
+#
+# Precision: matmul operands bf16 (MXU-native), accumulation + gate math
+# f32, carry stored bf16. ~1e-2 relative vs the f32 scan after 100 frames;
+# parity-critical callers keep ops/gru.py (tests/test_gru_pallas.py holds
+# the tolerance contract).
+# ---------------------------------------------------------------------------
+
+
+def _fwd2_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, hs_ref, h_scr):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    hidden = h_scr.shape[1]
+    h = h_scr[:]
+    xp = (
+        jnp.dot(x_ref[0].astype(jnp.bfloat16), wih_ref[:],
+                preferred_element_type=jnp.float32)
+        + bih_ref[0]
+    )
+    hproj = (
+        jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32)
+        + bhh_ref[0]
+    )
+    xr, xz, xn = xp[:, :hidden], xp[:, hidden:2 * hidden], xp[:, 2 * hidden:]
+    hr, hz, hn = (hproj[:, :hidden], hproj[:, hidden:2 * hidden],
+                  hproj[:, 2 * hidden:])
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_new = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(jnp.bfloat16)
+    h_scr[:] = h_new
+    hs_ref[0] = h_new
+
+
+def _bwd2_kernel(x_ref, hs_prev_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
+                 ghl_ref, dx_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref,
+                 dh_scr, dwih_scr, dbih_scr, dwhh_scr, dbhh_scr, *, seq_len):
+    from jax.experimental import pallas as pl
+
+    r_blk = pl.program_id(0)
+    s = pl.program_id(1)  # reverse step: time t = seq_len - 1 - s
+    t = seq_len - 1 - s
+
+    @pl.when(jnp.logical_and(r_blk == 0, s == 0))
+    def _():
+        dwih_scr[:] = jnp.zeros_like(dwih_scr)
+        dbih_scr[:] = jnp.zeros_like(dbih_scr)
+        dwhh_scr[:] = jnp.zeros_like(dwhh_scr)
+        dbhh_scr[:] = jnp.zeros_like(dbhh_scr)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = ghl_ref[:]
+
+    hidden = dh_scr.shape[1]
+    h_prev = jnp.where(t > 0, hs_prev_ref[0], jnp.zeros_like(hs_prev_ref[0]))
+
+    # recompute the forward gates at step t (bit-consistent: forward also
+    # consumed the bf16-stored carry)
+    xp = (
+        jnp.dot(x_ref[0].astype(jnp.bfloat16), wih_ref[:],
+                preferred_element_type=jnp.float32)
+        + bih_ref[0]
+    )
+    hproj = (
+        jnp.dot(h_prev, whh_ref[:], preferred_element_type=jnp.float32)
+        + bhh_ref[0]
+    )
+    xr, xz, xn = xp[:, :hidden], xp[:, hidden:2 * hidden], xp[:, 2 * hidden:]
+    hr, hz, hn = (hproj[:, :hidden], hproj[:, hidden:2 * hidden],
+                  hproj[:, 2 * hidden:])
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_prev_f = h_prev.astype(jnp.float32)
+
+    dh = dh_scr[:]
+    dn = dh * (1.0 - z)
+    dz = dh * (h_prev_f - n)
+    dh_direct = dh * z
+
+    dn_pre = dn * (1.0 - n * n)
+    dr = dn_pre * hn
+    dhn = dn_pre * r
+    dr_pre = dr * r * (1.0 - r)
+    dz_pre = dz * z * (1.0 - z)
+
+    dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+    dhp = jnp.concatenate([dr_pre, dz_pre, dhn], axis=1)
+    dxp_b = dxp.astype(jnp.bfloat16)
+    dhp_b = dhp.astype(jnp.bfloat16)
+
+    # dx_t = dxp @ W_ih^T  (bf16 operands, f32 accumulate)
+    dx_ref[0] = jax.lax.dot_general(
+        dxp_b, wih_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # sublane-contracting accumulations (rows are the contracted dim)
+    dwih_scr[:] += jax.lax.dot_general(
+        x_ref[0].astype(jnp.bfloat16), dxp_b,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbih_scr[:] += jnp.sum(dxp, axis=0, keepdims=True)
+    dwhh_scr[:] += jax.lax.dot_general(
+        h_prev, dhp_b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbhh_scr[:] += jnp.sum(dhp, axis=0, keepdims=True)
+
+    dh_scr[:] = dh_direct + jax.lax.dot_general(
+        dhp_b, whh_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(jnp.logical_and(r_blk == pl.num_programs(0) - 1, s == seq_len - 1))
+    def _():
+        dwih_ref[:] = dwih_scr[:]
+        dbih_ref[0] = dbih_scr[0]
+        dwhh_ref[:] = dwhh_scr[:]
+        dbhh_ref[0] = dbhh_scr[0]
+
+
+def _round_rows(n: int, rb: int) -> int:
+    return ((n + rb - 1) // rb) * rb
+
+
+# scoped-VMEM ceiling for the v2 kernels: the defaults (16 MB) cap rb at
+# ~1024 in the backward; larger row blocks amortize per-grid-step cost
+_V2_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _v2_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=_V2_VMEM_LIMIT)
+
+
+def _run_fwd2(xt, w_ih, b_ih, w_hh, b_hh, *, rb, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, N, D = xt.shape
+    H = w_hh.shape[0]
+    H3 = 3 * H
+    return pl.pallas_call(
+        _fwd2_kernel,
+        grid=(N // rb, T),
+        compiler_params=_v2_params(),
+        in_specs=[
+            pl.BlockSpec((1, rb, D), lambda r, t: (t, r, 0)),
+            pl.BlockSpec((D, H3), lambda r, t: (0, 0)),
+            pl.BlockSpec((1, H3), lambda r, t: (0, 0)),
+            pl.BlockSpec((H, H3), lambda r, t: (0, 0)),
+            pl.BlockSpec((1, H3), lambda r, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rb, H), lambda r, t: (t, r, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, N, H), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((rb, H), jnp.bfloat16)],
+        interpret=interpret,
+    )(xt, w_ih, b_ih.reshape(1, H3), w_hh, b_hh.reshape(1, H3))
+
+
+def _run_bwd2(xt, hs, w_ih, b_ih, w_hh, b_hh, g_hl, *, rb, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, N, D = xt.shape
+    H = w_hh.shape[0]
+    H3 = 3 * H
+    kernel = partial(_bwd2_kernel, seq_len=T)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // rb, T),
+        compiler_params=_v2_params(),
+        in_specs=[
+            pl.BlockSpec((1, rb, D), lambda r, s: (T - 1 - s, r, 0)),
+            # hs[t-1]; the t==0 read is clamped to frame 0 and zeroed in-kernel
+            pl.BlockSpec((1, rb, H),
+                         lambda r, s: (jnp.maximum(T - 2 - s, 0), r, 0)),
+            pl.BlockSpec((D, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((1, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((H, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((1, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((rb, H), lambda r, s: (r, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rb, D), lambda r, s: (T - 1 - s, r, 0)),
+            pl.BlockSpec((D, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((1, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((H, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((1, H3), lambda r, s: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, H3), jnp.float32),
+            jax.ShapeDtypeStruct((1, H3), jnp.float32),
+            jax.ShapeDtypeStruct((H, H3), jnp.float32),
+            jax.ShapeDtypeStruct((1, H3), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rb, H), jnp.float32),
+            pltpu.VMEM((D, H3), jnp.float32),
+            pltpu.VMEM((1, H3), jnp.float32),
+            pltpu.VMEM((H, H3), jnp.float32),
+            pltpu.VMEM((1, H3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt, hs, w_ih, b_ih.reshape(1, H3), w_hh, b_hh.reshape(1, H3), g_hl)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def gru_last_pallas(x, w_ih, b_ih, w_hh, b_hh, rb=1024, interpret=False):
+    """Final hidden state ``h_last [N, H]`` of a single-layer GRU over
+    ``x [N, T, D]`` via the row-blocked fused kernel (header comment).
+
+    ``rb``: rows per VMEM block (clamped and padded to divide N).
+    Gate math matches ops/gru.py (torch r,z,n order); operands bf16.
+    """
+    h, _ = _gru_last_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret)
+    return h
+
+
+def _gru_last_prep(x, rb):
+    N = x.shape[0]
+    # bf16 blocks tile (16, 128): keep the sublane dim a multiple of 16
+    rb = max(16, min(rb, _round_rows(N, 16)))
+    n_pad = _round_rows(N, rb)
+    xt = jnp.moveaxis(x, 1, 0)  # [T, N, D]
+    if n_pad != N:
+        xt = jnp.pad(xt, ((0, 0), (0, n_pad - N), (0, 0)))
+    return xt, rb, n_pad
+
+
+def _gru_last_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret):
+    N = x.shape[0]
+    xt, rb, n_pad = _gru_last_prep(x, rb)
+    hs = _run_fwd2(xt, w_ih.astype(jnp.bfloat16), b_ih,
+                   w_hh.astype(jnp.bfloat16), b_hh, rb=rb,
+                   interpret=interpret)
+    h_last = hs[-1, :N].astype(jnp.float32)
+    return h_last, (x, hs, w_ih, b_ih, w_hh, b_hh)
+
+
+def _gru_last_bwd(rb, interpret, res, g_hl):
+    x, hs, w_ih, b_ih, w_hh, b_hh = res
+    N = x.shape[0]
+    xt, rb, n_pad = _gru_last_prep(x, rb)
+    g_pad = g_hl.astype(jnp.float32)
+    if n_pad != N:
+        g_pad = jnp.pad(g_pad, ((0, n_pad - N), (0, 0)))
+    # padded rows carry zero cotangent -> zero dW/dx contribution
+    dxt, dwih, dbih, dwhh, dbhh = _run_bwd2(
+        xt, hs, w_ih.astype(jnp.bfloat16), b_ih, w_hh.astype(jnp.bfloat16),
+        b_hh, g_pad, rb=rb, interpret=interpret)
+    dx = jnp.moveaxis(dxt[:, :N], 0, 1)
+    return dx, dwih, dbih.reshape(-1), dwhh, dbhh.reshape(-1)
+
+
+gru_last_pallas.defvjp(
+    lambda x, w_ih, b_ih, w_hh, b_hh, rb, interpret: _gru_last_fwd(
+        x, w_ih, b_ih, w_hh, b_hh, rb, interpret),
+    _gru_last_bwd,
+)
+
+
+def gru_last_forward(params: GRUParams, x: jax.Array, *, rb: int = 1024,
+                     interpret: bool = False) -> jax.Array:
+    """``h_last [B, H]`` for a single-layer GRU via the v2 fused kernel.
+    Multi-layer parameter stacks fall back to :func:`gru_forward_pallas`
+    (the lower layers need their full output sequences)."""
+    if params.w_ih.shape[0] > 0:
+        return gru_forward_pallas(params, x, interpret=interpret)[1]
+    return gru_last_pallas(x, params.w_ih0, params.b_ih0, params.w_hh0,
+                           params.b_hh0, rb, interpret)

@@ -64,3 +64,127 @@ def test_grads_match_xla_two_layers(rng):
             np.asarray(getattr(g2, name)), np.asarray(getattr(g1, name)),
             rtol=5e-4, atol=5e-5, err_msg=name,
         )
+
+
+# ---- v2: row-blocked fused kernel (gru_last_pallas) ----
+# bf16 matmul operands + bf16-stored carry: the contract is a LOOSE
+# tolerance vs the f32 scan (~1e-2 rel after many frames), exactness is
+# NOT claimed — parity-critical callers use ops/gru.py (module docstring).
+
+from sldm_gnn_tpu.ops.gru_pallas import gru_last_forward, gru_last_pallas
+
+
+@pytest.mark.parametrize("shape", [(16, 12, 6, 8), (100, 7, 5, 12)])
+def test_v2_last_matches_xla(rng, shape):
+    B, T, D, H = shape
+    params = init_gru_params(jax.random.PRNGKey(0), D, H, 1)
+    x = jnp.array(rng.standard_normal((B, T, D)).astype(np.float32))
+    _, h_x = gru_forward(params, x)
+    h_p = gru_last_forward(params, x, rb=32, interpret=True)
+    assert h_p.shape == (B, H) and h_p.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_v2_multiple_row_blocks_match_single(rng):
+    """Row blocking must not change results: rb=16 (several blocks, with
+    row padding) == rb covering all rows in one block."""
+    B, T, D, H = 40, 9, 4, 8
+    params = init_gru_params(jax.random.PRNGKey(3), D, H, 1)
+    x = jnp.array(rng.standard_normal((B, T, D)).astype(np.float32))
+    h_1 = gru_last_forward(params, x, rb=64, interpret=True)
+    h_k = gru_last_forward(params, x, rb=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h_1), np.asarray(h_k))
+
+
+def test_v2_grads_match_xla(rng):
+    B, T, D, H = 24, 8, 5, 8
+    params = init_gru_params(jax.random.PRNGKey(1), D, H, 1)
+    x = jnp.array(rng.standard_normal((B, T, D)).astype(np.float32))
+    coef = jnp.array(rng.standard_normal((B, H)).astype(np.float32))
+
+    def loss_xla(p, x):
+        return jnp.sum(gru_forward(p, x)[1] * coef)
+
+    def loss_pl(p, x):
+        return jnp.sum(gru_last_forward(p, x, rb=16, interpret=True) * coef)
+
+    (gx1, gp1) = jax.grad(loss_xla, argnums=(1, 0))(params, x)
+    (gx2, gp2) = jax.grad(loss_pl, argnums=(1, 0))(params, x)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                               rtol=5e-2, atol=5e-3)
+    for name in ("w_ih0", "w_hh0", "b_ih0", "b_hh0"):
+        g1 = np.asarray(getattr(gp1, name))
+        g2 = np.asarray(getattr(gp2, name))
+        # relative-to-scale check: bf16 operands bound per-entry error by
+        # a fraction of the gradient tensor's magnitude, not entrywise
+        np.testing.assert_allclose(g2, g1, rtol=5e-2,
+                                   atol=5e-2 * np.abs(g1).max() + 1e-6,
+                                   err_msg=name)
+
+
+def test_v2_multilayer_falls_back(rng):
+    B, T, D, H = 8, 6, 4, 8
+    params = init_gru_params(jax.random.PRNGKey(2), D, H, 2)
+    x = jnp.array(rng.standard_normal((B, T, D)).astype(np.float32))
+    _, h_x = gru_forward(params, x)
+    h_p = gru_last_forward(params, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grusage_pallas_impl_matches_scan(rng):
+    """gru_impl='pallas' end to end through GruSage: same params, loose
+    (bf16-operand) logit tolerance vs the f32 scan default."""
+    from sldm_gnn_tpu.graph.batching import BatchDims, pad_and_batch
+    from sldm_gnn_tpu.graph.containers import GraphArrays
+    from sldm_gnn_tpu.models import GruSage, GruSageConfig
+
+    F, L = 6, 2
+    gs = []
+    for i in range(4):
+        v = 4
+        x = rng.standard_normal((v, F, 6)).astype(np.float32) * 0.5
+        src = np.array([0, 1, 2, 3], np.int32)
+        dst = np.array([1, 2, 3, 0], np.int32)
+        y = np.zeros(L, np.float32)
+        y[i % L] = 1.0
+        gs.append(GraphArrays(
+            x=x, xsttype=np.zeros(v, np.int32),
+            xdims=np.ones((v, 2), np.float32),
+            edge_index=np.stack([src, dst]),
+            edge_attr=np.zeros((4, 4), np.float32), y=y,
+            pos_raw=x[:, :, :2]))
+    dims = BatchDims(node_capacity=24, edge_capacity=24, graph_capacity=4,
+                     num_frames=F, num_labels=L)
+    batch = jax.tree.map(jnp.asarray, pad_and_batch(gs, dims))
+
+    cfg = GruSageConfig(frames_num=F, gru_hidden_size=8, fc1dims=(8,),
+                        sage_hidden_dims=(8,), fc2dims=(8,), out_dim=L,
+                        dropout=None)
+    m_scan = GruSage(cfg)
+    params = m_scan.init(jax.random.PRNGKey(0), batch)["params"]
+    logits_scan = m_scan.apply({"params": params}, batch)
+
+    import dataclasses
+    m_pl = GruSage(dataclasses.replace(cfg, gru_impl="pallas"))
+    logits_pl = m_pl.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(logits_pl),
+                               np.asarray(logits_scan), rtol=3e-2,
+                               atol=3e-2)
+
+    # gradient path end to end (value_and_grad through the custom VJP)
+    def loss(m):
+        def f(p):
+            lg = m.apply({"params": p}, batch)
+            return jnp.mean((lg - batch.y) ** 2)
+        return jax.grad(f)(params)
+
+    g_s = loss(m_scan)
+    g_p = loss(m_pl)
+    leaf_s = jax.tree.leaves(g_s)
+    leaf_p = jax.tree.leaves(g_p)
+    for a, b in zip(leaf_p, leaf_s):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-2 * scale)
