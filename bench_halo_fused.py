@@ -23,6 +23,14 @@ house timing (fori_loop, traced args, scalar value fetch).
 
 Prints one JSON line per arm. Env: BHF_NODES, BHF_DEG, BHF_DIM, BHF_ITERS,
 BHF_ARMS (comma of ep1,shard0).
+
+Boundary-fraction sweep (round-5 scaling-model input, VERDICT r4 item 1):
+``BHF_SWEEP=0.001,0.005,0.01,0.02,0.05`` rewires that fraction of each
+shard's edges to uniform-random sources on the OTHER shard (the rest stay
+banded-local) and times the shard0/shard0_ov arms per fraction — the
+step-time-vs-boundary-fraction curve that, combined with real plan halo
+sizes and an ICI/DCN bandwidth model, yields the projected multi-chip
+scaling efficiency (bench_scaling_model.py).
 """
 
 import json
@@ -59,7 +67,19 @@ def main():
 
     use_pallas = jax.default_backend() not in ("cpu",)
 
-    def run_arm(name, ep, p, layer_fn=halo_fused_sage_ln):
+    def cross_wire(src, dst, frac, ep=2):
+        """Rewire ``frac`` of each shard's edges to uniform sources on the
+        OTHER shard (keeps per-shard edge counts; returns new src)."""
+        half = n // ep
+        out = src.copy()
+        pick = rng.random(len(src)) < frac
+        owner = dst // half
+        other_lo = np.where(owner == 0, half, 0)
+        out[pick] = other_lo[pick] + rng.integers(0, half, int(pick.sum()))
+        return out
+
+    def run_arm(name, ep, p, layer_fn=halo_fused_sage_ln, src=src,
+                extra=None):
         plan = plan_halo_fused(src, dst, n, ep, banded_k=8)
         unstack = lambda t: jax.tree.map(lambda a: jnp.asarray(a[p]), t)
         int_fwd = unstack(plan.int_fwd)
@@ -115,14 +135,19 @@ def main():
         t = (time.perf_counter() - t0) / iters
         e_local = int(plan.int_fwd.row_scale[p].astype(bool).sum())  # rows
         e_shard = len(src) // ep  # edges this shard owns (approx, uniform)
-        print(json.dumps({
+        rec = {
             "arm": name, "step_ms": round(t * 1e3, 3),
             "edges_per_s": round(e_shard * 2 / t, 1),  # 2 layers
             "n_local": plan.n_local,
             "boundary_edges": int((np.asarray(plan.bnd.w_f[p]) > 0).sum()),
             "resid_slots": plan.bnd.m,
+            "boundary_slots": plan.bnd.m_b,
+            "halo_rows_max": hm,
             "backend": jax.default_backend(),
-        }), flush=True)
+        }
+        if extra:
+            rec.update(extra)
+        print(json.dumps(rec), flush=True)
 
     if "ep1" in arms:
         run_arm("ep1 (no boundary == single-chip fused_ln)", 1, 0)
@@ -136,6 +161,23 @@ def main():
     if "shard0_ov" in arms:
         run_arm("shard0 of ep=2 OVERLAP layer", 2, 0,
                 layer_fn=halo_fused_sage_ln_ov)
+
+    sweep = os.environ.get("BHF_SWEEP", "")
+    if sweep:
+        for frac in (float(f) for f in sweep.split(",")):
+            src_f = cross_wire(src, dst, frac)
+            # actual halo volume: rows of the other shard that shard 0's
+            # boundary edges reference (what the all_to_all must move)
+            half = n // 2
+            b0 = (dst < half) & (src_f >= half)
+            uniq = len(np.unique(src_f[b0]))
+            extra = {"boundary_frac": frac,
+                     "halo_rows_used": uniq,
+                     "halo_bytes_bf16": uniq * d * 2}
+            for tag, fn in (("nonov", halo_fused_sage_ln),
+                            ("ov", halo_fused_sage_ln_ov)):
+                run_arm(f"sweep f={frac} {tag}", 2, 0, layer_fn=fn,
+                        src=src_f, extra=dict(extra))
 
 
 if __name__ == "__main__":

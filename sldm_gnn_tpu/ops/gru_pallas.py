@@ -276,7 +276,7 @@ def _fwd2_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, hs_ref, h_scr):
 
 def _bwd2_kernel(x_ref, hs_prev_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
                  ghl_ref, dx_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref,
-                 dh_scr, dwih_scr, dbih_scr, dwhh_scr, dbhh_scr, *, seq_len):
+                 dh_scr, dwih_scr, dwhh_scr, *, seq_len):
     from jax.experimental import pallas as pl
 
     r_blk = pl.program_id(0)
@@ -286,9 +286,7 @@ def _bwd2_kernel(x_ref, hs_prev_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
     @pl.when(jnp.logical_and(r_blk == 0, s == 0))
     def _():
         dwih_scr[:] = jnp.zeros_like(dwih_scr)
-        dbih_scr[:] = jnp.zeros_like(dbih_scr)
         dwhh_scr[:] = jnp.zeros_like(dwhh_scr)
-        dbhh_scr[:] = jnp.zeros_like(dbhh_scr)
 
     @pl.when(s == 0)
     def _():
@@ -337,18 +335,21 @@ def _bwd2_kernel(x_ref, hs_prev_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
         dxp_b, wih_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # sublane-contracting accumulations (rows are the contracted dim)
+    # sublane-contracting accumulations (rows are the contracted dim); a
+    # ones column folds the bias gradient (column sum) into the same MXU
+    # pass — a full [rb]-deep VPU reduction per step costs more than the
+    # extra matmul lane
+    ones = jnp.ones((x_ref.shape[1], 1), jnp.bfloat16)
     dwih_scr[:] += jax.lax.dot_general(
-        x_ref[0].astype(jnp.bfloat16), dxp_b,
+        jnp.concatenate([x_ref[0].astype(jnp.bfloat16), ones], axis=1),
+        dxp_b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwhh_scr[:] += jax.lax.dot_general(
+        jnp.concatenate([h_prev, ones], axis=1), dhp_b,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dbih_scr[:] += jnp.sum(dxp, axis=0, keepdims=True)
-    dwhh_scr[:] += jax.lax.dot_general(
-        h_prev, dhp_b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dbhh_scr[:] += jnp.sum(dhp, axis=0, keepdims=True)
 
     dh_scr[:] = dh_direct + jax.lax.dot_general(
         dhp_b, whh_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -357,10 +358,12 @@ def _bwd2_kernel(x_ref, hs_prev_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
 
     @pl.when(jnp.logical_and(r_blk == pl.num_programs(0) - 1, s == seq_len - 1))
     def _():
-        dwih_ref[:] = dwih_scr[:]
-        dbih_ref[0] = dbih_scr[0]
-        dwhh_ref[:] = dwhh_scr[:]
-        dbhh_ref[0] = dbhh_scr[0]
+        d_in = dwih_ref.shape[0]
+        dwih_ref[:] = dwih_scr[:d_in]
+        dbih_ref[0] = dwih_scr[d_in]
+        hidden = dwhh_ref.shape[0]
+        dwhh_ref[:] = dwhh_scr[:hidden]
+        dbhh_ref[0] = dwhh_scr[hidden]
 
 
 def _round_rows(n: int, rb: int) -> int:
@@ -442,10 +445,8 @@ def _run_bwd2(xt, hs, w_ih, b_ih, w_hh, b_hh, g_hl, *, rb, interpret=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((rb, H), jnp.float32),
-            pltpu.VMEM((D, H3), jnp.float32),
-            pltpu.VMEM((1, H3), jnp.float32),
-            pltpu.VMEM((H, H3), jnp.float32),
-            pltpu.VMEM((1, H3), jnp.float32),
+            pltpu.VMEM((D + 1, H3), jnp.float32),  # last row = db_ih
+            pltpu.VMEM((H + 1, H3), jnp.float32),  # last row = db_hh
         ],
         interpret=interpret,
     )(xt, hs, w_ih, b_ih.reshape(1, H3), w_hh, b_hh.reshape(1, H3), g_hl)

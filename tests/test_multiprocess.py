@@ -56,3 +56,21 @@ def test_multiprocess_big_mode_tiny_plan(tmp_path):
         capture_output=True, text=True, timeout=840, env=env, cwd=REPO)
     assert out.returncode == 0, out.stdout[-4000:] + out.stderr[-2000:]
     assert '"multiprocess_big": "ok"' in out.stdout, out.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_multiprocess_midscale_parity():
+    """The mid-scale rung (round-4 verdict Weak #4): ~2M edges through the
+    SAME 2-process x 4-device worker path, exact loss/param parity with
+    the single-process 8-virtual-device run — bridges the toy-scale
+    parity proof and the 200M/500M big-mode runs (whose only invariant is
+    cross-worker loss equality)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update(MPH_N="131072", MPH_DEG="16", MPH_REACH="48",
+               MPH_TILE="64")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "multiproc_halo.py")],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout[-4000:] + out.stderr[-2000:]
+    assert '"multiprocess_parity": "ok"' in out.stdout, out.stdout[-2000:]
