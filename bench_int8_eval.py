@@ -81,7 +81,7 @@ def main():
     y = (agg > thr).astype(np.float32)
 
     fwd_l, rev_l, n_pad = prepare_banded_mean_aggregate(
-        src, dst, n, k_per_step=8)
+        src, dst, n, k=8)
     xp = np.zeros((n_pad, d), np.float32)
     xp[:n] = x
     xj = jnp.asarray(xp)

@@ -36,6 +36,7 @@ from sldm_gnn_tpu.models.sampled_sage import SampledSage
 from sldm_gnn_tpu.train.loop import make_optimizer
 from sldm_gnn_tpu.train.sampled_loop import (
     csr_device_arrays,
+    dense_nbr_table,
     device_sample_tree,
     make_device_sampled_step_fns,
 )
@@ -53,6 +54,7 @@ def main():
     hidden = int(os.environ.get("BENCH_HIDDEN", 128))
     iters = int(os.environ.get("BENCH_ITERS", 100))
     bf16 = bool(int(os.environ.get("BENCH_BF16", 0)))
+    dense = bool(int(os.environ.get("BENCH_DENSE", 0)))
 
     src, dst = make_local_graph(n, deg)
     rng = np.random.default_rng(1)
@@ -63,6 +65,9 @@ def main():
         np.random.default_rng(3).integers(0, 16, n).astype(np.int32))
     sampler = NeighborSampler(src, dst, n)
     indptr, nbr, degj = csr_device_arrays(sampler)
+    table = None
+    if dense:
+        table, degj = dense_nbr_table(sampler)
     key0 = jax.random.PRNGKey(1)
 
     def seeds_of(ky, salt):
@@ -89,7 +94,7 @@ def main():
         ky, s1, s2 = jax.random.split(ky, 3)
         seeds = seeds_of(s1, acc % 1)
         levels, masks = device_sample_tree(seeds, indptr, nbr, degj,
-                                           fanouts, s2)
+                                           fanouts, s2, nbr_table=table)
         out = sum(l.sum() for l in levels)
         return (acc + out % 1000).astype(jnp.int32), ky
 
@@ -101,7 +106,7 @@ def main():
         ky, s1, s2 = jax.random.split(ky, 3)
         seeds = seeds_of(s1, jnp.int32(0) * (acc.astype(jnp.int32) % 1))
         levels, masks = device_sample_tree(seeds, indptr, nbr, degj,
-                                           fanouts, s2)
+                                           fanouts, s2, nbr_table=table)
         feats = [x[l] for l in levels]
         out = sum(f.astype(jnp.float32).sum() for f in feats)
         return acc + out * 1e-20, ky
@@ -120,7 +125,7 @@ def main():
 
     def loss_of(params, seeds, ky):
         levels, masks = device_sample_tree(seeds, indptr, nbr, degj,
-                                           fanouts, ky)
+                                           fanouts, ky, nbr_table=table)
         feats = [x[l] for l in levels]
         logits = model.apply({"params": params}, feats, masks, fanouts)
         logp = jax.nn.log_softmax(logits)
@@ -138,7 +143,8 @@ def main():
 
     # ---- full train step
     dtrain, _, dinit = make_device_sampled_step_fns(
-        model, make_optimizer(1e-3, 5e-5), fanouts, indptr, nbr, degj)
+        model, make_optimizer(1e-3, 5e-5), fanouts, indptr, nbr, degj,
+        nbr_table=table)
     dstate = dinit(jax.random.PRNGKey(0), x, batch)
 
     def body_full(i, carry):
@@ -168,6 +174,7 @@ def main():
         "metric": "device-sampled step phase budget",
         "batch": batch, "fanouts": list(fanouts), "hidden": hidden,
         "feat_dtype": "bf16" if bf16 else "f32",
+        "nbr_layout": "dense_table" if dense else "csr",
         "sample_ms": round(t_sample, 3),
         "gather_ms": round(t_gather, 3),
         "fwd_ms": round(t_fwd, 3),

@@ -327,24 +327,22 @@ def worker_big(pid: int, nproc: int, coord: str, plan_dir: Path,
     gc.collect()
     _phase("data_ready")
 
-    # Compile-spike staggering: the XLA CPU compile of the init/step
-    # programs transiently costs several GB per process (memprobe round
-    # 5); with N workers compiling simultaneously the spikes stack and
-    # OOM the host even though the steady state fits. The collectives
-    # inside init/step make execution a natural barrier, so sleeping
-    # pid*MPH_STAGGER_S before each first compile serializes the spikes
-    # without desynchronizing the math.
-    stagger = float(os.environ.get("MPH_STAGGER_S", 0))
-
-    def _pre_compile(tag):
-        if stagger:
-            _phase(f"pre_{tag}_sleep")
-            __import__("time").sleep(pid * stagger)
+    # Compile-spike serialization: XLA CPU compile of the init/step
+    # programs transiently costs tens of GB per process at config-5
+    # shapes (measured ~30 GB at 500M, while the compiled step's runtime
+    # temp is only ~10 MB/device) — N simultaneous compiles OOM the host
+    # even though the steady state fits. Sleeping is NOT an option: the
+    # first worker to EXECUTE waits at Gloo context creation, which
+    # times out at 30 s. So each worker AOT-compiles (lower().compile(),
+    # purely local, no collectives) when it receives a token from its
+    # predecessor through the coordination-service KV store, then all
+    # workers execute together after a barrier.
+    serial_aot = bool(int(os.environ.get("MPH_SERIAL_AOT", "0")))
 
     t_step0 = t0()
     losses, _ = _run_steps_n(fns, x_stack, y_stack, m_stack, steps,
                              put_repl=replicated, on_step=_phase,
-                             pre_compile=_pre_compile)
+                             serial_aot=(pid, nproc) if serial_aot else None)
     t_steps = t0() - t_step0
     print(json.dumps({
         "pid": pid, "losses": losses,
@@ -357,8 +355,28 @@ def worker_big(pid: int, nproc: int, coord: str, plan_dir: Path,
     jax.distributed.shutdown()
 
 
+def _serial_compile(tag, pid, nproc, compile_fn, on_step):
+    """Compile when the predecessor's token arrives (KV store), pass the
+    token on, then BARRIER so every worker dispatches the collective-
+    bearing execution within Gloo's 30 s context-creation window."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    timeout_ms = 3_600_000
+    if pid > 0:
+        client.blocking_key_value_get(f"aot/{tag}/{pid - 1}", timeout_ms)
+    if on_step is not None:
+        on_step(f"compile_{tag}")
+    compiled = compile_fn()
+    client.key_value_set(f"aot/{tag}/{pid}", "done")
+    if on_step is not None:
+        on_step(f"compiled_{tag}")
+    client.wait_at_barrier(f"aot_{tag}_barrier", timeout_ms)
+    return compiled
+
+
 def _run_steps_n(fns, x_stack, y_stack, m_stack, steps, put_repl=None,
-                 on_step=None, pre_compile=None):
+                 on_step=None, serial_aot=None):
     import jax
     import numpy as np
 
@@ -366,19 +384,39 @@ def _run_steps_n(fns, x_stack, y_stack, m_stack, steps, put_repl=None,
     rng, init_rng = jax.random.split(rng)
     if put_repl is not None:
         init_rng = put_repl(init_rng)
-    if pre_compile is not None:
-        pre_compile("init")
-    state = fns.init(init_rng, x_stack)
+    if serial_aot is not None:
+        pid, nproc = serial_aot
+        init_c = _serial_compile(
+            "init", pid, nproc,
+            lambda: jax.jit(fns.init).lower(init_rng, x_stack).compile(),
+            on_step)
+        state = init_c(init_rng, x_stack)
+    else:
+        state = fns.init(init_rng, x_stack)
     if on_step is not None:
         on_step("init")
     losses = []
+    step_c = None
     for k in range(steps):
         rng, step_rng = jax.random.split(rng)
         if put_repl is not None:
             step_rng = put_repl(step_rng)
-        if k == 0 and pre_compile is not None:
-            pre_compile("step")
-        state, m = fns.train_step(state, x_stack, y_stack, m_stack, step_rng)
+        if k == 0 and serial_aot is not None:
+            pid, nproc = serial_aot
+            # lower the ARG-passing impl: the convenience wrapper closes
+            # over multi-process arrays, which an outer jit cannot capture
+            step_c = _serial_compile(
+                "step", pid, nproc,
+                lambda: fns.train_impl.lower(
+                    state, x_stack, y_stack, m_stack, step_rng,
+                    *fns.step_extras).compile(),
+                on_step)
+        if step_c is not None:
+            state, m = step_c(state, x_stack, y_stack, m_stack, step_rng,
+                              *fns.step_extras)
+        else:
+            state, m = fns.train_step(state, x_stack, y_stack, m_stack,
+                                      step_rng)
         losses.append(float(m["loss"]))
         if on_step is not None:
             on_step(f"step{k}")

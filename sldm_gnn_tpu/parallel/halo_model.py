@@ -205,6 +205,12 @@ class HaloStepFns:
     mesh: Mesh
     node_sharding: NamedSharding
     repl_sharding: NamedSharding
+    # AOT surface: the underlying jitted impl takes send_idx/layouts as
+    # EXPLICIT arguments (multi-process arrays cannot be closed over by
+    # an outer jit), so callers can .lower(...).compile() it —
+    # multiproc_halo.py's serial-compile path
+    train_impl: Any = None
+    step_extras: Any = None
 
 
 def build_halo_step_fns(
@@ -384,6 +390,7 @@ def build_halo_step_fns(
     return HaloStepFns(
         train_step=train_step, eval_step=eval_step, init=init,
         mesh=mesh, node_sharding=node_sharding, repl_sharding=repl_sharding,
+        train_impl=_train_impl, step_extras=(send_idx, layouts),
     )
 
 

@@ -307,3 +307,56 @@ def test_train_sampled_classifier_norep_mode(rng):
             epochs=25, lr=1e-2, weight_decay=0.0, seed=0,
             device_sample=device, sample_mode="uniform_norep")
         assert res.val_acc[-1] >= 0.9, (device, res.val_acc)
+
+
+@pytest.mark.parametrize("mode", ["uniform", "uniform_norep", "first"])
+def test_dense_nbr_table_matches_csr(rng, mode):
+    """The row-gather sampling path (dense_nbr_table) must produce
+    ARRAY-IDENTICAL trees to the CSR path for the same key: slot j of
+    table row p is nbr[indptr[p]+j] by construction."""
+    from sldm_gnn_tpu.data.sampler import NeighborSampler
+    from sldm_gnn_tpu.train.sampled_loop import (
+        csr_device_arrays, dense_nbr_table, device_sample_tree)
+
+    n = 64
+    src = rng.integers(0, n, 300).astype(np.int64)
+    dst = rng.integers(0, n, 300).astype(np.int64)
+    sampler = NeighborSampler(src, dst, n)
+    import jax.numpy as jnp
+
+    indptr, nbr, deg = csr_device_arrays(sampler)
+    table, tdeg = dense_nbr_table(sampler)
+    np.testing.assert_array_equal(np.asarray(tdeg), np.asarray(deg))
+    seeds = jnp.asarray(rng.integers(0, n, 8).astype(np.int32))
+    key = jax.random.PRNGKey(3)
+    ref_l, ref_m = device_sample_tree(seeds, indptr, nbr, deg, (3, 2),
+                                      key, mode)
+    got_l, got_m = device_sample_tree(seeds, None, None, tdeg, (3, 2),
+                                      key, mode, nbr_table=table)
+    for a, b in zip(got_l, ref_l):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(got_m, ref_m):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dense_nbr_table_deg_cap(rng):
+    """deg_cap keeps the capped degree so draws stay uniform over the
+    retained neighbors; rows under the cap are unchanged."""
+    from sldm_gnn_tpu.data.sampler import NeighborSampler
+    from sldm_gnn_tpu.train.sampled_loop import dense_nbr_table
+
+    n = 32
+    src = rng.integers(0, n, 400).astype(np.int64)
+    dst = np.zeros(400, np.int64)  # heavy-tail: node 0 gets everything
+    dst[200:] = rng.integers(1, n, 200)
+    sampler = NeighborSampler(src, dst, n)
+    table, tdeg = dense_nbr_table(sampler, deg_cap=4)
+    assert table.shape == (n, 4)
+    assert int(tdeg[0]) == 4  # capped
+    full_deg = sampler.indptr[1:] - sampler.indptr[:-1]
+    for p in range(1, n):
+        assert int(tdeg[p]) == min(int(full_deg[p]), 4)
+        k = int(tdeg[p])
+        np.testing.assert_array_equal(
+            np.asarray(table[p, :k]),
+            sampler.nbr[sampler.indptr[p]: sampler.indptr[p] + k])
