@@ -98,12 +98,18 @@ def main():
         # fully device-side sampling (train/sampled_loop.device_sample_tree):
         # CSR resident on device; only [B] seed ids cross the host boundary
         from sldm_gnn_tpu.train.sampled_loop import (
-            csr_device_arrays, make_device_sampled_step_fns)
+            csr_device_arrays, dense_nbr_table, make_device_sampled_step_fns)
 
         indptr, nbr, degj = csr_device_arrays(sampler)
+        table = None
+        if int(os.environ.get("BENCH_DENSE", 0)):
+            table, degj = dense_nbr_table(sampler)
+        xx_dev = x.astype(jnp.bfloat16) if int(os.environ.get(
+            "BENCH_BF16", 0)) else x
         dtrain, _, dinit = make_device_sampled_step_fns(
-            model, make_optimizer(1e-3, 5e-5), fanouts, indptr, nbr, degj)
-        dstate = dinit(jax.random.PRNGKey(0), x, batch)
+            model, make_optimizer(1e-3, 5e-5), fanouts, indptr, nbr, degj,
+            nbr_table=table)
+        dstate = dinit(jax.random.PRNGKey(0), xx_dev, batch)
         labels_j = jnp.asarray(labels.astype(np.int32))
         key_d = jax.random.PRNGKey(1)
 
@@ -125,10 +131,10 @@ def main():
             return jax.lax.fori_loop(
                 0, k, body, (state, key, jnp.zeros((), jnp.int32)))
 
-        dstate, key_d, _ = run_k(dstate, x, key_d, steps)  # compile+warm
+        dstate, key_d, _ = run_k(dstate, xx_dev, key_d, steps)  # compile+warm
         float(jax.tree.leaves(dstate.params)[0].ravel()[0])
         t0 = time.perf_counter()
-        dstate, key_d, edges_acc = run_k(dstate, x, key_d, steps)
+        dstate, key_d, edges_acc = run_k(dstate, xx_dev, key_d, steps)
         float(jax.tree.leaves(dstate.params)[0].ravel()[0])
         dt = time.perf_counter() - t0
         # MEASURED sampled-edge throughput: valid tree slots counted on
@@ -145,6 +151,8 @@ def main():
             "host_sampling_seeds_per_s": round(host_seeds_s, 1),
             "nodes": n, "deg": deg, "feat_dim": d, "batch": batch,
             "hidden": hidden, "steps": steps,
+            "dense_table": table is not None,
+            "feat_dtype": str(xx_dev.dtype),
             "step_ms": round(dt / steps * 1e3, 3),
         }))
         return

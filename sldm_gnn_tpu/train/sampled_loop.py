@@ -109,12 +109,15 @@ def device_sample_tree(seeds, indptr, nbr, deg, fanouts, key,
       slots >= deg masked;
     * ``first`` — deterministic first-k (reproducible eval, no key use).
 
-    ``nbr_table`` (``[N, deg_cap]`` from :func:`dense_nbr_table`)
-    switches the child lookup from scattered element gathers on the CSR
-    to row gathers + an on-chip ``take_along_axis`` — same children for
-    the same draws (slot j of row p IS ``nbr[indptr[p]+j]``), 2.6x
-    faster sampling on TPU. ``deg`` must then be the table's (capped)
-    degree array; ``indptr``/``nbr`` are unused and may be None.
+    ``nbr_table`` (``[N, deg_cap+1]`` from :func:`dense_nbr_table`, deg
+    in the last column) switches the child lookup from per-element
+    lane-dynamic accesses (which XLA lowers to dynamic-slice LOOPS on
+    TPU) to ONE row gather per level + a static unrolled vectorized
+    compare-select — same children for the same draws (slot j of row p
+    IS ``nbr[indptr[p]+j]``), 3.9x faster sampling at config-3 shapes
+    (0.80 vs 3.13 ms, round-5 probe). ``deg`` must then be the table's
+    (capped) degree array; ``indptr``/``nbr`` are unused and may be
+    None.
 
     Returns (levels, masks) exactly like the host sampler's tree."""
     levels = [seeds.astype(jnp.int32)]
@@ -125,7 +128,11 @@ def device_sample_tree(seeds, indptr, nbr, deg, fanouts, key,
         parents = levels[-1]
         pmask = masks[-1]
         p = parents.shape[0]
-        d = deg[parents]  # [P]
+        if nbr_table is not None:
+            rows = nbr_table[parents]  # [P, cap+1] ONE row gather
+            d = rows[:, -1]
+        else:
+            d = deg[parents]  # [P]
         ar = jnp.arange(f, dtype=jnp.int32)
         if mode == "uniform":
             u = jax.random.randint(sub, (p, f), 0, ii32)
@@ -153,7 +160,11 @@ def device_sample_tree(seeds, indptr, nbr, deg, fanouts, key,
         else:
             raise ValueError(f"unknown sampling mode: {mode}")
         if nbr_table is not None:
-            child = jnp.take_along_axis(nbr_table[parents], slot, axis=1)
+            # static unrolled compare-select: lane-dynamic indexing
+            # (take_along_axis) lowers to per-element loops on TPU
+            child = jnp.zeros((p, f), jnp.int32)
+            for s_i in range(nbr_table.shape[1] - 1):
+                child = jnp.where(slot == s_i, rows[:, s_i:s_i + 1], child)
         else:
             child = nbr[indptr[parents][:, None] + slot]
         child = jnp.where(cvalid, child, parents[:, None])
@@ -338,20 +349,22 @@ def dense_nbr_table(sampler: NeighborSampler, deg_cap: int | None = None):
     """Dense ``[N, deg_cap]`` neighbor table + deg for the row-gather
     sampling path (:func:`device_sample_tree` with ``nbr_table=``).
 
-    TPU gathers of SCATTERED elements (``nbr[indptr[p] + slot]``) run
-    near one element per cycle; gathering whole rows of a dense table is
-    contiguous-lane traffic instead, and the slot select happens
-    vectorized on-chip — measured 2.6x on the sample phase at config-3
-    shapes (bench_sampled_roofline.py round 5). Same bytes as the CSR
-    when deg is uniform (padding rows repeat the first neighbor; their
-    slots are never selected because deg caps the modulus); heavy-tail
-    graphs cap at ``deg_cap`` and KEEP the capped degree so the uniform
-    draw stays uniform over the retained neighbors."""
+    The CSR child lookup is three LANE-DYNAMIC accesses per level —
+    element gathers of deg/indptr plus ``nbr[indptr[p]+slot]`` — which
+    XLA lowers to per-element dynamic-slice loops on TPU (the probe that
+    found this: PRNG costs 0.37 ms of the 3.0 ms sample phase; the rest
+    is these gathers). The dense table makes each level ONE row gather
+    (contiguous lanes, the fast gather form): row p = its ``cap``
+    neighbors with deg appended as the last column, and the slot select
+    happens as a static unrolled vectorized compare-select instead of a
+    lane-dynamic ``take_along_axis``. Heavy-tail graphs cap at
+    ``deg_cap`` and KEEP the capped degree so the uniform draw stays
+    uniform over the retained neighbors."""
     n = len(sampler.indptr) - 1
     deg = (sampler.indptr[1:] - sampler.indptr[:-1]).astype(np.int64)
     cap = int(deg.max()) if deg_cap is None else int(deg_cap)
     cap = max(cap, 1)
-    table = np.zeros((n, cap), np.int32)
+    table = np.zeros((n, cap + 1), np.int32)
     keep = np.minimum(deg, cap)
     # vectorized ragged fill: flat positions of each row's kept slots
     rows = np.repeat(np.arange(n), keep)
@@ -359,6 +372,7 @@ def dense_nbr_table(sampler: NeighborSampler, deg_cap: int | None = None):
     cols = np.arange(int(keep.sum())) - np.repeat(offs, keep)
     table[rows, cols] = sampler.nbr[
         np.repeat(sampler.indptr[:-1], keep) + cols].astype(np.int32)
+    table[:, cap] = keep
     return jnp.asarray(table), jnp.asarray(keep.astype(np.int32))
 
 
@@ -470,6 +484,7 @@ def train_sampled_classifier(
     device_sample: bool = False,
     sample_mode: str = "uniform",
     dp: int = 0,
+    dense_table: bool = False,
 ) -> tuple[train_state.TrainState, SampledTrainResult]:
     """Config-3 training loop: node classification on one large graph via
     fanout-sampled mini-batches. ``fanouts`` is outermost-first (layer 1
@@ -504,7 +519,7 @@ def train_sampled_classifier(
         return _train_device_sampled(
             model, sampler, x, labels, num_classes, fanouts, batch_size,
             epochs, lr, weight_decay, train_seeds, val_seeds, seed,
-            sample_mode, dp=dp)
+            sample_mode, dp=dp, dense_table=dense_table)
     if dp and dp > 1:
         raise ValueError("dp-sharded sampled training requires "
                          "device_sample=True")
@@ -595,7 +610,8 @@ def train_sampled_classifier(
 
 def _train_device_sampled(model, sampler, x, labels, num_classes, fanouts,
                           batch_size, epochs, lr, weight_decay, train_seeds,
-                          val_seeds, seed, sample_mode="uniform", dp=0):
+                          val_seeds, seed, sample_mode="uniform", dp=0,
+                          dense_table=False):
     """Device-sampled training phase of :func:`train_sampled_classifier`:
     per step only [B] seed ids (+labels) leave the host. Eval trees are
     deterministic (mode='first' inside the step fns), so the reported
@@ -604,6 +620,9 @@ def _train_device_sampled(model, sampler, x, labels, num_classes, fanouts,
     import time
 
     indptr, nbr, deg = csr_device_arrays(sampler)
+    table = None
+    if dense_table:
+        table, deg = dense_nbr_table(sampler)
     dp = int(dp) if dp else 0
     if dp > 1:
         from ..parallel.mesh import make_mesh
@@ -620,7 +639,7 @@ def _train_device_sampled(model, sampler, x, labels, num_classes, fanouts,
     else:
         train_step, eval_step, init = make_device_sampled_step_fns(
             model, make_optimizer(lr, weight_decay), fanouts, indptr, nbr,
-            deg, mode=sample_mode)
+            deg, mode=sample_mode, nbr_table=table)
         reshape = lambda a: a
         init_b = batch_size
     labels_j = jnp.asarray(np.asarray(labels, np.int32))

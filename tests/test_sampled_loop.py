@@ -351,7 +351,7 @@ def test_dense_nbr_table_deg_cap(rng):
     dst[200:] = rng.integers(1, n, 200)
     sampler = NeighborSampler(src, dst, n)
     table, tdeg = dense_nbr_table(sampler, deg_cap=4)
-    assert table.shape == (n, 4)
+    assert table.shape == (n, 5)  # cap neighbors + deg column
     assert int(tdeg[0]) == 4  # capped
     full_deg = sampler.indptr[1:] - sampler.indptr[:-1]
     for p in range(1, n):
