@@ -44,9 +44,10 @@ N = int(os.environ.get("MPH_N", 4096))
 DEG = int(os.environ.get("MPH_DEG", 4))
 REACH = int(os.environ.get("MPH_REACH", 12))
 TILE = int(os.environ.get("MPH_TILE", 32))
-HIDDEN = (16, 16)
+_H = int(os.environ.get("MPH_HIDDEN", 16))
+HIDDEN = (_H, _H)
 NCLS = 3
-D = 12
+D = int(os.environ.get("MPH_D", 12))
 SEED = 0
 
 
@@ -443,7 +444,7 @@ def driver_big(plan_dir: Path, nproc: int, steps: int):
         for p in range(nproc)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=5400)
+        out, _ = p.communicate(timeout=int(os.environ.get('MPH_TIMEOUT_S', 5400)))
         outs.append(out.decode())
     reports = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
