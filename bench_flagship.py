@@ -74,6 +74,8 @@ def main():
     gru_pad = int(os.environ.get("FLAG_GRU_PAD", 0)) or None
     # 'scan' (f32 parity) or 'pallas' (row-blocked fused kernel)
     gru_impl = os.environ.get("FLAG_GRU_IMPL", "scan")
+    # None (f32) or 'bfloat16' (mixed-precision dense/SAGE stacks)
+    cdtype = os.environ.get("FLAG_DTYPE") or None
     labels = 4
 
     rng = np.random.default_rng(0)
@@ -102,6 +104,7 @@ def main():
         map_included=with_map,
         gru_pad_to=gru_pad,
         gru_impl=gru_impl,
+        compute_dtype=cdtype,
     )
     model = GruSage(cfg)
     fns = build_step_fns(model, make_optimizer(1e-3, 5e-5), map_data=map_data)
@@ -145,6 +148,7 @@ def main():
         "batch": b, "frames": frames, "hidden": hidden,
         "map_segments": segments if with_map else 0,
         "gru_pad_to": gru_pad, "gru_impl": gru_impl,
+        "compute_dtype": cdtype or "float32",
         "backend": jax.default_backend(),
         "timing": "dispatched" if dispatched else "in-loop",
     }))

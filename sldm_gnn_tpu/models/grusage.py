@@ -311,7 +311,13 @@ class GRUCell(nn.Module):
             from ..ops.gru_pallas import gru_last_forward
 
             # Mosaic kernels need a TPU; CPU (tests, CLIs off-chip) runs
-            # the same kernel under the Pallas interpreter
+            # the same kernel under the Pallas interpreter.
+            # with_dx=False: the temporal features are model INPUT DATA —
+            # nothing differentiates through them in training — so the
+            # fused backward skips the input-cotangent MXU pass + the
+            # [N, T, D] write per frame. Input-saliency analyses should
+            # use impl='scan' (always fully differentiable).
             interpret = jax.default_backend() != "tpu"
-            return None, gru_last_forward(params, x, interpret=interpret)
+            return None, gru_last_forward(params, x, interpret=interpret,
+                                          with_dx=False)
         return gru_forward(params, x, pad_to=self.pad_to)

@@ -275,9 +275,16 @@ def _fwd2_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, hs_ref, h_scr):
 
 
 def _bwd2_kernel(x_ref, hs_prev_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
-                 ghl_ref, dx_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref,
-                 dh_scr, dwih_scr, dwhh_scr, *, seq_len):
+                 ghl_ref, *refs, seq_len, with_dx):
     from jax.experimental import pallas as pl
+
+    if with_dx:
+        (dx_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref,
+         dh_scr, dwih_scr, dwhh_scr) = refs
+    else:
+        (dwih_ref, dbih_ref, dwhh_ref, dbhh_ref,
+         dh_scr, dwih_scr, dwhh_scr) = refs
+        dx_ref = None
 
     r_blk = pl.program_id(0)
     s = pl.program_id(1)  # reverse step: time t = seq_len - 1 - s
@@ -330,11 +337,12 @@ def _bwd2_kernel(x_ref, hs_prev_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
     dxp_b = dxp.astype(jnp.bfloat16)
     dhp_b = dhp.astype(jnp.bfloat16)
 
-    # dx_t = dxp @ W_ih^T  (bf16 operands, f32 accumulate)
-    dx_ref[0] = jax.lax.dot_general(
-        dxp_b, wih_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if dx_ref is not None:
+        # dx_t = dxp @ W_ih^T  (bf16 operands, f32 accumulate)
+        dx_ref[0] = jax.lax.dot_general(
+            dxp_b, wih_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     # sublane-contracting accumulations (rows are the contracted dim); a
     # ones column folds the bias gradient (column sum) into the same MXU
     # pass — a full [rb]-deep VPU reduction per step costs more than the
@@ -406,14 +414,17 @@ def _run_fwd2(xt, w_ih, b_ih, w_hh, b_hh, *, rb, interpret=False):
     )(xt, w_ih, b_ih.reshape(1, H3), w_hh, b_hh.reshape(1, H3))
 
 
-def _run_bwd2(xt, hs, w_ih, b_ih, w_hh, b_hh, g_hl, *, rb, interpret=False):
+def _run_bwd2(xt, hs, w_ih, b_ih, w_hh, b_hh, g_hl, *, rb, with_dx=True,
+              interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     T, N, D = xt.shape
     H = w_hh.shape[0]
     H3 = 3 * H
-    kernel = partial(_bwd2_kernel, seq_len=T)
+    kernel = partial(_bwd2_kernel, seq_len=T, with_dx=with_dx)
+    dx_spec = [pl.BlockSpec((1, rb, D), lambda r, s: (T - 1 - s, r, 0))]
+    dx_shape = [jax.ShapeDtypeStruct((T, N, D), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=(N // rb, T),
@@ -429,15 +440,13 @@ def _run_bwd2(xt, hs, w_ih, b_ih, w_hh, b_hh, g_hl, *, rb, interpret=False):
             pl.BlockSpec((1, H3), lambda r, s: (0, 0)),
             pl.BlockSpec((rb, H), lambda r, s: (r, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, rb, D), lambda r, s: (T - 1 - s, r, 0)),
+        out_specs=(dx_spec if with_dx else []) + [
             pl.BlockSpec((D, H3), lambda r, s: (0, 0)),
             pl.BlockSpec((1, H3), lambda r, s: (0, 0)),
             pl.BlockSpec((H, H3), lambda r, s: (0, 0)),
             pl.BlockSpec((1, H3), lambda r, s: (0, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, N, D), jnp.float32),
+        out_shape=(dx_shape if with_dx else []) + [
             jax.ShapeDtypeStruct((D, H3), jnp.float32),
             jax.ShapeDtypeStruct((1, H3), jnp.float32),
             jax.ShapeDtypeStruct((H, H3), jnp.float32),
@@ -452,13 +461,20 @@ def _run_bwd2(xt, hs, w_ih, b_ih, w_hh, b_hh, g_hl, *, rb, interpret=False):
     )(xt, hs, w_ih, b_ih.reshape(1, H3), w_hh, b_hh.reshape(1, H3), g_hl)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def gru_last_pallas(x, w_ih, b_ih, w_hh, b_hh, rb=1024, interpret=False):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def gru_last_pallas(x, w_ih, b_ih, w_hh, b_hh, rb=1024, interpret=False,
+                    with_dx=True):
     """Final hidden state ``h_last [N, H]`` of a single-layer GRU over
     ``x [N, T, D]`` via the row-blocked fused kernel (header comment).
 
     ``rb``: rows per VMEM block (clamped and padded to divide N).
     Gate math matches ops/gru.py (torch r,z,n order); operands bf16.
+
+    ``with_dx=False`` SKIPS the input cotangent (dx comes back as
+    symbolic zeros): one fewer MXU pass + the [N, T, D] write per
+    backward step. Only for callers whose ``x`` is non-differentiated
+    input data — GruSage's temporal features in training. Differentiating
+    through x with with_dx=False silently yields zero gradients.
     """
     h, _ = _gru_last_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret)
     return h
@@ -485,7 +501,7 @@ def _gru_last_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret):
     return h_last, (x, hs, w_ih, b_ih, w_hh, b_hh)
 
 
-def _gru_last_bwd(rb, interpret, res, g_hl):
+def _gru_last_bwd(rb, interpret, with_dx, res, g_hl):
     x, hs, w_ih, b_ih, w_hh, b_hh = res
     N = x.shape[0]
     xt, rb, n_pad = _gru_last_prep(x, rb)
@@ -493,26 +509,33 @@ def _gru_last_bwd(rb, interpret, res, g_hl):
     if n_pad != N:
         g_pad = jnp.pad(g_pad, ((0, n_pad - N), (0, 0)))
     # padded rows carry zero cotangent -> zero dW/dx contribution
-    dxt, dwih, dbih, dwhh, dbhh = _run_bwd2(
+    outs = _run_bwd2(
         xt, hs, w_ih.astype(jnp.bfloat16), b_ih, w_hh.astype(jnp.bfloat16),
-        b_hh, g_pad, rb=rb, interpret=interpret)
-    dx = jnp.moveaxis(dxt[:, :N], 0, 1)
+        b_hh, g_pad, rb=rb, with_dx=with_dx, interpret=interpret)
+    if with_dx:
+        dxt, dwih, dbih, dwhh, dbhh = outs
+        dx = jnp.moveaxis(dxt[:, :N], 0, 1)
+    else:
+        dwih, dbih, dwhh, dbhh = outs
+        dx = jnp.zeros_like(x)  # dead unless someone differentiates x
     return dx, dwih, dbih.reshape(-1), dwhh, dbhh.reshape(-1)
 
 
 gru_last_pallas.defvjp(
-    lambda x, w_ih, b_ih, w_hh, b_hh, rb, interpret: _gru_last_fwd(
-        x, w_ih, b_ih, w_hh, b_hh, rb, interpret),
+    lambda x, w_ih, b_ih, w_hh, b_hh, rb, interpret, with_dx=True:
+        _gru_last_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret),
     _gru_last_bwd,
 )
 
 
 def gru_last_forward(params: GRUParams, x: jax.Array, *, rb: int = 1024,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False,
+                     with_dx: bool = True) -> jax.Array:
     """``h_last [B, H]`` for a single-layer GRU via the v2 fused kernel.
     Multi-layer parameter stacks fall back to :func:`gru_forward_pallas`
-    (the lower layers need their full output sequences)."""
+    (the lower layers need their full output sequences).
+    ``with_dx=False``: see :func:`gru_last_pallas`."""
     if params.w_ih.shape[0] > 0:
         return gru_forward_pallas(params, x, interpret=interpret)[1]
     return gru_last_pallas(x, params.w_ih0, params.b_ih0, params.w_hh0,
-                           params.b_hh0, rb, interpret)
+                           params.b_hh0, rb, interpret, with_dx)

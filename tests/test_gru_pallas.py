@@ -188,3 +188,28 @@ def test_grusage_pallas_impl_matches_scan(rng):
         scale = np.abs(np.asarray(b)).max() + 1e-6
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-2 * scale)
+
+
+def test_v2_with_dx_false_param_grads_match(rng):
+    """with_dx=False must leave PARAMETER gradients identical to the
+    with_dx=True path (same kernel math, only the input cotangent is
+    skipped); dx comes back as zeros by contract."""
+    B, T, D, H = 24, 8, 5, 8
+    params = init_gru_params(jax.random.PRNGKey(1), D, H, 1)
+    x = jnp.array(rng.standard_normal((B, T, D)).astype(np.float32))
+    coef = jnp.array(rng.standard_normal((B, H)).astype(np.float32))
+
+    def loss(with_dx):
+        def f(p, xx):
+            return jnp.sum(gru_last_forward(
+                p, xx, rb=16, interpret=True, with_dx=with_dx) * coef)
+        return jax.grad(f, argnums=(0, 1))(params, x)
+
+    g_on, gx_on = loss(True)
+    g_off, gx_off = loss(False)
+    for name in ("w_ih0", "w_hh0", "b_ih0", "b_hh0"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g_off, name)),
+            np.asarray(getattr(g_on, name)), err_msg=name)
+    assert np.abs(np.asarray(gx_on)).max() > 0
+    np.testing.assert_array_equal(np.asarray(gx_off), np.zeros_like(gx_off))
