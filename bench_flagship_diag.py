@@ -166,10 +166,13 @@ def main():
         out[f"gru_block{blk}_ms"] = round(
             gru_arm(lambda p, xx, _b=blk: gru_forward(p, xx, block=_b)), 3)
     try:
-        from sldm_gnn_tpu.ops.gru_pallas import gru_forward_pallas
+        from sldm_gnn_tpu.ops.gru_pallas import gru_last_forward
 
-        out["gru_pallas_ms"] = round(gru_arm(gru_forward_pallas), 3)
-    except Exception as e:  # old kernel needs B*3H f32 in VMEM; may not fit
+        out["gru_pallas_ms"] = round(gru_arm(
+            lambda p, xx: (None, gru_last_forward(p, xx))), 3)
+        out["gru_pallas_nodx_ms"] = round(gru_arm(
+            lambda p, xx: (None, gru_last_forward(p, xx, with_dx=False))), 3)
+    except Exception as e:
         out["gru_pallas_ms"] = f"failed: {type(e).__name__}"
 
     # ---- analytic budget for the GRU phase (fwd+bwd, f32 scan path)
