@@ -275,7 +275,7 @@ def _fwd2_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, hs_ref, h_scr):
 
 
 def _bwd2_kernel(x_ref, hs_prev_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
-                 ghl_ref, *refs, seq_len, with_dx):
+                 g_ref, *refs, seq_len, with_dx, seq_cot=False):
     from jax.experimental import pallas as pl
 
     if with_dx:
@@ -295,9 +295,15 @@ def _bwd2_kernel(x_ref, hs_prev_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
         dwih_scr[:] = jnp.zeros_like(dwih_scr)
         dwhh_scr[:] = jnp.zeros_like(dwhh_scr)
 
+    # cotangent wiring: h_last-only (g_ref [rb, H], seeded into the carry
+    # once at the last frame) vs full-sequence (g_ref a per-frame
+    # [1, rb, H] block added to the carry every step)
     @pl.when(s == 0)
     def _():
-        dh_scr[:] = ghl_ref[:]
+        if seq_cot:
+            dh_scr[:] = jnp.zeros_like(dh_scr)
+        else:
+            dh_scr[:] = g_ref[:]
 
     hidden = dh_scr.shape[1]
     h_prev = jnp.where(t > 0, hs_prev_ref[0], jnp.zeros_like(hs_prev_ref[0]))
@@ -322,6 +328,8 @@ def _bwd2_kernel(x_ref, hs_prev_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
     h_prev_f = h_prev.astype(jnp.float32)
 
     dh = dh_scr[:]
+    if seq_cot:
+        dh = dh + g_ref[0]
     dn = dh * (1.0 - z)
     dz = dh * (h_prev_f - n)
     dh_direct = dh * z
@@ -414,17 +422,21 @@ def _run_fwd2(xt, w_ih, b_ih, w_hh, b_hh, *, rb, interpret=False):
     )(xt, w_ih, b_ih.reshape(1, H3), w_hh, b_hh.reshape(1, H3))
 
 
-def _run_bwd2(xt, hs, w_ih, b_ih, w_hh, b_hh, g_hl, *, rb, with_dx=True,
-              interpret=False):
+def _run_bwd2(xt, hs, w_ih, b_ih, w_hh, b_hh, g, *, rb, with_dx=True,
+              seq_cot=False, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     T, N, D = xt.shape
     H = w_hh.shape[0]
     H3 = 3 * H
-    kernel = partial(_bwd2_kernel, seq_len=T, with_dx=with_dx)
+    kernel = partial(_bwd2_kernel, seq_len=T, with_dx=with_dx,
+                     seq_cot=seq_cot)
     dx_spec = [pl.BlockSpec((1, rb, D), lambda r, s: (T - 1 - s, r, 0))]
     dx_shape = [jax.ShapeDtypeStruct((T, N, D), jnp.float32)]
+    g_spec = (pl.BlockSpec((1, rb, H), lambda r, s: (T - 1 - s, r, 0))
+              if seq_cot else
+              pl.BlockSpec((rb, H), lambda r, s: (r, 0)))
     return pl.pallas_call(
         kernel,
         grid=(N // rb, T),
@@ -438,7 +450,7 @@ def _run_bwd2(xt, hs, w_ih, b_ih, w_hh, b_hh, g_hl, *, rb, with_dx=True,
             pl.BlockSpec((1, H3), lambda r, s: (0, 0)),
             pl.BlockSpec((H, H3), lambda r, s: (0, 0)),
             pl.BlockSpec((1, H3), lambda r, s: (0, 0)),
-            pl.BlockSpec((rb, H), lambda r, s: (r, 0)),
+            g_spec,
         ],
         out_specs=(dx_spec if with_dx else []) + [
             pl.BlockSpec((D, H3), lambda r, s: (0, 0)),
@@ -458,7 +470,7 @@ def _run_bwd2(xt, hs, w_ih, b_ih, w_hh, b_hh, g_hl, *, rb, with_dx=True,
             pltpu.VMEM((H + 1, H3), jnp.float32),  # last row = db_hh
         ],
         interpret=interpret,
-    )(xt, hs, w_ih, b_ih.reshape(1, H3), w_hh, b_hh.reshape(1, H3), g_hl)
+    )(xt, hs, w_ih, b_ih.reshape(1, H3), w_hh, b_hh.reshape(1, H3), g)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -528,14 +540,76 @@ gru_last_pallas.defvjp(
 )
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def gru_seq_pallas(x, w_ih, b_ih, w_hh, b_hh, rb=1024, interpret=False,
+                   with_dx=True):
+    """Full output sequence ``hs [N, T, H]`` (f32) of a single-layer GRU
+    via the v2 row-blocked kernel — the large-batch replacement for the
+    whole-batch-in-VMEM :func:`gru_scan_pallas`. Backward adds the
+    per-frame upstream cotangent to the BPTT carry inside the same
+    reverse kernel. ``with_dx``: see :func:`gru_last_pallas`."""
+    hs, _ = _gru_seq_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret, with_dx)
+    return hs
+
+
+def _gru_seq_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret, with_dx):
+    N = x.shape[0]
+    xt, rb, n_pad = _gru_last_prep(x, rb)
+    hs = _run_fwd2(xt, w_ih.astype(jnp.bfloat16), b_ih,
+                   w_hh.astype(jnp.bfloat16), b_hh, rb=rb,
+                   interpret=interpret)
+    out = jnp.moveaxis(hs[:, :N], 0, 1).astype(jnp.float32)
+    return out, (x, hs, w_ih, b_ih, w_hh, b_hh)
+
+
+def _gru_seq_bwd(rb, interpret, with_dx, res, g_hs):
+    x, hs, w_ih, b_ih, w_hh, b_hh = res
+    N = x.shape[0]
+    xt, rb, n_pad = _gru_last_prep(x, rb)
+    g = jnp.moveaxis(g_hs.astype(jnp.float32), 1, 0)  # [T, N, H]
+    if n_pad != N:
+        g = jnp.pad(g, ((0, 0), (0, n_pad - N), (0, 0)))
+    outs = _run_bwd2(
+        xt, hs, w_ih.astype(jnp.bfloat16), b_ih, w_hh.astype(jnp.bfloat16),
+        b_hh, g, rb=rb, with_dx=with_dx, seq_cot=True, interpret=interpret)
+    if with_dx:
+        dxt, dwih, dbih, dwhh, dbhh = outs
+        dx = jnp.moveaxis(dxt[:, :N], 0, 1)
+    else:
+        dwih, dbih, dwhh, dbhh = outs
+        dx = jnp.zeros_like(x)
+    return dx, dwih, dbih.reshape(-1), dwhh, dbhh.reshape(-1)
+
+
+gru_seq_pallas.defvjp(
+    lambda x, w_ih, b_ih, w_hh, b_hh, rb, interpret, with_dx:
+        _gru_seq_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret, with_dx),
+    _gru_seq_bwd,
+)
+
+
 def gru_last_forward(params: GRUParams, x: jax.Array, *, rb: int = 1024,
                      interpret: bool = False,
                      with_dx: bool = True) -> jax.Array:
-    """``h_last [B, H]`` for a single-layer GRU via the v2 fused kernel.
-    Multi-layer parameter stacks fall back to :func:`gru_forward_pallas`
-    (the lower layers need their full output sequences).
-    ``with_dx=False``: see :func:`gru_last_pallas`."""
-    if params.w_ih.shape[0] > 0:
-        return gru_forward_pallas(params, x, interpret=interpret)[1]
-    return gru_last_pallas(x, params.w_ih0, params.b_ih0, params.w_hh0,
-                           params.b_hh0, rb, interpret, with_dx)
+    """``h_last [B, H]`` for a GRU stack via the v2 fused kernels: lower
+    layers run :func:`gru_seq_pallas` (full sequences feed the next
+    layer), the top layer :func:`gru_last_pallas` (no sequence output,
+    no [T, N, H]-zeros cotangent). ``with_dx=False``: see
+    :func:`gru_last_pallas` (applies to the bottom layer's input)."""
+    out = x
+    w_ihs = [params.w_ih0] + [params.w_ih[l]
+                              for l in range(params.w_ih.shape[0])]
+    w_hhs = [params.w_hh0] + [params.w_hh[l]
+                              for l in range(params.w_hh.shape[0])]
+    b_ihs = [params.b_ih0] + [params.b_ih[l]
+                              for l in range(params.b_ih.shape[0])]
+    b_hhs = [params.b_hh0] + [params.b_hh[l]
+                              for l in range(params.b_hh.shape[0])]
+    last = len(w_ihs) - 1
+    for l in range(last):
+        dx_l = with_dx if l == 0 else True  # inter-layer grads always flow
+        out = gru_seq_pallas(out, w_ihs[l], b_ihs[l], w_hhs[l], b_hhs[l],
+                             rb, interpret, dx_l)
+    dx_top = with_dx if last == 0 else True
+    return gru_last_pallas(out, w_ihs[last], b_ihs[last], w_hhs[last],
+                           b_hhs[last], rb, interpret, dx_top)
