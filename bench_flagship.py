@@ -26,7 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sldm_gnn_tpu.graph.batching import BatchDims, pad_and_batch
+from sldm_gnn_tpu.graph.batching import (BatchDims, pad_and_batch,
+                                          pad_and_batch_aligned)
 from sldm_gnn_tpu.graph.containers import GraphArrays
 from sldm_gnn_tpu.models import GruSage, GruSageConfig
 from sldm_gnn_tpu.models.map_modules import MapData, map_zscore_norm
@@ -78,17 +79,23 @@ def main():
     cdtype = os.environ.get("FLAG_DTYPE") or None
     labels = 4
 
+    # block-diagonal dense-adjacency layout: scatter-free SAGE + pooling
+    dense = bool(int(os.environ.get("FLAG_DENSE", 0)))
     rng = np.random.default_rng(0)
     graphs = [synth_graph(rng, frames, labels) for _ in range(b)]
     vmax = max(g.num_nodes for g in graphs)
-    dims = BatchDims(
-        node_capacity=((b * vmax + 7) // 8) * 8,
-        edge_capacity=((sum(g.num_edges for g in graphs) + 127) // 128) * 128,
-        graph_capacity=b,
-        num_frames=frames,
-        num_labels=labels,
-    )
-    batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, dims))
+    if dense:
+        batch = jax.tree.map(jnp.asarray, pad_and_batch_aligned(
+            graphs, vmax, num_frames=frames, num_labels=labels))
+    else:
+        dims = BatchDims(
+            node_capacity=((b * vmax + 7) // 8) * 8,
+            edge_capacity=((sum(g.num_edges for g in graphs) + 127) // 128) * 128,
+            graph_capacity=b,
+            num_frames=frames,
+            num_labels=labels,
+        )
+        batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, dims))
     map_data = synth_map(rng, segments) if with_map else None
 
     cfg = GruSageConfig(
@@ -148,7 +155,7 @@ def main():
         "batch": b, "frames": frames, "hidden": hidden,
         "map_segments": segments if with_map else 0,
         "gru_pad_to": gru_pad, "gru_impl": gru_impl,
-        "compute_dtype": cdtype or "float32",
+        "compute_dtype": cdtype or "float32", "dense_adj": dense,
         "backend": jax.default_backend(),
         "timing": "dispatched" if dispatched else "in-loop",
     }))

@@ -12,7 +12,8 @@ from typing import Iterator
 
 import numpy as np
 
-from ..graph.batching import BatchDims, compute_batch_dims, pad_and_batch
+from ..graph.batching import (BatchDims, compute_batch_dims, pad_and_batch,
+                              pad_and_batch_aligned)
 from ..graph.containers import PaddedGraphBatch
 from .dataset import GraphDataset
 
@@ -35,11 +36,19 @@ class GraphLoader:
         seed: int = 0,
         drop_last: bool = False,
         buckets: int = 1,
+        dense_adj: bool = False,
     ):
+        """``dense_adj``: emit block-diagonal aligned batches carrying the
+        [G, vmax, vmax] mean-aggregation adjacency — the scatter-free
+        SAGE/pool path (BASELINE.md round 5: the flagship step drops 2-7
+        ms of TPU scatter cost per step). vmax is each bucket's max node
+        count; per-batch node capacity becomes G*vmax (worth it below a
+        few hundred nodes per graph; bucketing bounds the padding)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.dense_adj = dense_adj
         self._rng = np.random.default_rng(seed)
 
         num_labels = len(dataset.active_labels)
@@ -55,12 +64,14 @@ class GraphLoader:
                 )
             return d
 
+        self._bucket_vmax: list[int] = []
         if dims is not None or buckets <= 1 or len(raw) < 2 * buckets:
             if dims is None:
                 dims = fix_frames(compute_batch_dims(raw, batch_size, num_labels))
             self.dims = dims
             self._bucket_members = [np.arange(len(raw))]
             self._bucket_dims = [dims]
+            self._bucket_vmax = [max((g.num_nodes for g in raw), default=1)]
         else:
             sizes = np.array([g.num_nodes for g in raw])
             order = np.argsort(sizes, kind="stable")
@@ -68,6 +79,10 @@ class GraphLoader:
             self._bucket_members = [s for s in splits if len(s)]
             self._bucket_dims = [
                 fix_frames(compute_batch_dims([raw[i] for i in members], batch_size, num_labels))
+                for members in self._bucket_members
+            ]
+            self._bucket_vmax = [
+                max((raw[i].num_nodes for i in members), default=1)
                 for members in self._bucket_members
             ]
             self.dims = self._bucket_dims[-1]  # largest bucket's capacities
@@ -92,4 +107,14 @@ class GraphLoader:
             self._rng.shuffle(batches)
         for bi, idxs in batches:
             graphs = [self.dataset.get(int(i), self._rng) for i in idxs]
-            yield pad_and_batch(graphs, self._bucket_dims[bi])
+            d = self._bucket_dims[bi]
+            if self.dense_adj:
+                # the BUCKET's static vmax: one XLA program per bucket,
+                # same as the flat path
+                vmax = self._bucket_vmax[bi]
+                yield pad_and_batch_aligned(
+                    graphs, vmax, num_frames=d.num_frames,
+                    num_labels=d.num_labels, graph_capacity=d.graph_capacity,
+                    edge_capacity=d.edge_capacity)
+            else:
+                yield pad_and_batch(graphs, d)

@@ -76,6 +76,14 @@ class PaddedGraphBatch:
     node_graph: jax.Array  # [N] int32; padding rows get G
     y: jax.Array  # [G, L]
     graph_mask: jax.Array  # [G] bool
+    # OPTIONAL dense block-diagonal layout (pad_and_batch_aligned): graph
+    # g's nodes occupy rows [g*vmax, (g+1)*vmax) and ``adj [G, vmax,
+    # vmax]`` holds the row-normalized mean-aggregation weights
+    # (adj[g, i, j] = multiplicity(j->i)/in_deg(i)). With it, SAGE
+    # aggregation is a batched matmul and pooling a masked reshape-reduce
+    # — no TPU scatters (3.4 ms/aggregation at flagship batch 2048,
+    # BASELINE.md round 5). None = flat layout, segment-op path.
+    adj: jax.Array | None = None
 
     @property
     def node_capacity(self) -> int:

@@ -42,10 +42,21 @@ class SageConv(nn.Module):
     dtype: jnp.dtype | None = None  # computation dtype (bf16 mixed precision)
 
     @nn.compact
-    def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int):
-        agg = masked_mean_aggregate(
-            x, edge_src, edge_dst, edge_mask, num_nodes, axis_name=self.edge_axis
-        )
+    def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int,
+                 adj=None):
+        if adj is not None:
+            # dense block-diagonal batch (pad_and_batch_aligned): the
+            # mean aggregation is ONE batched matmul over the
+            # row-normalized [G, vmax, vmax] adjacency — no scatter
+            g, vmax = adj.shape[0], adj.shape[1]
+            xg = x.reshape(g, vmax, x.shape[-1])
+            agg = jnp.einsum("gij,gjh->gih", adj.astype(x.dtype),
+                             xg).reshape(num_nodes, x.shape[-1])
+        else:
+            agg = masked_mean_aggregate(
+                x, edge_src, edge_dst, edge_mask, num_nodes,
+                axis_name=self.edge_axis
+            )
         out = nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype, name="lin_l")(agg)
         out = out + nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype, name="lin_r")(x)
         return out
@@ -61,10 +72,11 @@ class SageBlock(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int, *, train: bool = False):
+    def __call__(self, x, edge_src, edge_dst, edge_mask, num_nodes: int, *,
+                 adj=None, train: bool = False):
         for i, h in enumerate(self.hidden_dims):
             x = SageConv(h, edge_axis=self.edge_axis, dtype=self.dtype, name=f"conv{i}")(
-                x, edge_src, edge_dst, edge_mask, num_nodes
+                x, edge_src, edge_dst, edge_mask, num_nodes, adj
             )
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{i}")(x)
             x = _activation(x, self.negative_slope)

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from ..graph.containers import PaddedGraphBatch
 from ..ops.gru import GRUParams, gru_forward
-from ..ops.segment import global_max_pool, global_mean_pool
+from ..ops.segment import (dense_max_pool, dense_mean_pool,
+                           global_max_pool, global_mean_pool)
 from .blocks import MLPStack, SageBlock
 from .map_modules import MapData, MapEncoder, MapSpatialAttention
 
@@ -223,22 +224,33 @@ class GruSage(nn.Module):
             ctx = self.map_attention(last_pos, map_centroids, map_embeddings)
             x = jnp.concatenate([x, ctx], axis=1)
 
-        # 5 - GraphSAGE over inter-vehicle edges
-        x = self.sage(x, batch.edge_src, batch.edge_dst, batch.edge_mask, N, train=train)
+        # 5 - GraphSAGE over inter-vehicle edges. A batch built by
+        # pad_and_batch_aligned carries the dense block-diagonal
+        # adjacency: aggregation + pooling run scatter-free (the segment
+        # ops cost ~3.4 ms/aggregation at batch-2048 shapes on TPU)
+        dense = batch.adj is not None and c.sage_type == "sage"
+        if dense:
+            x = self.sage(x, batch.edge_src, batch.edge_dst,
+                          batch.edge_mask, N, adj=batch.adj, train=train)
+        else:
+            x = self.sage(x, batch.edge_src, batch.edge_dst, batch.edge_mask, N, train=train)
 
         # 6 - graph readout
+        if dense:
+            vmax = batch.adj.shape[1]
+            mean_pool = lambda: dense_mean_pool(x, batch.node_mask, G, vmax)
+            max_pool = lambda: dense_max_pool(x, batch.node_mask, G, vmax)
+        else:
+            mean_pool = lambda: global_mean_pool(
+                x, batch.node_graph, batch.node_mask, G)
+            max_pool = lambda: global_max_pool(
+                x, batch.node_graph, batch.node_mask, G)
         if c.global_pooling == "mean":
-            x = global_mean_pool(x, batch.node_graph, batch.node_mask, G)
+            x = mean_pool()
         elif c.global_pooling == "max":
-            x = global_max_pool(x, batch.node_graph, batch.node_mask, G)
+            x = max_pool()
         elif c.global_pooling == "double":
-            x = jnp.concatenate(
-                [
-                    global_mean_pool(x, batch.node_graph, batch.node_mask, G),
-                    global_max_pool(x, batch.node_graph, batch.node_mask, G),
-                ],
-                axis=1,
-            )
+            x = jnp.concatenate([mean_pool(), max_pool()], axis=1)
         else:
             raise ValueError(f"Unsupported global_pooling: {c.global_pooling}")
 

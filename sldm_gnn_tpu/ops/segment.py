@@ -114,3 +114,24 @@ def global_max_pool(
 ) -> jax.Array:
     """Per-graph max over valid nodes (reference: grusage.py:116-117)."""
     return segment_max(x, node_graph, num_graphs, mask=node_mask)
+
+
+def dense_mean_pool(x: jax.Array, node_mask: jax.Array, num_graphs: int,
+                    vmax: int) -> jax.Array:
+    """:func:`global_mean_pool` for the block-diagonal aligned layout
+    (graph g = rows [g*vmax, (g+1)*vmax)): a masked reshape-reduce with
+    no scatter. Same empty-graph semantics (0)."""
+    xg = x.reshape(num_graphs, vmax, x.shape[-1])
+    m = node_mask.reshape(num_graphs, vmax, 1).astype(x.dtype)
+    s = jnp.sum(xg * m, axis=1)
+    c = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return s / c
+
+
+def dense_max_pool(x: jax.Array, node_mask: jax.Array, num_graphs: int,
+                   vmax: int) -> jax.Array:
+    """:func:`global_max_pool` for the aligned layout; empty graphs 0."""
+    xg = x.reshape(num_graphs, vmax, x.shape[-1])
+    m = node_mask.reshape(num_graphs, vmax, 1)
+    out = jnp.max(jnp.where(m, xg, _NEG_INF), axis=1)
+    return jnp.where(out <= _NEG_INF / 2, 0.0, out)

@@ -178,3 +178,32 @@ def test_prefetcher_abandoned_iteration_stops_worker():
     it.close()  # abandon mid-stream (as a consumer exception would)
     pf._thread.join(timeout=5)
     assert not pf._thread.is_alive()
+
+
+def test_loader_dense_adj_batches(built_split):
+    """dense_adj=True yields aligned batches (node capacity = G*vmax,
+    static per bucket) whose adjacency reproduces the flat segment
+    aggregation exactly."""
+    import jax.numpy as jnp
+
+    from sldm_gnn_tpu.ops.segment import masked_mean_aggregate
+
+    rng = np.random.default_rng(0)
+    ds = GraphDataset(built_split, normalize_zscore=True)
+    loader = GraphLoader(ds, batch_size=3, dense_adj=True)
+    shapes = set()
+    for batch in loader:
+        assert batch.adj is not None
+        g, vmax, _ = batch.adj.shape
+        assert batch.node_capacity == g * vmax
+        shapes.add(batch.x.shape)
+        x = jnp.asarray(rng.standard_normal(
+            (batch.node_capacity, 4)).astype(np.float32))
+        ref = masked_mean_aggregate(
+            x, jnp.asarray(batch.edge_src), jnp.asarray(batch.edge_dst),
+            jnp.asarray(batch.edge_mask), batch.node_capacity)
+        got = jnp.einsum("gij,gjh->gih", jnp.asarray(batch.adj),
+                         x.reshape(g, vmax, -1)).reshape(ref.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+    assert len(shapes) == 1  # one bucket -> one static shape

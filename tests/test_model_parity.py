@@ -258,3 +258,48 @@ def test_bf16_compute_mode(rng):
     out16j = m16.apply(vs, batch, train=False)
     assert out16j.dtype == jnp.float32  # logits head stays f32
     np.testing.assert_allclose(np.asarray(out16j), out32, rtol=0.1, atol=0.05)
+
+
+def test_dense_aligned_batch_matches_flat(rng):
+    """pad_and_batch_aligned + the scatter-free dense SAGE/pool path must
+    reproduce the flat segment-op path's logits (same params; fp32
+    summation-order tolerance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sldm_gnn_tpu.graph.batching import (BatchDims, pad_and_batch,
+                                             pad_and_batch_aligned)
+    from sldm_gnn_tpu.graph.containers import GraphArrays
+    from sldm_gnn_tpu.models import GruSage, GruSageConfig
+
+    F, L = 5, 3
+    gs = []
+    for i in range(6):
+        v = int(rng.integers(2, 7))
+        x = rng.standard_normal((v, F, 6)).astype(np.float32)
+        ne = int(rng.integers(1, v * v))
+        src = rng.integers(0, v, ne).astype(np.int32)
+        dst = rng.integers(0, v, ne).astype(np.int32)
+        y = (rng.random(L) < 0.5).astype(np.float32)
+        gs.append(GraphArrays(
+            x=x, xsttype=rng.integers(0, 5, v).astype(np.int32),
+            xdims=rng.uniform(1, 3, (v, 2)).astype(np.float32),
+            edge_index=np.stack([src, dst]),
+            edge_attr=np.zeros((ne, 4), np.float32), y=y,
+            pos_raw=x[:, :, :2]))
+
+    flat_dims = BatchDims(node_capacity=48, edge_capacity=256,
+                          graph_capacity=6, num_frames=F, num_labels=L)
+    flat = jax.tree.map(jnp.asarray, pad_and_batch(gs, flat_dims))
+    dense = jax.tree.map(jnp.asarray, pad_and_batch_aligned(
+        gs, 8, num_frames=F, num_labels=L))
+    assert dense.adj is not None and dense.adj.shape == (6, 8, 8)
+
+    cfg = GruSageConfig(frames_num=F, gru_hidden_size=8, fc1dims=(8,),
+                        sage_hidden_dims=(8, 8), fc2dims=(8,), out_dim=L,
+                        dropout=None)
+    model = GruSage(cfg)
+    params = model.init(jax.random.PRNGKey(0), flat)["params"]
+    lf = np.asarray(model.apply({"params": params}, flat))
+    ld = np.asarray(model.apply({"params": params}, dense))
+    np.testing.assert_allclose(ld, lf, rtol=2e-5, atol=2e-5)
