@@ -317,6 +317,25 @@ def test_train_cli_dp(built, workspace):
     assert snap["params"]
 
 
+def test_train_cli_dense_batches(built, workspace):
+    """--dense-batches: the sweep trains through the scatter-free
+    block-diagonal batch layout and produces a loadable snapshot."""
+    from sldm_gnn_tpu.cli.train import main as train_main
+    from sldm_gnn_tpu.train.snapshot import load_snapshot
+
+    outdir = workspace / "out_dense"
+    r = CliRunner().invoke(
+        train_main,
+        [str(built), str(outdir), "-l", "2", "--epochs", "2",
+         "--dense-batches", "-y"],
+    )
+    assert r.exit_code == 0, r.output
+    snaps = list(outdir.glob("config*/GRUSAGE__best_state.pkl"))
+    assert snaps, f"no snapshot produced; output:\n{r.output}"
+    snap = load_snapshot(snaps[0])
+    assert snap["params"]
+
+
 def test_train_cli_sampled(tmp_path):
     """--sampled: the config-3 neighbor-sampled path end to end from the
     CLI — graph.npz in, trained state + throughput metrics out, learnable
