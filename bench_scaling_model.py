@@ -55,16 +55,21 @@ def plan_boundary_stats(plan_dir: Path) -> dict:
     ep = man["ep"]
     bedges, hrows = [], []
     for p in range(ep):
-        z = np.load(plan_dir / f"fused_bnd_p{p}.npz")
-        bedges.append(int((np.asarray(z["bw"]) > 0).sum()))
+        fb = plan_dir / f"fused_bnd_p{p}.npz"
         zs = np.load(plan_dir / f"shard_p{p}.npz")
+        if fb.exists():
+            z = np.load(fb)
+            bedges.append(int((np.asarray(z["bw"]) > 0).sum()))
+            del z
+        else:  # no fused cache: the shard intermediates carry the count
+            bedges.append(int(len(zs["bdst"])))
         rows = 0
         for q in range(ep):
             key = f"need_{q}"
             if key in zs.files:
                 rows += len(zs[key])
         hrows.append(rows)
-        del z, zs
+        del zs
     e_shard = man["num_edges"] / ep
     return {
         "plan": str(plan_dir), "ep": ep, "num_edges": man["num_edges"],
@@ -210,24 +215,31 @@ def main():
 
         def project(plan_stats):
             ep_build = plan_stats["ep"]
-            e_per_shard_ref = plan_stats["num_edges"] / ep_build
             fb = plan_stats["boundary_frac"]
             rows_halo = plan_stats["halo_rows_max"]
-            bytes_exch = rows_halo * args.dim * 2  # bf16 rows per chip
             table = {}
             for ep in (2, 4, 8, 16):
-                # shard size if THIS graph were cut ep ways (halo stats
-                # measured at the build's ep; boundary grows ~linearly in
-                # cut count for range-partitioned locality orders)
-                scale_cut = ep / ep_build
+                # Cut THIS graph ep ways. For range-partitioned locality
+                # orders a shard's boundary is its (<=2) borders: the
+                # ABSOLUTE boundary edges / halo rows per shard stay
+                # ~constant with cut count, so the boundary FRACTION
+                # scales with ep while halo bytes per shard do not.
                 e_shard_t = plan_stats["num_edges"] / ep
-                fb_t = fb * scale_cut
-                rows_t = rows_halo * scale_cut
-                bytes_t = rows_t * args.dim * 2
-                # compute time from the sweep fit, rescaled to shard size
-                t_ov = (b_ov + a_ov * fb_t) * (e_shard_t / e_shard)
+                fb_t = fb * ep / ep_build
+                bytes_t = rows_halo * args.dim * 2  # bf16 rows per chip
+                # per-shard compute from the sweep fit, rescaled to shard
+                # size (the kernel is HBM-streaming-bound -> linear in E).
+                # The sweep's scattered rewiring puts every boundary dst
+                # in its own row group (m_b ~= steps) — the worst case
+                # for the overlap epilogue; real Hilbert/RCM plans
+                # cluster boundary dsts at the shard borders (m_b=2-3,
+                # fused_manifest m_b_max), where the measured overlap
+                # restructure cost is ~1% (BASELINE.md round 4). Report
+                # both regimes.
                 t_nv = (b_nv + a_nv * fb_t) * (e_shard_t / e_shard)
-                t_1 = b_ov * (plan_stats["num_edges"] / e_shard)  # 1 chip
+                t_ov_scat = (b_ov + a_ov * fb_t) * (e_shard_t / e_shard)
+                t_ov_clus = 1.01 * t_nv
+                t_1 = b_nv * (plan_stats["num_edges"] / e_shard)  # 1 chip
                 for net, bw, lat in (("ici", args.ici_gbps * 4,
                                       args.ici_lat_us),
                                      ("dcn", args.dcn_gbps,
@@ -237,17 +249,25 @@ def main():
                     t_coll = n_coll * (bytes_t / (bw * 1e9) * 1e3
                                        + lat / 1e3)
                     # overlap hides the collective behind the interior
-                    # kernel window (~the whole fused kernel, i.e. most
-                    # of the step); epilogue cost is already inside t_ov
-                    hide = 0.8 * t_ov
-                    t_shard_ov = t_ov + max(0.0, t_coll - hide)
-                    t_shard_nv = t_nv + t_coll
-                    table[f"ep{ep}_{net}"] = {
-                        "overlap_eff": round(t_1 / ep / t_shard_ov, 4),
-                        "nonoverlap_eff": round(t_1 / ep / t_shard_nv, 4),
-                        "t_coll_ms": round(t_coll, 4),
-                        "t_shard_ms": round(t_shard_ov, 4),
-                    }
+                    # kernel window (scheduled-HLO evidence: all-to-all
+                    # start -> interior Mosaic kernel -> done); the
+                    # hideable window is the interior-kernel share of
+                    # the step (~80%, bench_halo_diag stage shares)
+                    row = {}
+                    for tag, t_ov in (("clustered", t_ov_clus),
+                                      ("scattered", t_ov_scat)):
+                        hide = 0.8 * t_ov
+                        t_shard_ov = t_ov + max(0.0, t_coll - hide)
+                        t_shard_nv = t_nv + t_coll
+                        best = min(t_shard_ov, t_shard_nv)
+                        row[tag] = {
+                            "overlap_eff": round(t_1 / ep / t_shard_ov, 4),
+                            "nonoverlap_eff": round(
+                                t_1 / ep / t_shard_nv, 4),
+                            "best_eff": round(t_1 / ep / best, 4),
+                        }
+                    row["t_coll_ms"] = round(t_coll, 4)
+                    table[f"ep{ep}_{net}"] = row
             return table
 
         for p in plans:
