@@ -415,3 +415,22 @@ def test_train_halo_cli(tmp_path):
     assert len(curves2["micro_f1"]) == 18
     np.testing.assert_allclose(curves2["loss"][:15], curves["loss"],
                                rtol=1e-5)
+
+
+def test_train_cli_dp_dense_batches(built, workspace):
+    """--dp 2 + --dense-batches compose: the aligned batch (incl. its
+    [G, vmax, vmax] adjacency) shards over the dp mesh on the graph
+    axis like every other [G, ...] leaf."""
+    from sldm_gnn_tpu.cli.train import main as train_main
+    from sldm_gnn_tpu.train.snapshot import load_snapshot
+
+    outdir = workspace / "out_dp_dense"
+    r = CliRunner().invoke(
+        train_main,
+        [str(built), str(outdir), "-l", "2", "--epochs", "2", "--dp", "2",
+         "--dense-batches", "-y"],
+    )
+    assert r.exit_code == 0, r.output
+    snaps = list(outdir.glob("config*/GRUSAGE__best_state.pkl"))
+    assert snaps, f"no snapshot produced; output:\n{r.output}"
+    assert load_snapshot(snaps[0])["params"]
