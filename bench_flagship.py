@@ -75,6 +75,8 @@ def main():
     gru_pad = int(os.environ.get("FLAG_GRU_PAD", 0)) or None
     # 'scan' (f32 parity) or 'pallas' (row-blocked fused kernel)
     gru_impl = os.environ.get("FLAG_GRU_IMPL", "scan")
+    # 'topk' (XLA lax.top_k) or 'pallas' (fused distance+select kernel)
+    knn_impl = os.environ.get("FLAG_KNN_IMPL", "topk")
     # None (f32) or 'bfloat16' (mixed-precision dense/SAGE stacks)
     cdtype = os.environ.get("FLAG_DTYPE") or None
     labels = 4
@@ -111,6 +113,7 @@ def main():
         map_included=with_map,
         gru_pad_to=gru_pad,
         gru_impl=gru_impl,
+        knn_impl=knn_impl,
         compute_dtype=cdtype,
     )
     model = GruSage(cfg)

@@ -102,6 +102,12 @@ class GruSageConfig:
     # The pallas path needs the temporal cotangent structure the fused
     # kernel provides (only h_last consumed) — exactly GruSage's use.
     gru_impl: str = "scan"
+    # map-branch KNN implementation: 'topk' (XLA lax.top_k, parity
+    # default) or 'pallas' (ops/knn_pallas — fused distance+select, the
+    # [V, S] tile never leaves VMEM; indices exact, distances within
+    # ~1 ulp FMA rounding; forward-only — positions/centroids are input
+    # data, so training takes no cotangent through the selection)
+    knn_impl: str = "topk"
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -153,9 +159,13 @@ class GruSage(nn.Module):
                 edge_axis=c.map_edge_axis,
                 segment_axis=c.map_segment_axis,
             )
+            if c.knn_impl not in ("topk", "pallas"):
+                raise ValueError(
+                    f"Unsupported knn_impl: {c.knn_impl!r} (use 'topk' or 'pallas')")
             self.map_attention = MapSpatialAttention(
                 k_neighbors=c.map_attention_topk,
                 segment_axis=c.map_segment_axis,
+                knn_impl=c.knn_impl,
             )
         if c.sage_type == "attention":
             from .attention import AttentionBlock

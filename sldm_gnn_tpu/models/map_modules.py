@@ -222,10 +222,19 @@ class MapSpatialAttention(nn.Module):
     KNN runs as local-top-k + k-way merge (ops/knn.knn_topk_sharded) —
     the full [V, S] distance matrix and the [S, D] embedding table are
     never replicated; results match the dense call bit-for-bit. For maps
-    that do not fit one device (SURVEY.md §7 hard part 5)."""
+    that do not fit one device (SURVEY.md §7 hard part 5).
+
+    ``knn_impl``: 'topk' (XLA ``lax.top_k``, differentiable, parity
+    default) or 'pallas' (ops/knn_pallas.knn_topk_pallas — the fused
+    distance+select kernel; the [V, S] distance tile never leaves VMEM
+    and the per-row 1000-lane sort disappears. Forward-only: positions
+    and centroids are input data in training, so no cotangent flows
+    through the selection; k_dists feed the attention MLP as primal
+    values either way)."""
 
     k_neighbors: int = 5
     segment_axis: str | None = None
+    knn_impl: str = "topk"
 
     @nn.compact
     def __call__(self, vehicle_positions, centroids, map_embeddings):
@@ -233,6 +242,15 @@ class MapSpatialAttention(nn.Module):
             k_dists, idx, (gathered,) = knn_topk_sharded(
                 vehicle_positions, centroids, self.k_neighbors,
                 self.segment_axis, map_embeddings)
+        elif self.knn_impl == "pallas":
+            from ..ops.knn_pallas import knn_topk_pallas
+
+            # CPU (tests / virtual mesh) runs the same kernel under the
+            # Pallas interpreter, like the GRU path (grusage.py).
+            k_dists, idx = knn_topk_pallas(
+                vehicle_positions, centroids, self.k_neighbors,
+                interpret=jax.default_backend() != "tpu")
+            gathered = map_embeddings[idx]
         else:
             # [V, K] distances + indices of nearest segments
             k_dists, idx = knn_topk(vehicle_positions, centroids, self.k_neighbors)

@@ -303,3 +303,53 @@ def test_dense_aligned_batch_matches_flat(rng):
     lf = np.asarray(model.apply({"params": params}, flat))
     ld = np.asarray(model.apply({"params": params}, dense))
     np.testing.assert_allclose(ld, lf, rtol=2e-5, atol=2e-5)
+
+
+def test_knn_impl_pallas_matches_topk(rng):
+    """GruSage(knn_impl='pallas') reproduces the topk model's logits AND
+    its train-step parameter gradients on identical weights (the fused
+    distance+select kernel carries no cotangent — positions/centroids
+    are input data; only indices and primal k_dists cross into the
+    differentiated graph)."""
+    from dataclasses import replace
+
+    torch.manual_seed(7)
+    F, L = 8, 2
+    gs = _mk_graphs(rng, 3, F, L)
+    dims = BatchDims(node_capacity=32, edge_capacity=128, graph_capacity=4,
+                     num_frames=F, num_labels=L)
+    batch = jax.tree.map(jnp.asarray, pad_and_batch(gs, dims))
+
+    S = 150  # non-128-multiple lane padding in the kernel
+    md = MapData(
+        feats=jnp.array(rng.standard_normal((S, 9)).astype(np.float32)),
+        lane_type_cats=jnp.array(rng.integers(0, 3, S).astype(np.int32)),
+        edge_src=jnp.array(rng.integers(0, S, 40).astype(np.int32)),
+        edge_dst=jnp.array(rng.integers(0, S, 40).astype(np.int32)),
+        centroids=jnp.array(rng.standard_normal((S, 2)).astype(np.float32) * 10),
+    )
+    cfg = GruSageConfig(
+        frames_num=F, gru_hidden_size=8, fc1dims=(8,), sage_hidden_dims=(8,),
+        fc2dims=(8,), out_dim=L, emb_dim=4, dropout=None, negative_slope=0.1,
+        map_included=True, num_lane_types=3,
+    )
+    m0 = GruSage(cfg)
+    m1 = GruSage(replace(cfg, knn_impl="pallas"))
+    vs = m0.init({"params": jax.random.PRNGKey(0)}, batch, map_data=md, train=False)
+
+    out0 = m0.apply(vs, batch, map_data=md, train=False)
+    out1 = m1.apply(vs, batch, map_data=md, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-5, atol=1e-6)
+
+    def mk_loss(model):
+        def loss(p):
+            lg = model.apply(p, batch, map_data=md, train=False)
+            return jnp.mean(jnp.where(batch.graph_mask[:, None], lg, 0.0) ** 2)
+        return loss
+
+    g0 = jax.grad(mk_loss(m0))(vs)
+    g1 = jax.grad(mk_loss(m1))(vs)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)

@@ -145,3 +145,71 @@ def test_knn_matches_torch_topk(rng):
     neg, idx_t = torch.topk(-d_t, k=K, dim=1)
     np.testing.assert_allclose(np.asarray(d_j), (-neg).numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx_j), idx_t.numpy())
+
+
+def test_knn_pallas_matches_topk(rng):
+    from sldm_gnn_tpu.ops.knn_pallas import knn_topk_pallas
+
+    # odd V (row-block padding), non-128 S (lane padding), exact ties
+    V, S, K = 333, 1000, 5
+    pts = (rng.standard_normal((V, 2)) * 100).astype(np.float32)
+    cents = (rng.standard_normal((S, 2)) * 100).astype(np.float32)
+    cents[500] = cents[10]
+    cents[777] = cents[10]  # duplicate centroids: lowest-index tie rule
+    d0, i0 = knn_topk(jnp.asarray(pts), jnp.asarray(cents), K)
+    d1, i1 = knn_topk_pallas(jnp.asarray(pts), jnp.asarray(cents), K,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    # distances agree to FMA-association rounding of the squared sum
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                               rtol=1e-6, atol=1e-4)
+
+
+def test_knn_pallas_small_shapes(rng):
+    from sldm_gnn_tpu.ops.knn_pallas import knn_topk_pallas
+
+    # V smaller than one row block; S smaller than one lane tile
+    V, S, K = 7, 57, 5
+    pts = rng.standard_normal((V, 2)).astype(np.float32)
+    cents = rng.standard_normal((S, 2)).astype(np.float32)
+    d0, i0 = knn_topk(jnp.asarray(pts), jnp.asarray(cents), K)
+    d1, i1 = knn_topk_pallas(jnp.asarray(pts), jnp.asarray(cents), K,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                               rtol=1e-6, atol=1e-5)
+    with pytest.raises(ValueError):
+        knn_topk_pallas(jnp.asarray(pts), jnp.asarray(cents), S + 1,
+                        interpret=True)
+
+
+def test_map_attention_knn_impl_parity(rng):
+    """MapSpatialAttention(knn_impl='pallas') matches the topk path in
+    outputs AND in the attention-MLP parameter gradients (the selection
+    carries no cotangent — positions/centroids are input data)."""
+    from sldm_gnn_tpu.models.map_modules import MapSpatialAttention
+
+    V, S, D, K = 50, 120, 8, 5
+    pts = jnp.asarray(rng.standard_normal((V, 2)).astype(np.float32) * 10)
+    cents = jnp.asarray(rng.standard_normal((S, 2)).astype(np.float32) * 10)
+    emb = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+
+    m0 = MapSpatialAttention(k_neighbors=K, knn_impl="topk")
+    m1 = MapSpatialAttention(k_neighbors=K, knn_impl="pallas")
+    params = m0.init(jax.random.PRNGKey(0), pts, cents, emb)
+
+    out0 = m0.apply(params, pts, cents, emb)
+    out1 = m1.apply(params, pts, cents, emb)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(mod):
+        def f(p):
+            return jnp.sum(mod.apply(p, pts, cents, emb) ** 2)
+        return f
+
+    g0 = jax.grad(loss(m0))(params)
+    g1 = jax.grad(loss(m1))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
