@@ -78,6 +78,10 @@ def config_from_combo(comb: dict, meta: MetaData, *, include_map: bool, num_lane
         mapenc_sage_hdims=tuple(comb["gs_mapenc_sage_hdims"]),
         mapenc_lane_embdim=comb["gs_mapenc_lane_embdim"],
         map_attention_topk=comb["gs_map_attention_topk"],
+        # optional fast-path knobs (absent from the reference grid; the
+        # parity defaults apply when a combo dict omits them)
+        gru_impl=comb.get("gs_gru_impl", "scan"),
+        knn_impl=comb.get("gs_knn_impl", "topk"),
     )
 
 

@@ -241,7 +241,7 @@ class MapSpatialAttention(nn.Module):
         if self.segment_axis is not None:
             k_dists, idx, (gathered,) = knn_topk_sharded(
                 vehicle_positions, centroids, self.k_neighbors,
-                self.segment_axis, map_embeddings)
+                self.segment_axis, map_embeddings, impl=self.knn_impl)
         elif self.knn_impl == "pallas":
             from ..ops.knn_pallas import knn_topk_pallas
 

@@ -35,6 +35,7 @@ def knn_topk_sharded(
     k: int,
     axis_name: str,
     *values_local: jax.Array,
+    impl: str = "topk",
 ) -> tuple[jax.Array, jax.Array, tuple[jax.Array, ...]]:
     """Segment-sharded KNN: local top-k, then a k-way merge over the mesh.
 
@@ -51,11 +52,31 @@ def knn_topk_sharded(
     ``lax.top_k`` keeps the lowest position on ties — the dense call's
     lowest-global-index rule.
 
+    ``impl='pallas'`` runs the LOCAL selection through the fused
+    distance+select kernel (ops/knn_pallas) — the per-shard [V, S/P]
+    distance tile never leaves VMEM; the k-way merge over the P·k
+    candidates stays on XLA (P·k lanes are tiny). Right for giant maps
+    where S/P is still thousands of lanes.
+
     Returns (dists [V, k], global indices [V, k], gathered values
     ([V, k, ...] per value array)).
     """
     s_local = centroids_local.shape[0]
-    d_loc, idx_loc = knn_topk(points, centroids_local, k)
+    if impl == "pallas":
+        from .knn_pallas import knn_topk_pallas
+
+        pts = points
+        if (axis_name in jax.typeof(centroids_local).vma
+                and axis_name not in jax.typeof(pts).vma):
+            # promote the replicated points to varying: mixed-vma operands
+            # trip the kernel's elementwise ops under check_vma
+            # (parallel/edge_partition.py pattern)
+            pts = jax.lax.pcast(pts, axis_name, to="varying")
+        d_loc, idx_loc = knn_topk_pallas(
+            pts, centroids_local, k,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        d_loc, idx_loc = knn_topk(points, centroids_local, k)
     idx_glob = idx_loc + jax.lax.axis_index(axis_name) * s_local
     vals_loc = [v[idx_loc] for v in values_local]  # [V, k, ...] own rows
 

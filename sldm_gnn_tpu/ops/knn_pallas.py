@@ -105,6 +105,11 @@ def knn_topk_pallas(
     sp = _round_up(s, 128)
     pts = jnp.pad(points.astype(jnp.float32), ((0, vp - v), (0, 0)))
     cts = jnp.pad(centroids.astype(jnp.float32), ((0, sp - s), (0, 0))).T  # [2, sp]
+    # under shard_map with checked replication the outputs vary exactly as
+    # the union of the operands does (ops/spmm._operand_vma pattern)
+    from .spmm import _operand_vma
+
+    vma = _operand_vma(points, centroids)
 
     d, i = pl.pallas_call(
         partial(_knn_kernel, k=k, s_real=s),
@@ -118,8 +123,8 @@ def knn_topk_pallas(
             pl.BlockSpec((rb, _KP), lambda r: (r, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((vp, _KP), jnp.float32),
-            jax.ShapeDtypeStruct((vp, _KP), jnp.int32),
+            jax.ShapeDtypeStruct((vp, _KP), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((vp, _KP), jnp.int32, vma=vma),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -122,3 +122,30 @@ def test_map_attention_sharded_grads(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
         g_got, g_want)
+
+
+def test_sharded_knn_pallas_impl_matches_dense(rng):
+    """impl='pallas' (fused local selection under the interpreter on CPU)
+    reproduces the dense result through the same k-way merge."""
+    k = 5
+    points, centroids, emb = _setup(rng)
+    mesh = make_mesh(ep=8)
+
+    want_d, want_i = knn_topk(points, centroids, k)
+    want_g = emb[want_i]
+
+    @jax.jit
+    def run(points, centroids, emb):
+        f = shard_map(
+            lambda p, c, e: knn_topk_sharded(p, c, k, "ep", e, impl="pallas"),
+            mesh=mesh,
+            in_specs=(P(), P("ep"), P("ep")),
+            out_specs=(P(), P(), (P(),)),
+        )
+        return f(points, centroids, emb)
+
+    got_d, got_i, (got_g,) = run(points, centroids, emb)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_g), np.asarray(want_g))
