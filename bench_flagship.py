@@ -117,7 +117,14 @@ def main():
         compute_dtype=cdtype,
     )
     model = GruSage(cfg)
-    fns = build_step_fns(model, make_optimizer(1e-3, 5e-5), map_data=map_data)
+    opt = make_optimizer(1e-3, 5e-5)
+    if int(os.environ.get("FLAG_FLAT_OPT", 0)):
+        # single-vector Adam: one fused update kernel instead of ~40
+        # per-leaf ones (A/B knob; state structure differs from the
+        # checkpoint-parity default)
+        import optax
+        opt = optax.flatten(opt)
+    fns = build_step_fns(model, opt, map_data=map_data)
     state = fns.init(jax.random.PRNGKey(0), batch)
 
     rkey = jax.random.PRNGKey(1)
