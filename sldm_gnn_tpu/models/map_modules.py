@@ -224,13 +224,25 @@ class MapSpatialAttention(nn.Module):
     never replicated; results match the dense call bit-for-bit. For maps
     that do not fit one device (SURVEY.md §7 hard part 5).
 
-    ``knn_impl``: 'topk' (XLA ``lax.top_k``, differentiable, parity
-    default) or 'pallas' (ops/knn_pallas.knn_topk_pallas — the fused
-    distance+select kernel; the [V, S] distance tile never leaves VMEM
-    and the per-row 1000-lane sort disappears. Forward-only: positions
-    and centroids are input data in training, so no cotangent flows
-    through the selection; k_dists feed the attention MLP as primal
-    values either way)."""
+    ``knn_impl``: 'topk' (XLA ``lax.top_k`` + row gather, differentiable,
+    parity default) or 'pallas' — the TPU fast path, two pieces:
+
+      * selection through ops/knn_pallas.knn_topk_pallas (the fused
+        distance+select kernel; the [V, S] distance tile never leaves
+        VMEM and the per-row 1000-lane sort disappears). Forward-only:
+        positions and centroids are input data in training, so no
+        cotangent flows through the selection; k_dists feed the
+        attention MLP as primal values either way.
+      * a SCATTER-FREE context combine: instead of gather + weighted
+        sum (whose backward is a [V·K]-row scatter-add into the [S, D]
+        embedding table — measured 1.47 of the 1.6 ms epilogue at
+        batch-2048 shapes), the weights are placed into a dense
+        [V, S] one-hot-weighted matrix by K static compare-selects and
+        ``ctx = Wsel @ emb`` runs on the MXU; the AD transpose
+        ``demb = Wselᵀ @ dctx`` is a matmul too — zero scatters, exact
+        (the extra terms in the reduction are structural zeros). The
+        same dense-instead-of-scatter move as the block-diagonal
+        flagship batches (graph/batching.pad_and_batch_aligned)."""
 
     k_neighbors: int = 5
     segment_axis: str | None = None
@@ -250,7 +262,7 @@ class MapSpatialAttention(nn.Module):
             k_dists, idx = knn_topk_pallas(
                 vehicle_positions, centroids, self.k_neighbors,
                 interpret=jax.default_backend() != "tpu")
-            gathered = map_embeddings[idx]
+            gathered = None  # scatter-free combine below
         else:
             # [V, K] distances + indices of nearest segments
             k_dists, idx = knn_topk(vehicle_positions, centroids, self.k_neighbors)
@@ -261,4 +273,16 @@ class MapSpatialAttention(nn.Module):
         h = nn.relu(h)
         scores = nn.Dense(1, name="attn_fc1")(h)[..., 0]  # [V, K]
         weights = jax.nn.softmax(scores, axis=1)[..., None]  # [V, K, 1]
-        return jnp.sum(gathered * weights, axis=1)  # [V, D]
+        if gathered is not None:
+            return jnp.sum(gathered * weights, axis=1)  # [V, D]
+        # scatter-free combine: K static compare-selects place the softmax
+        # weights into a dense [V, S] matrix (never a [V, K, S] tensor),
+        # then one MXU matmul; backward's demb is the transpose matmul
+        s = map_embeddings.shape[0]
+        lane = jnp.arange(s, dtype=idx.dtype)[None, :]
+        w2 = weights[..., 0]  # [V, K]
+        wsel = jnp.zeros((vehicle_positions.shape[0], s), w2.dtype)
+        for j in range(self.k_neighbors):
+            wsel = wsel + jnp.where(lane == idx[:, j:j + 1], w2[:, j:j + 1], 0.0)
+        return jax.lax.dot(wsel, map_embeddings,
+                           precision=jax.lax.Precision.HIGHEST)  # [V, D]

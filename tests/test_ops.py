@@ -210,6 +210,8 @@ def test_map_attention_knn_impl_parity(rng):
 
     g0 = jax.grad(loss(m0))(params)
     g1 = jax.grad(loss(m1))(params)
+    # atol covers near-zero grad elements perturbed by the scatter-free
+    # combine's different (but exact-in-structure) reduction order
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-5, atol=1e-5)
