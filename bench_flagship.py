@@ -61,6 +61,17 @@ def synth_map(rng, segments):
     )
 
 
+def maybe_dense_map(md):
+    """FLAG_MAP_DENSE=1: scatter-free map encoder (MapData.adj)."""
+    if md is None or not int(os.environ.get("FLAG_MAP_DENSE", 0)):
+        return md
+    from dataclasses import replace
+
+    from sldm_gnn_tpu.models.map_modules import dense_map_adj
+
+    return replace(md, adj=jnp.asarray(dense_map_adj(md)))
+
+
 def main():
     b = int(os.environ.get("FLAG_BATCH", 32))
     frames = int(os.environ.get("FLAG_FRAMES", 100))
@@ -98,7 +109,7 @@ def main():
             num_labels=labels,
         )
         batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, dims))
-    map_data = synth_map(rng, segments) if with_map else None
+    map_data = maybe_dense_map(synth_map(rng, segments)) if with_map else None
 
     cfg = GruSageConfig(
         frames_num=frames,

@@ -119,6 +119,16 @@ def _build_data_pipeline(comb: dict, *, inputdir: Path, cut: int | None,
     if include_map:
         map_data = load_map_data(inpath / ".map" / "vmap.npz")
         num_lane_types = int(np.asarray(map_data.lane_type_cats).max()) + 1
+        if dense_adj:
+            # --dense-batches extends to the map encoder: scatter-free
+            # SAGE over the [1, S, S] row-normalized map adjacency
+            from dataclasses import replace
+
+            import jax.numpy as jnp
+
+            from ..models.map_modules import dense_map_adj
+
+            map_data = replace(map_data, adj=jnp.asarray(dense_map_adj(map_data)))
     return tr_meta, lt, le, map_data, num_lane_types
 
 

@@ -52,6 +52,14 @@ class MapData:
       edge_mask      [Em] bool — False on padding edges (edge arrays are
                      padded when sharded across an edge-parallel mesh axis)
       centroids      [S, 2]  — segment centroids for spatial attention.
+      adj            [1, S, S] optional row-normalized mean-aggregation
+                     adjacency (:func:`dense_map_adj`). When present the
+                     encoder's SAGE aggregation runs as ONE matmul per
+                     layer instead of edge scatters (the map graph is a
+                     few thousand edges over S~1000 segments — the dense
+                     matrix is ~4 MB and the scatter's backward is the
+                     expensive part on TPU, exactly like the flagship's
+                     block-diagonal batches).
     """
 
     feats: jax.Array
@@ -60,6 +68,7 @@ class MapData:
     edge_dst: jax.Array
     centroids: jax.Array
     edge_mask: jax.Array | None = None
+    adj: jax.Array | None = None
 
     @property
     def num_segments(self) -> int:
@@ -95,6 +104,24 @@ class ShardedMapData:
     @property
     def s_local(self) -> int:
         return self.feats.shape[-2]
+
+
+def dense_map_adj(map_data: MapData) -> np.ndarray:
+    """Row-normalized [1, S, S] mean-aggregation adjacency for the map
+    graph (host-side, once) — multigraph edges accumulate multiplicity
+    and rows divide by max(deg, 1), matching ``masked_mean_aggregate``
+    and the flagship batch layout (graph/batching.pad_and_batch_aligned).
+    Attach via ``replace(map_data, adj=jnp.asarray(dense_map_adj(md)))``."""
+    s = map_data.num_segments
+    src = np.asarray(map_data.edge_src)
+    dst = np.asarray(map_data.edge_dst)
+    mask = np.asarray(map_data.mask())
+    src, dst = src[mask], dst[mask]
+    adj = np.zeros((1, s, s), np.float32)
+    np.add.at(adj, (0, dst, src), 1.0)
+    deg = adj.sum(axis=2, keepdims=True)
+    adj /= np.maximum(deg, 1.0)
+    return adj
 
 
 def shard_map_data_segments(map_data: MapData, ep: int) -> ShardedMapData:
@@ -211,7 +238,13 @@ class MapEncoder(nn.Module):
             negative_slope=self.negative_slope,
             edge_axis=self.edge_axis,
             name="sage",
-        )(x, map_data.edge_src, map_data.edge_dst, map_data.mask(), map_data.num_segments, train=train)
+        )(x, map_data.edge_src, map_data.edge_dst, map_data.mask(),
+          map_data.num_segments,
+          # dense aggregation only in the replicated single-device form
+          # (an edge-sharded mesh partitions the edge lists, not adj)
+          adj=None if self.edge_axis is not None
+          else getattr(map_data, "adj", None),
+          train=train)
 
 
 class MapSpatialAttention(nn.Module):

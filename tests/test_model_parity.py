@@ -353,3 +353,39 @@ def test_knn_impl_pallas_matches_topk(rng):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dense_map_adj_matches_edge_encoder(rng):
+    """MapData.adj (dense_map_adj) runs the map encoder scatter-free and
+    matches the edge-scatter path — outputs AND parameter grads — on a
+    multigraph with masked padding edges."""
+    from dataclasses import replace as dreplace
+
+    from sldm_gnn_tpu.models.map_modules import MapEncoder, dense_map_adj
+
+    S = 60
+    es = rng.integers(0, S, 140).astype(np.int32)
+    ed = rng.integers(0, S, 140).astype(np.int32)
+    es[10] = es[11]; ed[10] = ed[11]  # duplicate edge: multiplicity counts
+    mask = np.ones(140, bool); mask[-15:] = False  # padding edges dropped
+    md = MapData(
+        feats=jnp.array(rng.standard_normal((S, 9)).astype(np.float32)),
+        lane_type_cats=jnp.array(rng.integers(0, 3, S).astype(np.int32)),
+        edge_src=jnp.array(es), edge_dst=jnp.array(ed),
+        centroids=jnp.array(rng.standard_normal((S, 2)).astype(np.float32)),
+        edge_mask=jnp.array(mask),
+    )
+    md_dense = dreplace(md, adj=jnp.asarray(dense_map_adj(md)))
+
+    enc = MapEncoder(num_lane_types=3, sage_hidden_dims=(8, 8))
+    vs = enc.init({"params": jax.random.PRNGKey(0)}, md, train=False)
+    out0 = enc.apply(vs, md, train=False)
+    out1 = enc.apply(vs, md_dense, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-5, atol=1e-6)
+
+    g0 = jax.grad(lambda p: jnp.sum(enc.apply(p, md, train=False) ** 2))(vs)
+    g1 = jax.grad(lambda p: jnp.sum(enc.apply(p, md_dense, train=False) ** 2))(vs)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
