@@ -86,18 +86,22 @@ def main():
         num_labels=labels,
     )
     batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, dims))
-    map_data = synth_map(rng, segments)
+    from bench_flagship import maybe_dense_map
+    map_data = maybe_dense_map(synth_map(rng, segments))
+    knn_impl = os.environ.get("FLAG_KNN_IMPL", "topk")
     N = dims.node_capacity
 
     out = {"batch": b, "frames": frames, "hidden": hidden, "rows": N,
-           "iters": iters, "backend": jax.default_backend()}
+           "iters": iters, "backend": jax.default_backend(),
+           "knn_impl": knn_impl,
+           "map_dense": bool(int(os.environ.get("FLAG_MAP_DENSE", 0)))}
 
     def step_arm(with_map):
         cfg = GruSageConfig(
             frames_num=frames, gru_hidden_size=hidden, fc1dims=(hidden,),
             sage_hidden_dims=(hidden, hidden), fc2dims=(32,), out_dim=labels,
             emb_dim=8, dropout=0.25, negative_slope=0.1,
-            map_included=with_map,
+            map_included=with_map, knn_impl=knn_impl,
         )
         model = GruSage(cfg)
         fns = build_step_fns(model, make_optimizer(1e-3, 5e-5),

@@ -1,10 +1,31 @@
-"""Scratch: isolate map-branch phases at batch-2048 shapes (fwd+bwd)."""
+"""Map-branch phase isolation at flagship batch-2048 shapes (real TPU).
+
+Arms (all in-loop, fwd+bwd where stated, value-fetch closed):
+  * knn fwd            — the fused Pallas distance+select kernel alone
+  * full branch        — knn + gather + dist-MLP + softmax + weighted sum
+  * gather+wsum        — the combine alone with fixed weights (its
+                         backward is the [V·K]-row scatter into [S, D])
+  * mlp+softmax        — the score path alone
+  * scatter-free full  — the knn_impl='pallas' composition (dense [V, S]
+                         weight matrix, ctx = Wsel @ emb; demb is the
+                         transpose MATMUL, zero scatters)
+
+Round-5 numbers (V=22.5k, S=1000, k=5, v5e): knn 0.755 / full 2.358 /
+gather+wsum 1.462 / mlp+softmax 0.159 / scatter-free 1.240 ms — the
+evidence behind BASELINE.md "Scatter-free map attention".
+Env: KV (rows), KS (segments), KI (iters).
+"""
 import time
 import numpy as np, jax, jax.numpy as jnp
 from sldm_gnn_tpu.ops.knn import knn_topk
 from sldm_gnn_tpu.ops.knn_pallas import knn_topk_pallas
 
-V, S, K, D, ITERS = 22528, 1000, 5, 8, 200
+import os
+
+V = int(os.environ.get("KV", 22528))
+S = int(os.environ.get("KS", 1000))
+K, D = 5, 8
+ITERS = int(os.environ.get("KI", 200))
 rng = np.random.default_rng(0)
 pts = jnp.asarray(rng.standard_normal((V, 2)).astype(np.float32) * 100)
 cts = jnp.asarray(rng.standard_normal((S, 2)).astype(np.float32) * 100)
