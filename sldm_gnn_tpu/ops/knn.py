@@ -65,15 +65,10 @@ def knn_topk_sharded(
     if impl == "pallas":
         from .knn_pallas import knn_topk_pallas
 
-        pts = points
-        if (axis_name in jax.typeof(centroids_local).vma
-                and axis_name not in jax.typeof(pts).vma):
-            # promote the replicated points to varying: mixed-vma operands
-            # trip the kernel's elementwise ops under check_vma
-            # (parallel/edge_partition.py pattern)
-            pts = jax.lax.pcast(pts, axis_name, to="varying")
+        # mixed-vma operands (replicated points + sharded centroids) are
+        # lifted to the union inside the kernel wrapper
         d_loc, idx_loc = knn_topk_pallas(
-            pts, centroids_local, k,
+            points, centroids_local, k,
             interpret=jax.default_backend() != "tpu")
     else:
         d_loc, idx_loc = knn_topk(points, centroids_local, k)

@@ -103,13 +103,22 @@ def knn_topk_pallas(
         raise ValueError(f"k={k} exceeds num segments ({s}) or kernel cap ({_KP})")
     vp = _round_up(max(v, 1), rb)
     sp = _round_up(s, 128)
-    pts = jnp.pad(points.astype(jnp.float32), ((0, vp - v), (0, 0)))
-    cts = jnp.pad(centroids.astype(jnp.float32), ((0, sp - s), (0, 0))).T  # [2, sp]
     # under shard_map with checked replication the outputs vary exactly as
-    # the union of the operands does (ops/spmm._operand_vma pattern)
+    # the union of the operands does (ops/spmm._operand_vma pattern), and
+    # MIXED-vma operands (e.g. dp-varying points + replicated centroids,
+    # or ep-sharded centroids + replicated points) must be lifted to that
+    # union before the kernel's elementwise ops see them
     from .spmm import _operand_vma
 
     vma = _operand_vma(points, centroids)
+
+    def lift(a):
+        missing = tuple(vma - jax.typeof(a).vma)
+        return jax.lax.pcast(a, missing, to="varying") if missing else a
+
+    points, centroids = lift(points), lift(centroids)
+    pts = jnp.pad(points.astype(jnp.float32), ((0, vp - v), (0, 0)))
+    cts = jnp.pad(centroids.astype(jnp.float32), ((0, sp - s), (0, 0))).T  # [2, sp]
 
     d, i = pl.pallas_call(
         partial(_knn_kernel, k=k, s_real=s),

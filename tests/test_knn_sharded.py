@@ -149,3 +149,33 @@ def test_sharded_knn_pallas_impl_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
                                rtol=1e-6, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(got_g), np.asarray(want_g))
+
+
+def test_dp_sharded_points_knn_pallas(rng):
+    """knn_impl='pallas' under a dp mesh (points dp-sharded, centroids +
+    embeddings replicated): the kernel wrapper lifts the mixed-vma
+    operands itself; per-shard results concatenate to the replicated
+    MapSpatialAttention output."""
+    from sldm_gnn_tpu.models.map_modules import MapSpatialAttention
+
+    k = 5
+    v, s, d = 64, 120, 8
+    points = jnp.asarray(rng.standard_normal((v, 2)).astype(np.float32) * 10)
+    centroids = jnp.asarray(rng.standard_normal((s, 2)).astype(np.float32) * 10)
+    emb = jnp.asarray(rng.standard_normal((s, d)).astype(np.float32))
+    mesh = make_mesh(dp=8)
+
+    mod = MapSpatialAttention(k_neighbors=k, knn_impl="pallas")
+    params = mod.init(jax.random.PRNGKey(0), points, centroids, emb)
+    want = mod.apply(params, points, centroids, emb)
+
+    @jax.jit
+    def run(points, centroids, emb):
+        f = shard_map(
+            lambda p, c, e: mod.apply(params, p, c, e),
+            mesh=mesh, in_specs=(P("dp"), P(), P()), out_specs=P("dp"))
+        return f(points, centroids, emb)
+
+    got = run(points, centroids, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
