@@ -161,6 +161,30 @@ def main():
     out["host_incr_push_ms"] = round(
         (time.perf_counter() - t0) / reps * 1e3, 3)
 
+    # array-native push (push_arrays — the path the incremental stream
+    # consumer feeds from the wire rows; no pandas in the loop)
+    arr_frames = []
+    for k in range(reps):
+        nf = frames_df(rng, v, 1, t0=pack + reps + k)
+        arr_frames.append((
+            nf["VehicleId"].to_numpy(),
+            nf["X"].to_numpy(np.float32), nf["Y"].to_numpy(np.float32),
+            nf["Speed"].to_numpy(np.float32), nf["Angle"].to_numpy(np.float32),
+            nf["Width"].fillna(0.0).to_numpy(np.float32),
+            nf["Length"].fillna(0.0).to_numpy(np.float32),
+            nf["StationType"].to_numpy(np.int32)))
+    t0 = time.perf_counter()
+    for a in arr_frames:
+        inc.push_arrays(*a)
+    out["host_incr_push_arrays_ms"] = round(
+        (time.perf_counter() - t0) / reps * 1e3, 3)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        inc.window()
+    out["host_incr_window_ms"] = round(
+        (time.perf_counter() - t0) / reps * 1e3, 3)
+
     t0 = time.perf_counter()
     for _ in range(reps):
         dims = BatchDims(node_capacity=_next_pow2(g.num_nodes),

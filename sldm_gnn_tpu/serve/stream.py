@@ -117,6 +117,36 @@ class InferenceEngine:
             return None
         return self._score_graph(self.inc_creator.window())
 
+    def push_frame_rows(self, rows: list[dict]) -> np.ndarray | None:
+        """:meth:`push_frame` from the wire format directly (list of
+        per-vehicle row dicts, the stream's JSON payload) — skips the
+        DataFrame round-trip whose column accessors cost ~0.8 ms/frame
+        at V=32 (BASELINE.md serving budget)."""
+        assert self.inc_creator is not None, "engine not built with incremental=True"
+
+        def col(key, dtype, fill_nan=False):
+            vals = [r.get(key) for r in rows]
+            if fill_nan:
+                # JSON null / NaN dims -> 0.0, the pandas path's fillna
+                # contract (NaN would poison the pair distances)
+                vals = [0.0 if v is None else v for v in vals]
+            a = np.asarray(vals, dtype)
+            if fill_nan and a.size:
+                np.nan_to_num(a, copy=False, nan=0.0)
+            return a
+
+        self.inc_creator.push_arrays(
+            [r["VehicleId"] for r in rows],
+            col("X", np.float32), col("Y", np.float32),
+            col("Speed", np.float32), col("Angle", np.float32),
+            col("Width", np.float32, fill_nan=True),
+            col("Length", np.float32, fill_nan=True),
+            col("StationType", np.int32),
+        )
+        if not self.inc_creator.warm:
+            return None
+        return self._score_graph(self.inc_creator.window())
+
     def _score_graph(self, g) -> np.ndarray | None:
         if g.num_nodes == 0:
             return None
@@ -202,9 +232,13 @@ class StreamingServer:
                     except json.JSONDecodeError as e:
                         self._signal_termination(f"malformed JSON frame: {e}")
                         return
-                    df = pd.DataFrame(data)
+                    # incremental mode keeps the raw row list — the
+                    # consumer feeds push_frame_rows and never builds a
+                    # DataFrame (0.8 ms/frame of accessor overhead saved)
+                    payload = (data if self.incremental and isinstance(data, list)
+                               else pd.DataFrame(data))
                     with self.condition:
-                        self.frames.append(df)
+                        self.frames.append(payload)
                         # incremental consumer wakes per frame; the classic
                         # one re-checks its >= pack_size predicate anyway
                         if self.incremental or len(self.frames) >= self.pack_size:
@@ -269,7 +303,8 @@ class StreamingServer:
                     frame = self.frames.popleft()
             if frame is None:
                 break
-            scores = engine.push_frame(frame)
+            scores = (engine.push_frame_rows(frame) if isinstance(frame, list)
+                      else engine.push_frame(frame))
             if not engine.warm:
                 continue
             self._append_score_row(scores)
