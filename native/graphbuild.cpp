@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <vector>
 
+#include <limits>
 #ifdef _OPENMP
 #include <omp.h>
 #endif
@@ -506,5 +507,125 @@ int64_t da_fill_banded_i8(void* handle, int64_t s_span, int8_t* A,
 }
 
 void da_free(void* handle) { delete static_cast<DAContext*>(handle); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Incremental sliding-window push (serve path).
+//
+// The numerical core of sldm_gnn_tpu/build/online.py
+// IncrementalGraphOnlineCreator.push_arrays: at serving sizes (cap<=64)
+// the numpy implementation is dispatch-bound (~30 small-array ops at
+// ~10 us each); this single call does the same work in a few us.
+// Semantics mirror the numpy path exactly — see the parity test
+// (tests/test_native.py::test_incr_push_matches_numpy): f64 subtract-on-
+// evict accumulators, lazy min/max with first-occurrence frame ties,
+// eviction maintenance BEFORE the new frame lands, distances over ALL
+// slots with presence-masked accumulation. Compiled with
+// -ffp-contract=off so the float distance math matches numpy (no fma).
+// Slot resolution, ring bookkeeping, and the periodic exact refresh stay
+// in Python.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void incr_push(
+    int64_t cap, int64_t F, int64_t pos, int64_t evict,
+    const int64_t* slots, int64_t n,
+    const float* px, const float* py, const float* speed,
+    const float* sin_a, const float* cos_a,
+    const float* wl,             // [cap, 2] width,length
+    float* x,                    // [cap, F, 6]
+    uint8_t* present,            // [cap, F] (numpy bool view)
+    float* d,                    // [F, cap, cap]
+    double* dsum, double* d2sum, // [cap, cap]
+    int64_t* cnt,                // [cap, cap]
+    float* dmin, int32_t* dmin_pos,
+    float* dmax, int32_t* dmax_pos) {
+  const float INF = std::numeric_limits<float>::infinity();
+  float* dpos = d + (size_t)pos * cap * cap;
+
+  if (evict) {
+    // subtract the evicted frame's contribution while its presence
+    // column is still set (the numpy co_old outer product)
+    for (int64_t i = 0; i < cap; ++i) {
+      if (!present[i * F + pos]) continue;
+      for (int64_t j = 0; j < cap; ++j) {
+        if (!present[j * F + pos]) continue;
+        const size_t ij = (size_t)i * cap + j;
+        // the numpy evict path squares in FLOAT32 before the f64
+        // subtract (d_old * d_old * co_old) — replicate exactly
+        const float dvf = dpos[ij];
+        dsum[ij] -= (double)dvf;
+        d2sum[ij] -= (double)(dvf * dvf);
+        cnt[ij] -= 1;
+      }
+    }
+    for (int64_t i = 0; i < cap; ++i) present[i * F + pos] = 0;
+    // lazy min/max maintenance: empty pairs reset; pairs whose extremum
+    // lived in the evicted frame recompute over the ring (first minimal
+    // frame wins ties, matching np.argmin/argmax)
+    for (int64_t i = 0; i < cap; ++i) {
+      for (int64_t j = 0; j < cap; ++j) {
+        const size_t ij = (size_t)i * cap + j;
+        if (cnt[ij] == 0) {
+          dmin[ij] = INF;  dmin_pos[ij] = -1;
+          dmax[ij] = -INF; dmax_pos[ij] = -1;
+        } else if (dmin_pos[ij] == (int32_t)pos ||
+                   dmax_pos[ij] == (int32_t)pos) {
+          float bm = INF, bM = -INF;
+          int32_t bmp = -1, bMp = -1;
+          for (int64_t f = 0; f < F; ++f) {
+            if (present[i * F + f] && present[j * F + f]) {
+              const float dv = d[(size_t)f * cap * cap + ij];
+              if (dv < bm) { bm = dv; bmp = (int32_t)f; }
+              if (dv > bM) { bM = dv; bMp = (int32_t)f; }
+            }
+          }
+          dmin[ij] = bm;  dmin_pos[ij] = bmp;
+          dmax[ij] = bM;  dmax_pos[ij] = bMp;
+        }
+      }
+    }
+  }
+
+  // clear the ring column to absent-frame features, then land the frame
+  for (int64_t i = 0; i < cap; ++i) {
+    float* xi = x + ((size_t)i * F + pos) * 6;
+    xi[0] = -wl[i * 2 + 1] * 0.5f;
+    xi[1] = 0.0f; xi[2] = 0.0f; xi[3] = 0.0f;
+    xi[4] = 1.0f; xi[5] = 0.0f;
+  }
+  for (int64_t r = 0; r < n; ++r) {
+    const int64_t s = slots[r];
+    float* xs = x + ((size_t)s * F + pos) * 6;
+    xs[0] = px[r]; xs[1] = py[r]; xs[2] = speed[r];
+    xs[3] = sin_a[r]; xs[4] = cos_a[r]; xs[5] = 1.0f;
+    present[s * F + pos] = 1;
+  }
+
+  // pairwise distances of the incoming frame over ALL slots (presence
+  // masks the accumulators, exactly like the numpy outer product)
+  for (int64_t i = 0; i < cap; ++i) {
+    const float* xi = x + ((size_t)i * F + pos) * 6;
+    const uint8_t pi = present[i * F + pos];
+    for (int64_t j = 0; j < cap; ++j) {
+      const size_t ij = (size_t)i * cap + j;
+      const float* xj = x + ((size_t)j * F + pos) * 6;
+      const float dx = xi[0] - xj[0];
+      const float dy = xi[1] - xj[1];
+      const float dv = sqrtf(dx * dx + dy * dy);
+      dpos[ij] = dv;
+      if (pi && present[j * F + pos]) {
+        const double dvd = (double)dv;
+        dsum[ij] += dvd;
+        d2sum[ij] += dvd * dvd;
+        cnt[ij] += 1;
+        if (dv < dmin[ij]) { dmin[ij] = dv; dmin_pos[ij] = (int32_t)pos; }
+        if (dv > dmax[ij]) { dmax[ij] = dv; dmax_pos[ij] = (int32_t)pos; }
+      }
+    }
+  }
+}
 
 }  // extern "C"

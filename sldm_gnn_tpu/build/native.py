@@ -40,6 +40,35 @@ def _load():
     return lib
 
 
+def _load_incr():
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_incr_ready"):
+        try:
+            i64 = ctypes.c_int64
+            pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+            pf64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+            lib.incr_push.argtypes = [
+                i64, i64, i64, i64,        # cap, F, pos, evict
+                pi64, i64,                 # slots, n
+                pf, pf, pf, pf, pf,        # px, py, speed, sin_a, cos_a
+                pf,                        # wl [cap, 2]
+                pf, pu8, pf,               # x, present(uint8 view), d
+                pf64, pf64, pi64,          # dsum, d2sum, cnt
+                pf, pi32, pf, pi32,        # dmin, dmin_pos, dmax, dmax_pos
+            ]
+        except AttributeError:
+            # stale libgraphbuild.so built before incr_push existed:
+            # fall back to the numpy path (rebuild with make -C native)
+            return None
+        lib._incr_ready = True
+    return lib
+
+
 def available() -> bool:
     return _load() is not None
 
@@ -265,3 +294,30 @@ def native_banded_blocks_i8(src, dst, num_dst_blocks, tile, s_span):
         raise
     cmax = int(lib.da_fill_banded_i8(handle, s_span, a, bo))  # frees ctx
     return a, bo, cmax
+
+
+def native_incr_push(creator, pos: int, evict: bool, slots, px, py, speed,
+                     sin_a, cos_a) -> bool:
+    """Native core of IncrementalGraphOnlineCreator.push_arrays: eviction
+    accumulator subtraction + lazy min/max maintenance + ring-column
+    clear/write + frame pair distances + accumulator add, as ONE call
+    over the creator's state arrays in place (the numpy path is
+    dispatch-bound at serving sizes). Returns False when the library is
+    unavailable — the caller falls back to the numpy body."""
+    lib = _load_incr()
+    if lib is None:
+        return False
+    c = creator
+    lib.incr_push(
+        c._cap, c.frames_num, pos, int(evict),
+        np.ascontiguousarray(slots, np.int64), len(slots),
+        np.ascontiguousarray(px, np.float32),
+        np.ascontiguousarray(py, np.float32),
+        np.ascontiguousarray(speed, np.float32),
+        np.ascontiguousarray(sin_a, np.float32),
+        np.ascontiguousarray(cos_a, np.float32),
+        c._wl, c._x, c._present.view(np.uint8), c._d,
+        c._dsum, c._d2sum, c._cnt,
+        c._dmin, c._dmin_pos, c._dmax, c._dmax_pos,
+    )
+    return True

@@ -243,9 +243,48 @@ class IncrementalGraphOnlineCreator:
     def push_arrays(self, vid, x, y, speed, angle, width, length, sttype):
         """Array-native :meth:`push` (no pandas): one entry per vehicle
         present in the frame. NaN width/length must already be 0.0 (the
-        wrapper's fillna contract — NaN would poison the pair distances)."""
+        wrapper's fillna contract — NaN would poison the pair distances).
+
+        The numerical core (evict + lazy min/max + ring write + pair
+        distances) runs as ONE native call when libgraphbuild.so is
+        built (native/graphbuild.cpp incr_push — the numpy path below is
+        dispatch-bound at serving sizes, ~0.33 vs ~0.03 ms at V=32);
+        slot resolution, ring bookkeeping, and the periodic refresh stay
+        here either way."""
+        from .native import native_incr_push
+
         F = self.frames_num
         pos = self._head if self._n_frames >= F else (self._head + self._n_frames) % F
+        evict = self._n_frames >= F
+
+        # slot resolution first (it may _grow() — the native call must see
+        # the final arrays); safe before eviction: freeing only happens in
+        # the end-of-push sweep, and a fresh slot's state resets are
+        # idempotent with the eviction maintenance (its cnt rows are 0)
+        if len(vid):
+            slots = np.array(
+                [self._slot_for(v, width[i], length[i], sttype[i])
+                 for i, v in enumerate(vid)],
+                np.int64,
+            )
+            ang = np.deg2rad(np.asarray(angle, np.float32))
+            slen = self._wl[slots, 1]
+            cos_a = np.cos(ang)
+            sin_a = np.sin(ang)
+            px = np.asarray(x, np.float32) - slen / 2.0 * cos_a
+            py = np.asarray(y, np.float32) - slen / 2.0 * sin_a
+            spd = np.asarray(speed, np.float32)
+        else:
+            slots = np.empty(0, np.int64)
+            px = py = spd = sin_a = cos_a = np.empty(0, np.float32)
+
+        if native_incr_push(self, pos, evict, slots, px, py, spd, sin_a, cos_a):
+            if evict:
+                self._head = (self._head + 1) % F
+            else:
+                self._n_frames += 1
+            self._finish_push()
+            return
 
         if self._n_frames >= F:
             # evict the oldest frame's contribution from the accumulators
@@ -287,21 +326,11 @@ class IncrementalGraphOnlineCreator:
 
         if len(vid):
             # NaN dims -> 0.0 like the batch path (tensorize.py fillna):
-            # the wrapper's fillna guarantees it for the pandas surface
-            slots = np.array(
-                [self._slot_for(v, width[i], length[i], sttype[i])
-                 for i, v in enumerate(vid)],
-                np.int64,
-            )
-            ang = np.deg2rad(np.asarray(angle, np.float32))
-            slen = self._wl[slots, 1]
-            cos_a = np.cos(ang)
-            sin_a = np.sin(ang)
-            px = np.asarray(x, np.float32) - slen / 2.0 * cos_a
-            py = np.asarray(y, np.float32) - slen / 2.0 * sin_a
+            # the wrapper's fillna contract; slots/features were resolved
+            # above, shared with the native path
             self._x[slots, pos, 0] = px
             self._x[slots, pos, 1] = py
-            self._x[slots, pos, 2] = np.asarray(speed, np.float32)
+            self._x[slots, pos, 2] = spd
             self._x[slots, pos, 3] = sin_a
             self._x[slots, pos, 4] = cos_a
             self._x[slots, pos, 5] = 1.0
@@ -324,6 +353,9 @@ class IncrementalGraphOnlineCreator:
         self._dmax[upd] = d_new[upd]
         self._dmax_pos[upd] = pos
 
+        self._finish_push()
+
+    def _finish_push(self):
         # free slots whose vehicles have left the window entirely
         alive = self._present.any(axis=1)
         for vid, s in list(self._vid2slot.items()):
@@ -333,7 +365,7 @@ class IncrementalGraphOnlineCreator:
 
         # periodic exact refresh: kills float64 subtract-on-evict drift
         self._pushes_since_refresh += 1
-        if self._pushes_since_refresh >= F:
+        if self._pushes_since_refresh >= self.frames_num:
             self._refresh_accumulators()
             self._pushes_since_refresh = 0
 

@@ -172,3 +172,76 @@ def test_native_dense_blocks_i8_matches_python(rng):
     np.testing.assert_array_equal(sb_n, np.asarray(py.src_blk))
     np.testing.assert_array_equal(a_i8.astype(np.float32), np.asarray(py.a))
     assert cmax == int(py.a.max()) == 50
+
+
+def test_incr_push_matches_numpy(rng):
+    """native incr_push drives IncrementalGraphOnlineCreator to the EXACT
+    same state and emitted windows as the numpy path — vehicles arriving,
+    leaving (slot free + reuse), capacity growth, eviction maintenance,
+    and the periodic refresh all exercised."""
+    from sldm_gnn_tpu.build import native as nat
+    from sldm_gnn_tpu.build.online import IncrementalGraphOnlineCreator
+
+    if not nat.available() or nat._load_incr() is None:
+        pytest.skip("native library not built")
+
+    def mk():
+        return IncrementalGraphOnlineCreator(
+            frames_num=6, m_radius=8.0, capacity=4,
+            norm_stats={"mu": {"x": np.zeros(5, np.float32),
+                               "xdims": np.zeros(2, np.float32)},
+                        "sigma": {"x": np.ones(5, np.float32),
+                                  "xdims": np.ones(2, np.float32)}})
+
+    a, b = mk(), mk()
+
+    def drive(creator, frames, use_native):
+        import unittest.mock as mock
+        if use_native:
+            ctx = mock.patch.object(nat, "_lib", nat._load())
+        else:
+            ctx = mock.patch.object(
+                nat.os, "environ", {**nat.os.environ, "SLDM_GNN_TPU_NO_NATIVE": "1"})
+        outs = []
+        for f in frames:
+            if use_native:
+                creator.push_arrays(*f)
+            else:
+                with mock.patch.object(nat, "_load", lambda: None):
+                    creator.push_arrays(*f)
+            if creator.warm:
+                outs.append(creator.window())
+        return outs
+
+    frames = []
+    pool = list(range(12))
+    for t in range(40):
+        n = int(rng.integers(0, 7))
+        vids = rng.choice(pool, size=n, replace=False).tolist()
+        frames.append((
+            vids,
+            (rng.standard_normal(n) * 6).astype(np.float32),
+            (rng.standard_normal(n) * 6).astype(np.float32),
+            rng.standard_normal(n).astype(np.float32),
+            rng.uniform(0, 360, n).astype(np.float32),
+            np.full(n, 2.0, np.float32), np.full(n, 4.5, np.float32),
+            np.full(n, 1, np.int32)))
+
+    outs_n = drive(a, frames, use_native=True)
+    outs_p = drive(b, frames, use_native=False)
+
+    # internal state exactly equal
+    for name in ("_x", "_present", "_d", "_dsum", "_d2sum", "_cnt",
+                 "_dmin", "_dmin_pos", "_dmax", "_dmax_pos", "_wl", "_stt"):
+        np.testing.assert_array_equal(getattr(a, name), getattr(b, name),
+                                      err_msg=name)
+    assert a._vid2slot == b._vid2slot and a._head == b._head
+
+    # emitted windows exactly equal
+    assert len(outs_n) == len(outs_p)
+    for ga, gb in zip(outs_n, outs_p):
+        np.testing.assert_array_equal(ga.x, gb.x)
+        np.testing.assert_array_equal(ga.edge_index, gb.edge_index)
+        np.testing.assert_array_equal(ga.edge_attr, gb.edge_attr)
+        np.testing.assert_array_equal(ga.xsttype, gb.xsttype)
+        np.testing.assert_array_equal(ga.xdims, gb.xdims)
