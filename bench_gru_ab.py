@@ -53,7 +53,8 @@ def main():
            "steps": steps, "batches": n_batches, "batch": b,
            "backend": jax.default_backend()}
     results = {}
-    for impl in ("scan", "pallas"):
+    impls = tuple(os.environ.get("AB_IMPLS", "scan,pallas").split(","))
+    for impl in impls:
         cfg = GruSageConfig(
             frames_num=frames, gru_hidden_size=hidden, fc1dims=(hidden,),
             sage_hidden_dims=(hidden, hidden), fc2dims=(32,),
@@ -81,8 +82,9 @@ def main():
                          "final_acc": round(cor / tot, 5),
                          "train_s": round(time.perf_counter() - t0, 1)}
     out.update(results)
+    fast = [i for i in impls if i != "scan"][-1]
     out["final_acc_delta"] = round(
-        results["pallas"]["final_acc"] - results["scan"]["final_acc"], 5)
+        results[fast]["final_acc"] - results["scan"]["final_acc"], 5)
     print(json.dumps(out))
 
 

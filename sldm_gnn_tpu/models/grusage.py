@@ -133,9 +133,10 @@ class GruSage(nn.Module):
             )
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         self.st_emb = nn.Embed(c.num_st_types, c.emb_dim, name="st_emb")
-        if c.gru_impl not in ("scan", "pallas"):
+        if c.gru_impl not in ("scan", "pallas", "pallas_sg"):
             raise ValueError(
-                f"Unsupported gru_impl: {c.gru_impl!r} (use 'scan' or 'pallas')")
+                f"Unsupported gru_impl: {c.gru_impl!r} "
+                "(use 'scan', 'pallas', or 'pallas_sg')")
         self.gru = GRUCell(
             input_size=c.dynamic_features_num,
             hidden_size=c.gru_hidden_size,
@@ -329,7 +330,7 @@ class GRUCell(nn.Module):
             b_hh0=mk("b_hh0", shapes["b_hh0"]),
             **rest,
         )
-        if self.impl == "pallas":
+        if self.impl in ("pallas", "pallas_sg"):
             from ..ops.gru_pallas import gru_last_forward
 
             # Mosaic kernels need a TPU; CPU (tests, CLIs off-chip) runs
@@ -340,6 +341,12 @@ class GRUCell(nn.Module):
             # [N, T, D] write per frame. Input-saliency analyses should
             # use impl='scan' (always fully differentiable).
             interpret = jax.default_backend() != "tpu"
+            # 'pallas_sg': the store-gates backward (ops/gru_pallas.py v3
+            # header) — the forward streams packed bf16 gates to HBM
+            # (hidden under its VPU-bound runtime) and BPTT reads them
+            # back instead of recomputing: 15.5 -> 12.6 ms fwd+bwd at
+            # 22.5k rows x 100 frames on v5e
             return None, gru_last_forward(params, x, interpret=interpret,
-                                          with_dx=False)
+                                          with_dx=False,
+                                          store_gates=self.impl == "pallas_sg")
         return gru_forward(params, x, pad_to=self.pad_to)

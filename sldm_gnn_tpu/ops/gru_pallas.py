@@ -590,12 +590,17 @@ gru_seq_pallas.defvjp(
 
 def gru_last_forward(params: GRUParams, x: jax.Array, *, rb: int = 1024,
                      interpret: bool = False,
-                     with_dx: bool = True) -> jax.Array:
+                     with_dx: bool = True,
+                     store_gates: bool = False) -> jax.Array:
     """``h_last [B, H]`` for a GRU stack via the v2 fused kernels: lower
     layers run :func:`gru_seq_pallas` (full sequences feed the next
     layer), the top layer :func:`gru_last_pallas` (no sequence output,
     no [T, N, H]-zeros cotangent). ``with_dx=False``: see
-    :func:`gru_last_pallas` (applies to the bottom layer's input)."""
+    :func:`gru_last_pallas` (applies to the bottom layer's input).
+    ``store_gates=True`` runs the TOP layer through
+    :func:`gru_last_sg_pallas` (store-gates backward, v3 header; lower
+    seq layers keep the v2 recompute — their sequence outputs already
+    stream to HBM, so the gate write would contend)."""
     out = x
     w_ihs = [params.w_ih0] + [params.w_ih[l]
                               for l in range(params.w_ih.shape[0])]
@@ -611,5 +616,260 @@ def gru_last_forward(params: GRUParams, x: jax.Array, *, rb: int = 1024,
         out = gru_seq_pallas(out, w_ihs[l], b_ihs[l], w_hhs[l], b_hhs[l],
                              rb, interpret, dx_l)
     dx_top = with_dx if last == 0 else True
-    return gru_last_pallas(out, w_ihs[last], b_ihs[last], w_hhs[last],
-                           b_hhs[last], rb, interpret, dx_top)
+    top = gru_last_sg_pallas if store_gates else gru_last_pallas
+    return top(out, w_ihs[last], b_ihs[last], w_hhs[last],
+               b_hhs[last], rb, interpret, dx_top)
+
+
+# ---------------------------------------------------------------------------
+# v3: store-gates backward (trade HBM for VPU transcendentals).
+#
+# The v2 backward RECOMPUTES the forward gates each step — one hproj MXU
+# pass plus 2 sigmoid + 1 tanh over [rb, H] per frame, ~40% of the
+# backward's time at flagship shapes — while the forward kernel is
+# VPU-bound with most of its HBM bandwidth idle (it writes only hs,
+# 432 MB at batch 2048 vs a ~5 ms VPU-limited runtime). v3's forward
+# additionally streams the gate activations r|z|n|hn to HBM as ONE
+# packed bf16 [T, N, 4H] tensor (the write hides under the VPU work),
+# and the backward reads them back instead of recomputing — no hproj
+# matmul, no transcendentals. Cost: bf16 rounding of the gate values
+# used by BPTT (the v2 recompute was f32 from the bf16 carry), inside
+# the fast path's existing ~1e-2-class contract vs the f32 scan.
+# ---------------------------------------------------------------------------
+
+
+def _fwd3_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, hs_ref,
+                 gates_ref, h_scr):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    hidden = h_scr.shape[1]
+    h = h_scr[:]
+    xp = (
+        jnp.dot(x_ref[0].astype(jnp.bfloat16), wih_ref[:],
+                preferred_element_type=jnp.float32)
+        + bih_ref[0]
+    )
+    hproj = (
+        jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32)
+        + bhh_ref[0]
+    )
+    xr, xz, xn = xp[:, :hidden], xp[:, hidden:2 * hidden], xp[:, 2 * hidden:]
+    hr, hz, hn = (hproj[:, :hidden], hproj[:, hidden:2 * hidden],
+                  hproj[:, 2 * hidden:])
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_new = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(jnp.bfloat16)
+    h_scr[:] = h_new
+    hs_ref[0] = h_new
+    gates_ref[0] = jnp.concatenate([r, z, n, hn], axis=1).astype(jnp.bfloat16)
+
+
+def _bwd3_kernel(x_ref, hprev_ref, gates_ref, wih_ref, whh_ref, g_ref,
+                 *refs, seq_len, with_dx):
+    from jax.experimental import pallas as pl
+
+    if with_dx:
+        (dx_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref,
+         dh_scr, dwih_scr, dwhh_scr) = refs
+    else:
+        (dwih_ref, dbih_ref, dwhh_ref, dbhh_ref,
+         dh_scr, dwih_scr, dwhh_scr) = refs
+        dx_ref = None
+
+    r_blk = pl.program_id(0)
+    s = pl.program_id(1)
+    t = seq_len - 1 - s
+
+    @pl.when(jnp.logical_and(r_blk == 0, s == 0))
+    def _():
+        dwih_scr[:] = jnp.zeros_like(dwih_scr)
+        dwhh_scr[:] = jnp.zeros_like(dwhh_scr)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = g_ref[:]
+
+    hidden = dh_scr.shape[1]
+    h_prev = jnp.where(t > 0, hprev_ref[0], jnp.zeros_like(hprev_ref[0]))
+
+    gt = gates_ref[0]
+    r = gt[:, :hidden].astype(jnp.float32)
+    z = gt[:, hidden:2 * hidden].astype(jnp.float32)
+    n = gt[:, 2 * hidden:3 * hidden].astype(jnp.float32)
+    hn = gt[:, 3 * hidden:].astype(jnp.float32)
+    h_prev_f = h_prev.astype(jnp.float32)
+
+    dh = dh_scr[:]
+    dn = dh * (1.0 - z)
+    dz = dh * (h_prev_f - n)
+    dh_direct = dh * z
+
+    dn_pre = dn * (1.0 - n * n)
+    dr = dn_pre * hn
+    dhn = dn_pre * r
+    dr_pre = dr * r * (1.0 - r)
+    dz_pre = dz * z * (1.0 - z)
+
+    dxp_b = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1).astype(jnp.bfloat16)
+    dhp_b = jnp.concatenate([dr_pre, dz_pre, dhn], axis=1).astype(jnp.bfloat16)
+
+    if dx_ref is not None:
+        dx_ref[0] = jax.lax.dot_general(
+            dxp_b, wih_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    ones = jnp.ones((x_ref.shape[1], 1), jnp.bfloat16)
+    dwih_scr[:] += jax.lax.dot_general(
+        jnp.concatenate([x_ref[0].astype(jnp.bfloat16), ones], axis=1),
+        dxp_b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwhh_scr[:] += jax.lax.dot_general(
+        jnp.concatenate([h_prev, ones], axis=1), dhp_b,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dh_scr[:] = dh_direct + jax.lax.dot_general(
+        dhp_b, whh_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(jnp.logical_and(r_blk == pl.num_programs(0) - 1, s == seq_len - 1))
+    def _():
+        d_in = dwih_ref.shape[0]
+        dwih_ref[:] = dwih_scr[:d_in]
+        dbih_ref[0] = dwih_scr[d_in]
+        dwhh_ref[:] = dwhh_scr[:hidden]
+        dbhh_ref[0] = dwhh_scr[hidden]
+
+
+def _run_fwd3(xt, w_ih, b_ih, w_hh, b_hh, *, rb, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, N, D = xt.shape
+    H = w_hh.shape[0]
+    H3 = 3 * H
+    return pl.pallas_call(
+        _fwd3_kernel,
+        grid=(N // rb, T),
+        compiler_params=_v2_params(),
+        in_specs=[
+            pl.BlockSpec((1, rb, D), lambda r, t: (t, r, 0)),
+            pl.BlockSpec((D, H3), lambda r, t: (0, 0)),
+            pl.BlockSpec((1, H3), lambda r, t: (0, 0)),
+            pl.BlockSpec((H, H3), lambda r, t: (0, 0)),
+            pl.BlockSpec((1, H3), lambda r, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rb, H), lambda r, t: (t, r, 0)),
+            pl.BlockSpec((1, rb, 4 * H), lambda r, t: (t, r, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, N, 4 * H), jnp.bfloat16),
+        ],
+        scratch_shapes=[pltpu.VMEM((rb, H), jnp.bfloat16)],
+        interpret=interpret,
+    )(xt, w_ih, b_ih.reshape(1, H3), w_hh, b_hh.reshape(1, H3))
+
+
+def _run_bwd3(xt, hs, gates, w_ih, w_hh, g, *, rb, with_dx=True,
+              interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, N, D = xt.shape
+    H = w_hh.shape[0]
+    H3 = 3 * H
+    kernel = partial(_bwd3_kernel, seq_len=T, with_dx=with_dx)
+    dx_spec = [pl.BlockSpec((1, rb, D), lambda r, s: (T - 1 - s, r, 0))]
+    dx_shape = [jax.ShapeDtypeStruct((T, N, D), jnp.float32)]
+    return pl.pallas_call(
+        kernel,
+        grid=(N // rb, T),
+        compiler_params=_v2_params(),
+        in_specs=[
+            pl.BlockSpec((1, rb, D), lambda r, s: (T - 1 - s, r, 0)),
+            pl.BlockSpec((1, rb, H),
+                         lambda r, s: (jnp.maximum(T - 2 - s, 0), r, 0)),
+            pl.BlockSpec((1, rb, 4 * H), lambda r, s: (T - 1 - s, r, 0)),
+            pl.BlockSpec((D, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((H, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((rb, H), lambda r, s: (r, 0)),
+        ],
+        out_specs=(dx_spec if with_dx else []) + [
+            pl.BlockSpec((D, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((1, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((H, H3), lambda r, s: (0, 0)),
+            pl.BlockSpec((1, H3), lambda r, s: (0, 0)),
+        ],
+        out_shape=(dx_shape if with_dx else []) + [
+            jax.ShapeDtypeStruct((D, H3), jnp.float32),
+            jax.ShapeDtypeStruct((1, H3), jnp.float32),
+            jax.ShapeDtypeStruct((H, H3), jnp.float32),
+            jax.ShapeDtypeStruct((1, H3), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rb, H), jnp.float32),
+            pltpu.VMEM((D + 1, H3), jnp.float32),
+            pltpu.VMEM((H + 1, H3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt, hs, gates, w_ih, w_hh, g)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def gru_last_sg_pallas(x, w_ih, b_ih, w_hh, b_hh, rb=1024, interpret=False,
+                       with_dx=True):
+    """:func:`gru_last_pallas` with the store-gates backward (v3 header
+    comment): the forward streams packed bf16 r|z|n|hn to HBM and the
+    backward reads them instead of recomputing — no hproj matmul, no
+    transcendentals in BPTT. Same API and cotangent structure."""
+    h, _ = _gru_last_sg_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret)
+    return h
+
+
+def _gru_last_sg_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret):
+    N = x.shape[0]
+    xt, rb, n_pad = _gru_last_prep(x, rb)
+    hs, gates = _run_fwd3(xt, w_ih.astype(jnp.bfloat16), b_ih,
+                          w_hh.astype(jnp.bfloat16), b_hh, rb=rb,
+                          interpret=interpret)
+    h_last = hs[-1, :N].astype(jnp.float32)
+    return h_last, (x, hs, gates, w_ih, w_hh)
+
+
+def _gru_last_sg_bwd(rb, interpret, with_dx, res, g_hl):
+    x, hs, gates, w_ih, w_hh = res
+    N = x.shape[0]
+    xt, rb, n_pad = _gru_last_prep(x, rb)
+    g_pad = g_hl.astype(jnp.float32)
+    if n_pad != N:
+        g_pad = jnp.pad(g_pad, ((0, n_pad - N), (0, 0)))
+    outs = _run_bwd3(
+        xt, hs, gates, w_ih.astype(jnp.bfloat16), w_hh.astype(jnp.bfloat16),
+        g_pad, rb=rb, with_dx=with_dx, interpret=interpret)
+    if with_dx:
+        dxt, dwih, dbih, dwhh, dbhh = outs
+        dx = jnp.moveaxis(dxt[:, :N], 0, 1)
+    else:
+        dwih, dbih, dwhh, dbhh = outs
+        dx = jnp.zeros_like(x)
+    return dx, dwih, dbih.reshape(-1), dwhh, dbhh.reshape(-1)
+
+
+def _gru_last_sg_fwd_vjp(x, w_ih, b_ih, w_hh, b_hh, rb, interpret,
+                         with_dx=True):
+    return _gru_last_sg_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret)
+
+
+gru_last_sg_pallas.defvjp(_gru_last_sg_fwd_vjp, _gru_last_sg_bwd)

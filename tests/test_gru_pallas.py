@@ -269,3 +269,64 @@ def test_v2_with_dx_false_param_grads_match(rng):
             np.asarray(getattr(g_on, name)), err_msg=name)
     assert np.abs(np.asarray(gx_on)).max() > 0
     np.testing.assert_array_equal(np.asarray(gx_off), np.zeros_like(gx_off))
+
+
+def test_v3_store_gates_matches_v2(rng):
+    """The store-gates variant (gru_last_sg_pallas): forward BIT-equal to
+    v2 (same math, gates additionally streamed out) and gradients within
+    the bf16-gate rounding of v2's f32 recompute."""
+    from sldm_gnn_tpu.ops.gru_pallas import gru_last_pallas, gru_last_sg_pallas
+
+    B, T, D, H = 48, 10, 5, 8
+    p = init_gru_params(jax.random.PRNGKey(1), D, H, 1)
+    x = jnp.array(rng.standard_normal((B, T, D)).astype(np.float32))
+    args = (p.w_ih0, p.b_ih0, p.w_hh0, p.b_hh0)
+
+    h2 = gru_last_pallas(x, *args, 16, True, False)
+    h3 = gru_last_sg_pallas(x, *args, 16, True, False)
+    np.testing.assert_array_equal(np.asarray(h3), np.asarray(h2))
+
+    def mk_loss(fn, with_dx):
+        def loss(w_ih, b_ih, w_hh, b_hh, x):
+            return jnp.sum(fn(x, w_ih, b_ih, w_hh, b_hh, 16, True, with_dx) ** 2)
+        return loss
+
+    g2 = jax.grad(mk_loss(gru_last_pallas, False), argnums=(0, 1, 2, 3))(*args, x)
+    g3 = jax.grad(mk_loss(gru_last_sg_pallas, False), argnums=(0, 1, 2, 3))(*args, x)
+    for a, b, nm in zip(g2, g3, ("dwih", "dbih", "dwhh", "dbhh")):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(b, a, rtol=5e-2,
+                                   atol=2e-2 * np.abs(a).max() + 1e-6,
+                                   err_msg=nm)
+
+    # with_dx=True: the input cotangent flows through the same stored gates
+    gx2 = jax.grad(mk_loss(gru_last_pallas, True), argnums=4)(*args, x)
+    gx3 = jax.grad(mk_loss(gru_last_sg_pallas, True), argnums=4)(*args, x)
+    np.testing.assert_allclose(np.asarray(gx3), np.asarray(gx2), rtol=5e-2,
+                               atol=2e-2 * np.abs(np.asarray(gx2)).max() + 1e-6)
+
+
+def test_v3_grads_match_xla(rng):
+    """Store-gates grads vs the f32 scan, at the v2 tolerance contract."""
+    from sldm_gnn_tpu.ops.gru_pallas import gru_last_forward
+
+    B, T, D, H = 24, 8, 5, 8
+    params = init_gru_params(jax.random.PRNGKey(1), D, H, 1)
+    x = jnp.array(rng.standard_normal((B, T, D)).astype(np.float32))
+    coef = jnp.array(rng.standard_normal((B, H)).astype(np.float32))
+
+    def loss_xla(p):
+        return jnp.sum(gru_forward(p, x)[1] * coef)
+
+    def loss_sg(p):
+        return jnp.sum(gru_last_forward(p, x, rb=16, interpret=True,
+                                        store_gates=True) * coef)
+
+    gp1 = jax.grad(loss_xla)(params)
+    gp2 = jax.grad(loss_sg)(params)
+    for name in ("w_ih0", "w_hh0", "b_ih0", "b_hh0"):
+        g1 = np.asarray(getattr(gp1, name))
+        g2 = np.asarray(getattr(gp2, name))
+        np.testing.assert_allclose(g2, g1, rtol=5e-2,
+                                   atol=5e-2 * np.abs(g1).max() + 1e-6,
+                                   err_msg=name)
