@@ -176,6 +176,9 @@ def main():
             lambda p, xx: (None, gru_last_forward(p, xx))), 3)
         out["gru_pallas_nodx_ms"] = round(gru_arm(
             lambda p, xx: (None, gru_last_forward(p, xx, with_dx=False))), 3)
+        out["gru_pallas_sg_ms"] = round(gru_arm(
+            lambda p, xx: (None, gru_last_forward(p, xx, with_dx=False,
+                                                  store_gates=True))), 3)
     except Exception as e:
         out["gru_pallas_ms"] = f"failed: {type(e).__name__}"
 
