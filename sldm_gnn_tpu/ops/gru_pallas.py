@@ -597,10 +597,9 @@ def gru_last_forward(params: GRUParams, x: jax.Array, *, rb: int = 1024,
     layer), the top layer :func:`gru_last_pallas` (no sequence output,
     no [T, N, H]-zeros cotangent). ``with_dx=False``: see
     :func:`gru_last_pallas` (applies to the bottom layer's input).
-    ``store_gates=True`` runs the TOP layer through
-    :func:`gru_last_sg_pallas` (store-gates backward, v3 header; lower
-    seq layers keep the v2 recompute — their sequence outputs already
-    stream to HBM, so the gate write would contend)."""
+    ``store_gates=True`` runs every layer through the store-gates
+    backward (v3 header): :func:`gru_seq_sg_pallas` for lower layers,
+    :func:`gru_last_sg_pallas` for the top."""
     out = x
     w_ihs = [params.w_ih0] + [params.w_ih[l]
                               for l in range(params.w_ih.shape[0])]
@@ -611,10 +610,11 @@ def gru_last_forward(params: GRUParams, x: jax.Array, *, rb: int = 1024,
     b_hhs = [params.b_hh0] + [params.b_hh[l]
                               for l in range(params.b_hh.shape[0])]
     last = len(w_ihs) - 1
+    seq = gru_seq_sg_pallas if store_gates else gru_seq_pallas
     for l in range(last):
         dx_l = with_dx if l == 0 else True  # inter-layer grads always flow
-        out = gru_seq_pallas(out, w_ihs[l], b_ihs[l], w_hhs[l], b_hhs[l],
-                             rb, interpret, dx_l)
+        out = seq(out, w_ihs[l], b_ihs[l], w_hhs[l], b_hhs[l],
+                  rb, interpret, dx_l)
     dx_top = with_dx if last == 0 else True
     top = gru_last_sg_pallas if store_gates else gru_last_pallas
     return top(out, w_ihs[last], b_ihs[last], w_hhs[last],
@@ -672,7 +672,7 @@ def _fwd3_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, hs_ref,
 
 
 def _bwd3_kernel(x_ref, hprev_ref, gates_ref, wih_ref, whh_ref, g_ref,
-                 *refs, seq_len, with_dx):
+                 *refs, seq_len, with_dx, seq_cot=False):
     from jax.experimental import pallas as pl
 
     if with_dx:
@@ -694,7 +694,10 @@ def _bwd3_kernel(x_ref, hprev_ref, gates_ref, wih_ref, whh_ref, g_ref,
 
     @pl.when(s == 0)
     def _():
-        dh_scr[:] = g_ref[:]
+        if seq_cot:
+            dh_scr[:] = jnp.zeros_like(dh_scr)
+        else:
+            dh_scr[:] = g_ref[:]
 
     hidden = dh_scr.shape[1]
     h_prev = jnp.where(t > 0, hprev_ref[0], jnp.zeros_like(hprev_ref[0]))
@@ -707,6 +710,8 @@ def _bwd3_kernel(x_ref, hprev_ref, gates_ref, wih_ref, whh_ref, g_ref,
     h_prev_f = h_prev.astype(jnp.float32)
 
     dh = dh_scr[:]
+    if seq_cot:
+        dh = dh + g_ref[0]
     dn = dh * (1.0 - z)
     dz = dh * (h_prev_f - n)
     dh_direct = dh * z
@@ -783,16 +788,20 @@ def _run_fwd3(xt, w_ih, b_ih, w_hh, b_hh, *, rb, interpret=False):
 
 
 def _run_bwd3(xt, hs, gates, w_ih, w_hh, g, *, rb, with_dx=True,
-              interpret=False):
+              seq_cot=False, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     T, N, D = xt.shape
     H = w_hh.shape[0]
     H3 = 3 * H
-    kernel = partial(_bwd3_kernel, seq_len=T, with_dx=with_dx)
+    kernel = partial(_bwd3_kernel, seq_len=T, with_dx=with_dx,
+                     seq_cot=seq_cot)
     dx_spec = [pl.BlockSpec((1, rb, D), lambda r, s: (T - 1 - s, r, 0))]
     dx_shape = [jax.ShapeDtypeStruct((T, N, D), jnp.float32)]
+    g_spec = (pl.BlockSpec((1, rb, H), lambda r, s: (T - 1 - s, r, 0))
+              if seq_cot else
+              pl.BlockSpec((rb, H), lambda r, s: (r, 0)))
     return pl.pallas_call(
         kernel,
         grid=(N // rb, T),
@@ -804,7 +813,7 @@ def _run_bwd3(xt, hs, gates, w_ih, w_hh, g, *, rb, with_dx=True,
             pl.BlockSpec((1, rb, 4 * H), lambda r, s: (T - 1 - s, r, 0)),
             pl.BlockSpec((D, H3), lambda r, s: (0, 0)),
             pl.BlockSpec((H, H3), lambda r, s: (0, 0)),
-            pl.BlockSpec((rb, H), lambda r, s: (r, 0)),
+            g_spec,
         ],
         out_specs=(dx_spec if with_dx else []) + [
             pl.BlockSpec((D, H3), lambda r, s: (0, 0)),
@@ -873,3 +882,51 @@ def _gru_last_sg_fwd_vjp(x, w_ih, b_ih, w_hh, b_hh, rb, interpret,
 
 
 gru_last_sg_pallas.defvjp(_gru_last_sg_fwd_vjp, _gru_last_sg_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def gru_seq_sg_pallas(x, w_ih, b_ih, w_hh, b_hh, rb=1024, interpret=False,
+                      with_dx=True):
+    """:func:`gru_seq_pallas` with the store-gates backward (v3 header):
+    full output sequence ``hs [N, T, H]`` f32; BPTT reads the packed
+    bf16 gates instead of recomputing, with the per-frame upstream
+    cotangent folded into the same reverse kernel."""
+    hs, _ = _gru_seq_sg_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret,
+                            with_dx)
+    return hs
+
+
+def _gru_seq_sg_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret, with_dx):
+    N = x.shape[0]
+    xt, rb, n_pad = _gru_last_prep(x, rb)
+    hs, gates = _run_fwd3(xt, w_ih.astype(jnp.bfloat16), b_ih,
+                          w_hh.astype(jnp.bfloat16), b_hh, rb=rb,
+                          interpret=interpret)
+    out = jnp.moveaxis(hs[:, :N], 0, 1).astype(jnp.float32)
+    return out, (x, hs, gates, w_ih, w_hh)
+
+
+def _gru_seq_sg_bwd(rb, interpret, with_dx, res, g_hs):
+    x, hs, gates, w_ih, w_hh = res
+    N = x.shape[0]
+    xt, rb, n_pad = _gru_last_prep(x, rb)
+    g = jnp.moveaxis(g_hs.astype(jnp.float32), 1, 0)  # [T, N, H]
+    if n_pad != N:
+        g = jnp.pad(g, ((0, 0), (0, n_pad - N), (0, 0)))
+    outs = _run_bwd3(
+        xt, hs, gates, w_ih.astype(jnp.bfloat16), w_hh.astype(jnp.bfloat16),
+        g, rb=rb, with_dx=with_dx, seq_cot=True, interpret=interpret)
+    if with_dx:
+        dxt, dwih, dbih, dwhh, dbhh = outs
+        dx = jnp.moveaxis(dxt[:, :N], 0, 1)
+    else:
+        dwih, dbih, dwhh, dbhh = outs
+        dx = jnp.zeros_like(x)
+    return dx, dwih, dbih.reshape(-1), dwhh, dbhh.reshape(-1)
+
+
+gru_seq_sg_pallas.defvjp(
+    lambda x, w_ih, b_ih, w_hh, b_hh, rb, interpret, with_dx:
+        _gru_seq_sg_fwd(x, w_ih, b_ih, w_hh, b_hh, rb, interpret, with_dx),
+    _gru_seq_sg_bwd,
+)

@@ -330,3 +330,44 @@ def test_v3_grads_match_xla(rng):
         np.testing.assert_allclose(g2, g1, rtol=5e-2,
                                    atol=5e-2 * np.abs(g1).max() + 1e-6,
                                    err_msg=name)
+
+
+def test_v3_seq_and_multilayer_match_xla(rng):
+    """gru_seq_sg_pallas and the two-layer store-gates stack vs the f32
+    scan, at the v2 seq tolerance contract."""
+    from sldm_gnn_tpu.ops.gru_pallas import gru_last_forward, gru_seq_sg_pallas
+
+    B, T, D, H = 32, 9, 5, 8
+    p1 = init_gru_params(jax.random.PRNGKey(2), D, H, 1)
+    x = jnp.array(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    hs_x, _ = gru_forward(p1, x)
+    hs_sg = gru_seq_sg_pallas(x, p1.w_ih0, p1.b_ih0, p1.w_hh0, p1.b_hh0,
+                              16, True, True)
+    np.testing.assert_allclose(np.asarray(hs_sg), np.asarray(hs_x),
+                               rtol=3e-2, atol=3e-2)
+
+    p2 = init_gru_params(jax.random.PRNGKey(3), D, H, 2)
+    _, h2x = gru_forward(p2, x)
+    h2sg = gru_last_forward(p2, x, rb=16, interpret=True, store_gates=True)
+    np.testing.assert_allclose(np.asarray(h2sg), np.asarray(h2x),
+                               rtol=3e-2, atol=3e-2)
+
+    coef = jnp.array(rng.standard_normal((B, H)).astype(np.float32))
+
+    def loss_xla(p):
+        return jnp.sum(gru_forward(p, x)[1] * coef)
+
+    def loss_sg(p):
+        return jnp.sum(gru_last_forward(p, x, rb=16, interpret=True,
+                                        store_gates=True) * coef)
+
+    g1 = jax.grad(loss_xla)(p2)
+    g2 = jax.grad(loss_sg)(p2)
+    for name in ("w_ih0", "w_hh0", "b_ih0", "b_hh0", "w_ih", "w_hh",
+                 "b_ih", "b_hh"):
+        a = np.asarray(getattr(g1, name))
+        b = np.asarray(getattr(g2, name))
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b, a, rtol=6e-2, atol=6e-2 * scale,
+                                   err_msg=name)
