@@ -629,3 +629,44 @@ void incr_push(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Incremental window edge emission (serve path, sibling of incr_push):
+// extract the valid (cnt>0, dmin<=r, i!=j) pairs of the live-slot
+// restriction in i-major order and compute their [dmin, dmax, dmean,
+// dmsq] attributes — the numpy version is ~15 small-array dispatches
+// per emitted window. dmean/dmsq divide in double then cast to float,
+// matching the numpy (dsum/cnt).astype(float32). Returns the edge count.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t incr_window_edges(
+    int64_t cap, const int64_t* sl, int64_t V, float m_radius,
+    const float* dmin, const float* dmax,
+    const double* dsum, const double* d2sum, const int64_t* cnt,
+    int32_t* ei_src, int32_t* ei_dst, float* attr /* [V*V, 4] */) {
+  int64_t k = 0;
+  for (int64_t i = 0; i < V; ++i) {
+    const int64_t a = sl[i];
+    for (int64_t j = 0; j < V; ++j) {
+      if (i == j) continue;
+      const int64_t b = sl[j];
+      const size_t ab = (size_t)a * cap + b;
+      if (cnt[ab] <= 0 || !(dmin[ab] <= m_radius)) continue;
+      // mirror the numpy argwhere(valid) i-major order exactly
+      // (edge_index rows are [src=ii, dst=jj], traj_edge_fill order)
+      ei_src[k] = (int32_t)i;
+      ei_dst[k] = (int32_t)j;
+      const double c = (double)cnt[ab];
+      attr[k * 4 + 0] = dmin[ab];
+      attr[k * 4 + 1] = dmax[ab];
+      attr[k * 4 + 2] = (float)(dsum[ab] / c);
+      attr[k * 4 + 3] = (float)(d2sum[ab] / c);
+      ++k;
+    }
+  }
+  return k;
+}
+
+}  // extern "C"

@@ -321,3 +321,48 @@ def native_incr_push(creator, pos: int, evict: bool, slots, px, py, speed,
         c._dmin, c._dmin_pos, c._dmax, c._dmax_pos,
     )
     return True
+
+
+def _load_window():
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_win_ready"):
+        try:
+            i64 = ctypes.c_int64
+            f32 = ctypes.c_float
+            pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+            pf64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            lib.incr_window_edges.argtypes = [
+                i64, pi64, i64, f32,
+                pf, pf, pf64, pf64, pi64,
+                pi32, pi32, pf,
+            ]
+            lib.incr_window_edges.restype = i64
+        except AttributeError:
+            return None
+        lib._win_ready = True
+    return lib
+
+
+def native_incr_window_edges(creator, sl: np.ndarray):
+    """Native edge emission for IncrementalGraphOnlineCreator.window():
+    valid live-slot pairs in i-major order + their [dmin, dmax, dmean,
+    dmsq] attributes in one call (~15 numpy dispatches replaced).
+    Returns (edge_index [2, E] int32, edge_attr [E, 4] float32) or None
+    when the library is unavailable."""
+    lib = _load_window()
+    if lib is None:
+        return None
+    c = creator
+    v = len(sl)
+    src = np.empty(v * v, np.int32)
+    dst = np.empty(v * v, np.int32)
+    attr = np.empty((v * v, 4), np.float32)
+    k = lib.incr_window_edges(
+        c._cap, np.ascontiguousarray(sl, np.int64), v,
+        np.float32(c.m_radius), c._dmin, c._dmax, c._dsum, c._d2sum,
+        c._cnt, src, dst, attr)
+    return np.stack([src[:k], dst[:k]]), attr[:k].copy()

@@ -407,28 +407,34 @@ class IncrementalGraphOnlineCreator:
         order = (self._head + np.arange(F)) % F
         x = self._x[np.ix_(sl, order)]  # [V, F, 6]
 
-        # pair stats restricted to live slots: O(V²) gathers of the
-        # incrementally-maintained min/max/sum/count trackers
-        pair_ix = np.ix_(sl, sl)
-        dmin = self._dmin[pair_ix]
-        cnt = self._cnt[pair_ix]
-        valid = (cnt > 0) & (dmin <= self.m_radius)
-        np.fill_diagonal(valid, False)
+        # pair stats restricted to live slots: the native edge emission
+        # (one C call) when built, else O(V²) gathers of the trackers
+        from .native import native_incr_window_edges
 
-        loc = np.argwhere(valid)  # i-major order, matching the reference
-        if len(loc):
-            dmax = self._dmax[pair_ix]
-            cntf = np.maximum(cnt, 1).astype(np.float64)
-            dmean = (self._dsum[pair_ix] / cntf).astype(np.float32)
-            dmsq = (self._d2sum[pair_ix] / cntf).astype(np.float32)
-            ii, jj = loc[:, 0], loc[:, 1]
-            edge_index = np.stack([ii, jj]).astype(np.int32)
-            edge_attr = np.stack(
-                [dmin[ii, jj], dmax[ii, jj], dmean[ii, jj], dmsq[ii, jj]], axis=1
-            ).astype(np.float32)
+        ee = native_incr_window_edges(self, sl)
+        if ee is not None:
+            edge_index, edge_attr = ee
         else:
-            edge_index = np.zeros((2, 0), np.int32)
-            edge_attr = np.zeros((0, 4), np.float32)
+            pair_ix = np.ix_(sl, sl)
+            dmin = self._dmin[pair_ix]
+            cnt = self._cnt[pair_ix]
+            valid = (cnt > 0) & (dmin <= self.m_radius)
+            np.fill_diagonal(valid, False)
+
+            loc = np.argwhere(valid)  # i-major order, matching the reference
+            if len(loc):
+                dmax = self._dmax[pair_ix]
+                cntf = np.maximum(cnt, 1).astype(np.float64)
+                dmean = (self._dsum[pair_ix] / cntf).astype(np.float32)
+                dmsq = (self._d2sum[pair_ix] / cntf).astype(np.float32)
+                ii, jj = loc[:, 0], loc[:, 1]
+                edge_index = np.stack([ii, jj]).astype(np.int32)
+                edge_attr = np.stack(
+                    [dmin[ii, jj], dmax[ii, jj], dmean[ii, jj], dmsq[ii, jj]], axis=1
+                ).astype(np.float32)
+            else:
+                edge_index = np.zeros((2, 0), np.int32)
+                edge_attr = np.zeros((0, 4), np.float32)
 
         y = None
         if mlb is not None:

@@ -196,21 +196,17 @@ def test_incr_push_matches_numpy(rng):
     a, b = mk(), mk()
 
     def drive(creator, frames, use_native):
+        import contextlib
         import unittest.mock as mock
-        if use_native:
-            ctx = mock.patch.object(nat, "_lib", nat._load())
-        else:
-            ctx = mock.patch.object(
-                nat.os, "environ", {**nat.os.environ, "SLDM_GNN_TPU_NO_NATIVE": "1"})
+
+        ctx = (contextlib.nullcontext() if use_native
+               else mock.patch.object(nat, "_load", lambda: None))
         outs = []
-        for f in frames:
-            if use_native:
+        with ctx:  # numpy arm: push AND window fall back
+            for f in frames:
                 creator.push_arrays(*f)
-            else:
-                with mock.patch.object(nat, "_load", lambda: None):
-                    creator.push_arrays(*f)
-            if creator.warm:
-                outs.append(creator.window())
+                if creator.warm:
+                    outs.append(creator.window())
         return outs
 
     frames = []
